@@ -1,0 +1,318 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Generates the Parquet ``pages`` table per BASELINE.json ``input_hint``
+(``url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string``) plus the generator sidecars defined in FIXTURES.md:
+``fetchmeta`` (status / redirect_to / mime_type — synthesizes the network
+behaviors of crawler.py:90-127), ``seeds`` and ``politeness``.
+
+Everything is a pure function of (seed, host index, page index) — no
+wall-clock, no RNG state leakage — so any slice of the corpus can be
+regenerated independently, which is also how generation parallelizes
+(one task per host shard writing its own partition directory; the same
+layout a 100 TB corpus would use: ``pages/host_bucket=NN/part.parquet``,
+partition-pruned by the fetch/replay stage).
+
+The embedded link graph exercises every reference URL operator: relative
+(``/p``, ``//host/p``) hrefs, percent-encoding, query strings, BAD_TOKENS
+paths, off-host links, redirects and error pages (FIXTURES.md §1). The
+``text`` column is the analytically-known article body — the golden value
+the extract kernel must reproduce byte-identically (tested in
+tests/test_extract.py, not derived by running the kernel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .extract.textstats import STOPWORDS
+
+EPOCH_BASE_US = 1_600_000_000_000_000  # 2020-09-13, deterministic warc_ts base
+
+SECTIONS = ["politica", "economia", "cronaca", "esteri", "cultura"]
+
+# deterministic content-word pools per language (pseudo-words, no escapes)
+_CONTENT_WORDS = {
+    lang: [f"{lang}word{i}" for i in range(40)]
+    for lang in ("it", "en", "es", "de", "fr")
+}
+
+
+@dataclass
+class CorpusSpec:
+    num_hosts: int = 3
+    pages_per_host: int = 60
+    hot_host_factor: int = 4     # host 0 gets factor× pages (skew fixture)
+    seed: int = 42
+    num_buckets: int = 8         # host-hash partition dirs for pages/
+    langs: tuple = ("it", "en", "es", "de", "fr")
+    redirect_every: int = 11     # every Nth article gets a redirect alias
+    error_every: int = 13        # every Nth page slot is a 404/500
+
+
+@dataclass
+class CorpusPaths:
+    root: str
+    pages_dir: str
+    fetchmeta: str
+    seeds: str
+    politeness: str
+    host_pages: dict = field(default_factory=dict)  # host -> page count
+
+
+def _rng(spec_seed: int, *parts) -> random.Random:
+    h = hashlib.sha1(("\x00".join(map(str, (spec_seed,) + parts))).encode())
+    return random.Random(int.from_bytes(h.digest()[:8], "big"))
+
+
+def host_name(i: int) -> str:
+    return f"news-{i}.example"
+
+
+def host_bucket(host: str, num_buckets: int) -> int:
+    h = hashlib.sha1(host.encode()).digest()
+    return int.from_bytes(h[:4], "big") % num_buckets
+
+
+def _paragraphs(rng: random.Random, lang: str) -> list[str]:
+    """2-5 paragraphs of stopword-rich sentences; single-spaced, no
+    HTML-escapable characters, so the kernel's whitespace-collapse +
+    unescape round-trips byte-identically."""
+    stops = sorted(STOPWORDS[lang])
+    words = _CONTENT_WORDS[lang]
+    paras = []
+    for _ in range(rng.randint(2, 5)):
+        sentences = []
+        for _ in range(rng.randint(2, 4)):
+            toks = []
+            for w in range(rng.randint(8, 14)):
+                pool = stops if w % 2 == 0 else words
+                toks.append(rng.choice(pool))
+            sent = " ".join(toks)
+            sentences.append(sent[0].upper() + sent[1:] + ".")
+        paras.append(" ".join(sentences))
+    return paras
+
+
+def _slug(rng: random.Random, lang: str) -> str:
+    words = _CONTENT_WORDS[lang]
+    return "-".join(rng.choice(words) for _ in range(6))
+
+
+_FIRST = ["Mario", "Anna", "Luca", "Sofia", "Paolo", "Elena", "Marco", "Giulia"]
+_LAST = ["Rossi", "Bianchi", "Ferrari", "Russo", "Romano", "Gallo", "Conti"]
+
+
+def _article_html(host: str, url_path: str, title: str, author: str,
+                  date_iso: str, section: str, lang: str,
+                  paragraphs: list[str], links: list[str],
+                  video: str | None) -> str:
+    nav = (f'<nav id="topnav"><ul>'
+           f'<li><a href="/">Home</a></li>'
+           f'<li><a href="/{section}/hub-0.html">{section}</a></li>'
+           f'<li><a href="/about/team.html">About</a></li>'
+           f'<li><a href="/privacy.html">Privacy</a></li>'
+           f'</ul></nav>')
+    body_ps = "\n".join(f"<p>{p}</p>" for p in paragraphs)
+    related = " ".join(f'<a href="{u}">rel link {i}</a>'
+                       for i, u in enumerate(links))
+    vid = f'<iframe src="{video}"></iframe>' if video else ""
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<title>{title} | {host} Daily</title>
+<meta property="og:type" content="article"/>
+<meta property="og:title" content="{title}"/>
+<meta property="article:published_time" content="{date_iso}"/>
+<meta name="author" content="{author}"/>
+<meta itemprop="articleSection" content="{section}"/>
+<meta property="og:image" content="http://{host}/img{url_path}.jpg"/>
+</head>
+<body>
+<header id="hdr">{nav}</header>
+<div id="main-content">
+<h1>{title}</h1>
+<div class="article-body" itemprop="articleBody">
+{body_ps}
+</div>
+{vid}
+<div class="related">{related}</div>
+</div>
+<footer id="ftr" itemtype="http://schema.org/WPFooter"><a href="/about/chi-siamo.html">Chi siamo</a> <a href="/contact/form.html">Contatti</a></footer>
+</body></html>"""
+
+
+def _hub_html(host: str, section: str, lang: str, links: list[str]) -> str:
+    items = "\n".join(f'<li><a href="{u}">item {i}</a></li>'
+                      for i, u in enumerate(links))
+    junk = ('<a href="mailto:x@y.example">mail</a> '
+            f'<a href="http://{host}/img/banner.jpg">banner</a> '
+            f'<a href="http://{host}/p/q?share=twitter">share</a> '
+            '<a href="http://shop.other.example/cart">buy</a>')
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head><title>{section} hub | {host} Daily</title></head>
+<body>
+<nav id="hubnav"><ul>
+{items}
+</ul></nav>
+<div id="promo">{junk}</div>
+</body></html>"""
+
+
+def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
+                    hosts: range | None = None) -> CorpusPaths:
+    """Write the corpus under ``out_dir``. Idempotent for a given spec
+    (existing complete output is reused — the resumability contract a
+    100 TB generation run needs)."""
+    spec = spec or CorpusSpec()
+    paths = CorpusPaths(
+        root=out_dir,
+        pages_dir=os.path.join(out_dir, "pages"),
+        fetchmeta=os.path.join(out_dir, "fetchmeta.parquet"),
+        seeds=os.path.join(out_dir, "seeds.parquet"),
+        politeness=os.path.join(out_dir, "politeness.parquet"),
+    )
+    done_marker = os.path.join(out_dir, "_DONE")
+    for h in range(spec.num_hosts):
+        n = spec.pages_per_host * (spec.hot_host_factor if h == 0 else 1)
+        paths.host_pages[host_name(h)] = n
+    if os.path.exists(done_marker):
+        return paths
+    os.makedirs(paths.pages_dir, exist_ok=True)
+
+    buckets: dict[int, dict[str, list]] = {}
+
+    def emit(bucket: int, url, ts, html, text, lang, status, redirect_to, mime):
+        cols = buckets.setdefault(bucket, {
+            "url": [], "warc_ts": [], "html": [], "text": [], "lang": [],
+            "status": [], "redirect_to": [], "mime_type": []})
+        cols["url"].append(url)
+        cols["warc_ts"].append(ts)
+        cols["html"].append(html.encode("utf-8") if html else b"")
+        cols["text"].append(text)
+        cols["lang"].append(lang)
+        cols["status"].append(status)
+        cols["redirect_to"].append(redirect_to)
+        cols["mime_type"].append(mime)
+
+    row_index = 0
+    for h in range(spec.num_hosts):
+        host = host_name(h)
+        bucket = host_bucket(host, spec.num_buckets)
+        lang = spec.langs[h % len(spec.langs)]
+        n_pages = paths.host_pages[host]
+        n_hubs = max(2, n_pages // 12)
+        n_articles = n_pages - n_hubs
+
+        art_urls, art_is_error, art_redirects = [], [], {}
+        for a in range(n_articles):
+            rng = _rng(spec.seed, host, "art", a)
+            section = SECTIONS[a % len(SECTIONS)]
+            y, m, d = 2020 + a % 3, 1 + a % 12, 1 + a % 28
+            slug = _slug(rng, lang)
+            url = f"http://{host}/{section}/{y}/{m:02d}/{d:02d}/{slug}-{a}.html"
+            art_urls.append(url)
+            art_is_error.append(spec.error_every and a % spec.error_every == spec.error_every - 1)
+            if spec.redirect_every and a % spec.redirect_every == spec.redirect_every - 1:
+                art_redirects[a] = f"http://{host}/{section}/r/{a}-old.html"
+
+        hub_urls = [f"http://{host}/{SECTIONS[i % len(SECTIONS)]}/hub-{i}.html"
+                    for i in range(n_hubs)]
+        window = (n_articles + n_hubs - 1) // n_hubs
+
+        # hubs: chain + article windows (+ redirect aliases discovered here)
+        for i, url in enumerate(hub_urls):
+            rng = _rng(spec.seed, host, "hub", i)
+            links = [hub_urls[(i + 1) % n_hubs]]
+            lo = i * window
+            for a in range(lo, min(lo + window, n_articles)):
+                links.append(art_redirects.get(a, art_urls[a]))
+            if h + 1 < spec.num_hosts:  # off-host link (must be filtered)
+                links.append(f"http://{host_name(h + 1)}/{SECTIONS[0]}/hub-0.html")
+            html = _hub_html(host, SECTIONS[i % len(SECTIONS)], lang, links)
+            emit(bucket, url, EPOCH_BASE_US + row_index * 1_000_000, html,
+                 "", lang, 200, None, "text/html")
+            row_index += 1
+
+        # articles (+ error pages + redirect alias rows)
+        for a, url in enumerate(art_urls):
+            rng = _rng(spec.seed, host, "art", a)
+            ts = EPOCH_BASE_US + row_index * 1_000_000
+            if art_is_error[a]:
+                emit(bucket, url, ts, "", "", lang,
+                     404 if a % 2 else 500, None, "text/html")
+                row_index += 1
+                continue
+            section = url.split("/")[3]
+            paragraphs = _paragraphs(rng, lang)
+            title = " ".join(w.capitalize() for w in
+                             url.rsplit("/", 1)[-1][:-5].split("-")[:4])
+            author = f"{rng.choice(_FIRST)} {rng.choice(_LAST)}"
+            y, m, d = url.split("/")[4:7]
+            date_iso = f"{y}-{m}-{d}T09:30:00"
+            peers = [art_urls[(a * 7 + k + 1) % n_articles] for k in range(3)]
+            video = (f"http://youtube.example/embed/v{a}" if a % 9 == 0 else None)
+            html = _article_html(host, f"/{a}", title, author, date_iso,
+                                 section, lang, paragraphs, peers, video)
+            golden_text = " ".join(paragraphs)
+            emit(bucket, url, ts, html, golden_text, lang, 200, None, "text/html")
+            row_index += 1
+        for a, alias in sorted(art_redirects.items()):
+            emit(bucket, alias, EPOCH_BASE_US + row_index * 1_000_000, "",
+                 "", lang, 301, art_urls[a], "text/html")
+            row_index += 1
+
+    # write partitioned pages + fetchmeta sidecar
+    meta_cols = {"url": [], "status": [], "redirect_to": [], "mime_type": []}
+    for bucket, cols in sorted(buckets.items()):
+        part_dir = os.path.join(paths.pages_dir, f"host_bucket={bucket}")
+        os.makedirs(part_dir, exist_ok=True)
+        table = pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(cols["html"], pa.binary()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+        })
+        pq.write_table(table, os.path.join(part_dir, "part-0.parquet"))
+        for k in meta_cols:
+            meta_cols[k].extend(cols[k])
+    pq.write_table(pa.table({
+        "url": pa.array(meta_cols["url"], pa.string()),
+        "status": pa.array(meta_cols["status"], pa.int32()),
+        "redirect_to": pa.array(meta_cols["redirect_to"], pa.string()),
+        "mime_type": pa.array(meta_cols["mime_type"], pa.string()),
+    }), paths.fetchmeta)
+
+    pq.write_table(pa.table({
+        "url": pa.array([f"http://{host_name(h)}/{SECTIONS[0]}/hub-0.html"
+                         for h in range(spec.num_hosts)], pa.string()),
+        "seq": pa.array(list(range(spec.num_hosts)), pa.int64()),
+    }), paths.seeds)
+
+    pq.write_table(pa.table({
+        "host": pa.array([host_name(h) for h in range(spec.num_hosts)], pa.string()),
+        "max_in_flight": pa.array([6] * spec.num_hosts, pa.int32()),   # main.py:19
+        "min_interval_ms": pa.array([0] * spec.num_hosts, pa.int64()),
+        "max_attempts": pa.array([2] * spec.num_hosts, pa.int32()),    # crawler.py:342
+    }), paths.politeness)
+
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return paths
+
+
+def default_corpus(tag: str, **spec_kwargs) -> CorpusPaths:
+    """Cached corpus under /tmp keyed by tag+spec; regenerated only when
+    absent."""
+    spec = CorpusSpec(**spec_kwargs)
+    key = f"{tag}_h{spec.num_hosts}_p{spec.pages_per_host}_f{spec.hot_host_factor}_s{spec.seed}"
+    out = os.path.join("/tmp", f"ncr_corpus_{key}")
+    return generate_corpus(out, spec)

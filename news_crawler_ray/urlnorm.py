@@ -140,6 +140,11 @@ def get_principal_domain(url: str) -> str | None:
     return host
 
 
+def get_principal_domain_www(url: str) -> str | None:
+    """Full hostname including www (utils.py:48-50)."""
+    return urlparse(url).hostname
+
+
 def get_domain(url: str | None) -> str | None:
     """``urlparse(url).netloc`` (utils.py:53-56)."""
     if url is None:
