@@ -180,6 +180,7 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
         politeness=os.path.join(out_dir, "politeness.parquet"),
     )
     done_marker = os.path.join(out_dir, "_DONE")
+    meta_path = os.path.join(out_dir, "corpus_meta.json")
     for h in range(spec.num_hosts):
         n = spec.pages_per_host * (spec.hot_host_factor if h == 0 else 1)
         paths.host_pages[host_name(h)] = n
@@ -304,6 +305,11 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
         "max_attempts": pa.array([2] * spec.num_hosts, pa.int32()),    # crawler.py:342
     }), paths.politeness)
 
+    import json
+    with open(meta_path, "w") as f:
+        json.dump({"num_buckets": spec.num_buckets,
+                   "num_hosts": spec.num_hosts,
+                   "seed": spec.seed}, f)
     with open(done_marker, "w") as f:
         f.write("ok")
     return paths

@@ -1,0 +1,159 @@
+"""Single-process crawl oracle for conformance testing.
+
+A sequential reimplementation of the crawl semantics (SURVEY.md §5 item 1):
+same urlnorm canonicalization, same frontier/seen cores (plain objects, no
+Ray), same fetch-replay and extract batch kernels — but one thread, one
+shard, explicit loop. The distributed engine (pipelines/crawl.py) must
+reproduce the oracle's per-host dequeue order, URL-seen membership and
+page rows exactly; the discovery-routing logic here is written
+independently of ``_route_and_commit`` so the comparison exercises it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from . import urlnorm
+from .stages.extract_stage import PAGE_OUTPUT_COLUMNS, _extract
+from .stages.fetch import _CorpusStore, _replay
+from .state.frontier import Frontier
+from .state.seen import SeenSet
+from .extract import ExtractKernel
+from .pipelines.crawl import LINK_SEQ_STRIDE
+
+
+def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
+                 max_attempts: int = 2, dequeue_cap: int = 200,
+                 max_in_flight_override: int | None = None,
+                 round_ms: int = 1000, max_rounds: int = 10_000) -> dict:
+    """Run the crawl sequentially; returns
+    ``{"pages": pa.Table, "order": pa.Table, "seen": set[str]}``."""
+    import os
+    import pyarrow.parquet as pq
+
+    store = _CorpusStore(os.path.join(corpus_root, "pages"),
+                         os.path.join(corpus_root, "fetchmeta.parquet"))
+    kernel = ExtractKernel()
+    frontier = Frontier()
+    seen = SeenSet()
+
+    pol_path = os.path.join(corpus_root, "politeness.parquet")
+    if os.path.exists(pol_path):
+        rows = pq.read_table(pol_path).to_pydict()
+        if max_in_flight_override:
+            rows["max_in_flight"] = [max_in_flight_override] * len(rows["host"])
+        frontier.configure_hosts(rows)
+
+    seeds = pq.read_table(os.path.join(corpus_root, "seeds.parquet")).to_pydict()
+    recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
+                            "seq64", "url_to_refer")}
+    for url, seq in sorted(zip(seeds["url"], seeds["seq"]), key=lambda x: x[1]):
+        canon = urlnorm.canonical_url(url)
+        if seen.add_if_absent([urlnorm.url_key(canon)])[0]:
+            recs["url"].append(canon)
+            recs["host"].append(urlnorm.host_of(url))
+            recs["is_webnews"].append(urlnorm.is_news_url(url))
+            recs["round_added"].append(0)
+            recs["seq64"].append(seq)
+            recs["url_to_refer"].append(None)
+    frontier.enqueue(recs)
+
+    pages: list[pa.Table] = []
+    rnd = 0
+    while rnd < max_rounds:
+        work = frontier.dequeue(rnd * round_ms, dequeue_cap)
+        if not work["url"]:
+            if frontier.pending_count() == 0:
+                break
+            rnd += 1
+            continue
+        table = pa.table({
+            "url": pa.array(work["url"], pa.string()),
+            "host": pa.array(work["host"], pa.string()),
+            "attempts": pa.array(work["attempts"], pa.int32()),
+            "is_webnews": pa.array(work["is_webnews"], pa.bool_()),
+            "url_to_refer": pa.array(work["url_to_refer"], pa.string()),
+            "host_seq": pa.array(work["host_seq"], pa.int64()),
+            "tier": pa.array(work["tier"], pa.int8()),
+            "round_added": pa.array(work["round_added"], pa.int64()),
+            "seq64": pa.array(work["seq64"], pa.int64()),
+        })
+        out = _extract(kernel, _replay(store, table))
+        cols = out.to_pydict()
+        n = out.num_rows
+
+        # discovery routing — independent sequential implementation of the
+        # round-commit spec: per-round dedup by MIN (seq64, referrer)
+        comp = {k: [] for k in ("url", "host", "ok", "attempts",
+                                "is_webnews", "round_added", "seq64",
+                                "url_to_refer")}
+        raw: list[tuple] = []  # (canon, host, is_news, seq64, referrer)
+        for i in range(n):
+            for j, link in enumerate(cols["links"][i] or []):
+                canon = urlnorm.split_url_and_scheme(link)[1]
+                host = urlnorm.host_of(link)
+                if not host:
+                    continue
+                is_news = urlnorm.is_news_url(link)
+                if only_webnews and not is_news:
+                    continue
+                raw.append((canon, host, is_news,
+                            cols["host_seq"][i] * LINK_SEQ_STRIDE + j,
+                            cols["url"][i]))
+            comp["url"].append(cols["url"][i])
+            comp["host"].append(cols["host"][i])
+            comp["ok"].append(cols["ok"][i])
+            comp["attempts"].append(cols["attempts_count"][i])
+            comp["is_webnews"].append(cols["is_webnews"][i])
+            comp["round_added"].append(cols["work_round"][i])
+            comp["seq64"].append(cols["work_seq64"][i])
+            comp["url_to_refer"].append(cols["work_ref"][i])
+        best: dict[str, tuple] = {}
+        for canon, host, is_news, seq64, ref in raw:
+            cur = best.get(canon)
+            if cur is None or (seq64, ref) < (cur[3], cur[4]):
+                best[canon] = (canon, host, is_news, seq64, ref)
+        enq = {k: [] for k in ("url", "host", "is_webnews", "round_added",
+                               "seq64", "url_to_refer")}
+        for canon, host, is_news, seq64, ref in sorted(
+                best.values(), key=lambda x: (x[3], x[0])):
+            if seen.add_if_absent([urlnorm.url_key(canon)])[0]:
+                enq["url"].append(canon)
+                enq["host"].append(host)
+                enq["is_webnews"].append(is_news)
+                enq["round_added"].append(rnd + 1)
+                enq["seq64"].append(seq64)
+                enq["url_to_refer"].append(ref)
+        frontier.enqueue(enq)
+        frontier.complete(comp)
+
+        keep, codes, att = [], [], []
+        for i in range(n):
+            if cols["ok"][i]:
+                keep.append(i)
+                codes.append(cols["http_response_code"][i])
+                att.append(cols["attempts_count"][i])
+            elif cols["attempts_count"][i] + 1 >= max_attempts:
+                keep.append(i)
+                codes.append(-1)
+                att.append(cols["attempts_count"][i] + 1)
+        page = out.take(keep).select(PAGE_OUTPUT_COLUMNS)
+        page = page.set_column(page.column_names.index("http_response_code"),
+                               "http_response_code", pa.array(codes, pa.int32()))
+        page = page.set_column(page.column_names.index("attempts_count"),
+                               "attempts_count", pa.array(att, pa.int32()))
+        pages.append(page)
+        rnd += 1
+
+    log = frontier.drain_order_log()
+    order = pa.table({
+        "host": pa.array(log["host"], pa.string()),
+        "host_seq": pa.array(log["host_seq"], pa.int64()),
+        "url": pa.array(log["url"], pa.string()),
+        "priority_tier": pa.array(log["priority_tier"], pa.int32()),
+    })
+    return {
+        "pages": pa.concat_tables(pages) if pages else None,
+        "order": order,
+        "seen_count": seen.count(),
+    }

@@ -1,0 +1,456 @@
+"""The crawl round loop: dequeue → fetch/replay → extract → discover →
+enqueue, with Parquet checkpoints and per-round lineage/metrics.
+
+Topology (SURVEY.md §7.1 step 7, north_rule):
+
+  driver round loop
+    ├─ frontier shards (named actors)  — politeness dequeue / enqueue
+    ├─ seen shards (named actors)      — sha1-key membership
+    └─ per round: ray.data.from_arrow(work batch)
+         .map_batches(fetch_replay_batch)   # corpus join, bucket-pruned
+         .map_batches(extract_batch)        # article kernel
+         .map_batches(_route_and_commit)    # links → seen → frontier,
+                                            # complete(), page rows out
+         .write_parquet(out/pages/round=N)  # resumable partitioned sink
+
+The mutable frontier/seen state lives in long-lived actors — the one
+place the Dataset operator model doesn't fit (SURVEY.md §7.2); everything
+that touches page payloads is a ``map_batches`` stage over Arrow batches.
+Stage functions are plain tasks backed by worker-global caches so the
+per-round datasets reuse warm state without re-creating actor pools
+every round.
+
+Round barrier contract (stronger than the reference's lossy SQLite
+restart, SURVEY.md §2.9): a round is either fully committed (pages +
+crawl_order written, state snapshots + manifest advanced) or replayed on
+resume; page/crawl_order directories newer than the manifest are dropped
+at resume.
+
+Determinism: frontier ordering keys are lineage-derived (see
+state/frontier.py), so per-host crawl order is independent of task
+interleaving — the golden_crawl_order conformance artifact
+(FIXTURES.md §4.2).
+
+Retry semantics parity: fetch misses retry once (max 2 attempts,
+crawler.py:342); the exhausted attempt writes a terminal row with
+``http_response_code = -1`` (crawler.py:405-417).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from .. import urlnorm
+from ..stages.extract_stage import PAGE_OUTPUT_COLUMNS, extract_batch
+from ..stages.fetch import fetch_replay_batch
+from ..state.frontier import FrontierShard
+from ..state.seen import SeenShard
+
+LINK_SEQ_STRIDE = 100_000  # seq64 = referrer host_seq * stride + link index
+
+
+@dataclass
+class CrawlConfig:
+    corpus_root: str
+    out_dir: str
+    num_seen_shards: int = 2
+    num_frontier_shards: int = 2
+    dequeue_per_shard: int = 200        # reference refill batch (crawler.py:387)
+    batch_size: int = 64
+    round_ms: int = 1000                # virtual clock step per round
+    checkpoint_every: int = 1
+    max_rounds: int = 10_000
+    max_attempts: int = 2               # crawler.py:342
+    max_in_flight_override: int | None = None  # raise politeness for bench
+    only_webnews: bool = False          # reference CrawlerManager knob
+    round_engine: str = "auto"          # "dataset" | "tasks" | "auto"
+    # Below this many work items a round runs as plain Ray tasks over the
+    # same batch functions — a per-round Dataset costs ~1-2 s of planning,
+    # which dominates politeness-bounded small rounds. Large rounds (bulk
+    # budget) use the streaming Dataset path.
+    dataset_round_threshold: int = 2000
+
+    @property
+    def pages_dir(self):
+        return os.path.join(self.corpus_root, "pages")
+
+    @property
+    def fetchmeta(self):
+        return os.path.join(self.corpus_root, "fetchmeta.parquet")
+
+
+def _merge_batches(dicts: list[dict]) -> dict:
+    out: dict[str, list] = {}
+    for d in dicts:
+        for k, v in d.items():
+            out.setdefault(k, []).extend(v)
+    return out
+
+
+def discover_candidates(cols: dict, round_idx: int,
+                        only_webnews: bool) -> dict:
+    """Explode a processed batch's ``links`` into frontier candidate
+    records with lineage sort keys (M12 → enqueue routing)."""
+    cand: dict[str, list] = {k: [] for k in (
+        "url", "host", "is_webnews", "round_added", "seq64", "url_to_refer")}
+    for i in range(len(cols["url"])):
+        links = cols["links"][i] or []
+        base_seq = cols["host_seq"][i] * LINK_SEQ_STRIDE
+        for j, link in enumerate(links):
+            canon = urlnorm.split_url_and_scheme(link)[1]
+            host = urlnorm.host_of(link)
+            if not host:
+                continue
+            is_news = urlnorm.is_news_url(link)
+            if only_webnews and not is_news:
+                continue
+            cand["url"].append(canon)
+            cand["host"].append(host)
+            cand["is_webnews"].append(is_news)
+            cand["round_added"].append(round_idx + 1)
+            cand["seq64"].append(base_seq + j)
+            cand["url_to_refer"].append(cols["url"][i])
+    return cand
+
+
+def finalize_page_rows(out: pa.Table, max_attempts: int) -> pa.Table:
+    """Keep successes + exhausted failures (terminal -1 rows,
+    crawler.py:405-417); drop rows that will be retried."""
+    cols = out.to_pydict()
+    keep_idx, codes, attempts_out = [], [], []
+    for i in range(out.num_rows):
+        if cols["ok"][i]:
+            keep_idx.append(i)
+            codes.append(cols["http_response_code"][i])
+            attempts_out.append(cols["attempts_count"][i])
+        elif cols["attempts_count"][i] + 1 >= max_attempts:
+            keep_idx.append(i)
+            codes.append(-1)
+            attempts_out.append(cols["attempts_count"][i] + 1)
+    page = out.take(keep_idx).select(PAGE_OUTPUT_COLUMNS)
+    page = page.set_column(page.column_names.index("http_response_code"),
+                           "http_response_code", pa.array(codes, pa.int32()))
+    page = page.set_column(page.column_names.index("attempts_count"),
+                           "attempts_count",
+                           pa.array(attempts_out, pa.int32()))
+    return page
+
+
+@ray.remote
+def _round_batch_task(table: pa.Table, pages_dir: str,
+                      fetchmeta: str) -> pa.Table:
+    """Tasks-mode round processing: fetch + extract composed in one task
+    (worker-global caches keep corpus/kernel state warm)."""
+    return extract_batch(fetch_replay_batch(
+        table, pages_dir=pages_dir, fetchmeta_path=fetchmeta))
+
+
+class CrawlEngine:
+    """Driver for the crawl topology. Owns the shard actors; does NOT own
+    the Ray session (callers init Ray)."""
+
+    def __init__(self, cfg: CrawlConfig, resume: bool = False):
+        self.cfg = cfg
+        self.round = 0
+        self.metrics: list[dict] = []
+        self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
+        self.frontier = [FrontierShard.remote(i)
+                         for i in range(cfg.num_frontier_shards)]
+        self._configure_politeness()
+        if resume:
+            self._resume()
+        else:
+            if os.path.isdir(cfg.out_dir):
+                shutil.rmtree(cfg.out_dir)
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            self._enqueue_seeds()
+
+    # -- setup ---------------------------------------------------------
+    def _configure_politeness(self):
+        path = os.path.join(self.cfg.corpus_root, "politeness.parquet")
+        if not os.path.exists(path):
+            return
+        t = pq.read_table(path).to_pydict()
+        if self.cfg.max_in_flight_override:
+            t["max_in_flight"] = [self.cfg.max_in_flight_override] * len(t["host"])
+        by_shard: dict[int, dict] = {}
+        for i, host in enumerate(t["host"]):
+            s = urlnorm.host_shard(host, len(self.frontier))
+            d = by_shard.setdefault(s, {k: [] for k in t})
+            for k in t:
+                d[k].append(t[k][i])
+        ray.get([self.frontier[s].configure_hosts.remote(rows)
+                 for s, rows in by_shard.items()])
+
+    def _enqueue_seeds(self):
+        t = pq.read_table(os.path.join(self.cfg.corpus_root, "seeds.parquet")).to_pydict()
+        recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
+                                "seq64", "url_to_refer")}
+        keys, shards = [], []
+        for url, seq in sorted(zip(t["url"], t["seq"]), key=lambda x: x[1]):
+            canon = urlnorm.canonical_url(url)
+            recs["url"].append(canon)
+            recs["host"].append(urlnorm.host_of(url))
+            recs["is_webnews"].append(urlnorm.is_news_url(url))
+            recs["round_added"].append(0)
+            recs["seq64"].append(seq)
+            recs["url_to_refer"].append(None)
+            key = urlnorm.url_key(canon)
+            keys.append(key)
+            shards.append(int.from_bytes(key[:8], "big") % len(self.seen))
+        masks = {}
+        for s in set(shards):
+            idxs = [i for i, x in enumerate(shards) if x == s]
+            masks.update(dict(zip(idxs, ray.get(
+                self.seen[s].add_if_absent.remote([keys[i] for i in idxs])))))
+        keep = [i for i in range(len(keys)) if masks[i]]
+        by_frontier: dict[int, list[int]] = {}
+        for i in keep:
+            by_frontier.setdefault(
+                urlnorm.host_shard(recs["host"][i], len(self.frontier)), []).append(i)
+        ray.get([self.frontier[s].enqueue.remote(
+            {k: [v[i] for i in idxs] for k, v in recs.items()})
+            for s, idxs in by_frontier.items()])
+
+    # -- round loop ----------------------------------------------------
+    def run(self) -> dict:
+        cfg = self.cfg
+        while self.round < cfg.max_rounds:
+            now_ms = self.round * cfg.round_ms
+            work = _merge_batches(ray.get([
+                f.dequeue.remote(now_ms, cfg.dequeue_per_shard)
+                for f in self.frontier]))
+            n_work = len(work["url"])
+            if n_work == 0:
+                pending = sum(ray.get([f.pending_count.remote()
+                                       for f in self.frontier]))
+                if pending == 0:
+                    break
+                self.round += 1   # politeness interval blocking: advance clock
+                continue
+            self._process_round(work)
+            self._commit_round(n_work)
+            self.round += 1
+        return self.summary()
+
+    def _process_round(self, work: dict):
+        cfg = self.cfg
+        table = pa.table({
+            "url": pa.array(work["url"], pa.string()),
+            "host": pa.array(work["host"], pa.string()),
+            "attempts": pa.array(work["attempts"], pa.int32()),
+            "is_webnews": pa.array(work["is_webnews"], pa.bool_()),
+            "url_to_refer": pa.array(work["url_to_refer"], pa.string()),
+            "host_seq": pa.array(work["host_seq"], pa.int64()),
+            "tier": pa.array(work["tier"], pa.int8()),
+            "round_added": pa.array(work["round_added"], pa.int64()),
+            "seq64": pa.array(work["seq64"], pa.int64()),
+        })
+        round_dir = os.path.join(cfg.out_dir, "pages", f"round={self.round}")
+        mode = cfg.round_engine
+        if mode == "auto":
+            mode = "tasks" if table.num_rows < cfg.dataset_round_threshold \
+                else "dataset"
+        if mode == "dataset":
+            ds = (rd.from_arrow(table)
+                  .map_batches(fetch_replay_batch,
+                               fn_kwargs={"pages_dir": cfg.pages_dir,
+                                          "fetchmeta_path": cfg.fetchmeta},
+                               batch_format="pyarrow",
+                               batch_size=cfg.batch_size)
+                  .map_batches(extract_batch, batch_format="pyarrow",
+                               batch_size=cfg.batch_size))
+            parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                     for b in ds.iter_batches(batch_size=cfg.batch_size,
+                                              batch_format="pyarrow")]
+        else:
+            refs = []
+            for off in range(0, table.num_rows, cfg.batch_size):
+                refs.append(_round_batch_task.remote(
+                    table.slice(off, cfg.batch_size), cfg.pages_dir,
+                    cfg.fetchmeta))
+            parts = ray.get(refs)
+        page = self._commit_discoveries(parts)
+        if page.num_rows:
+            os.makedirs(round_dir, exist_ok=True)
+            pq.write_table(page, os.path.join(round_dir, "part-0.parquet"))
+
+    def _commit_discoveries(self, parts: list[pa.Table]) -> pa.Table:
+        """Deterministic round commit: candidate dedup by MIN lineage key
+        (order-independent — same-round duplicate discoveries resolve to
+        the earliest referrer regardless of batch interleaving), then
+        seen-membership, frontier enqueue and work completion, one RPC
+        per shard (SURVEY.md §7.4 item 3).
+
+        Scale path note: this driver-side reduce is bounded by one
+        round's discoveries; at cluster scale the same min-key dedup is a
+        ``groupby(url).min(seq64)`` over the candidate dataset followed by
+        identical per-shard RPC fan-out from tasks.
+        """
+        cfg = self.cfg
+        out = pa.concat_tables([p for p in parts if p.num_rows]) \
+            if any(p.num_rows for p in parts) else None
+        if out is None:
+            return pa.table({})
+        cols = out.to_pydict()
+        cand = discover_candidates(cols, self.round, cfg.only_webnews)
+
+        # min-lineage-key winner per canonical url
+        best: dict[str, int] = {}
+        for idx, u in enumerate(cand["url"]):
+            cur = best.get(u)
+            if cur is None or (cand["seq64"][idx], cand["url_to_refer"][idx]) < \
+                    (cand["seq64"][cur], cand["url_to_refer"][cur]):
+                best[u] = idx
+        order = sorted(best.values(), key=lambda i: (cand["seq64"][i],
+                                                     cand["url"][i]))
+        cand = {k: [v[i] for i in order] for k, v in cand.items()}
+
+        if cand["url"]:
+            keys = [urlnorm.url_key(u) for u in cand["url"]]
+            by_seen: dict[int, list[int]] = {}
+            for idx, key in enumerate(keys):
+                s = int.from_bytes(key[:8], "big") % len(self.seen)
+                by_seen.setdefault(s, []).append(idx)
+            refs = {s: self.seen[s].add_if_absent.remote([keys[i] for i in idxs])
+                    for s, idxs in by_seen.items()}
+            new_mask = [False] * len(keys)
+            for s, idxs in by_seen.items():
+                for i, is_new in zip(idxs, ray.get(refs[s])):
+                    new_mask[i] = is_new
+            by_frontier: dict[int, list[int]] = {}
+            for idx, keep in enumerate(new_mask):
+                if keep:
+                    by_frontier.setdefault(
+                        urlnorm.host_shard(cand["host"][idx],
+                                           len(self.frontier)), []).append(idx)
+            ray.get([self.frontier[s].enqueue.remote(
+                {k: [v[i] for i in idxs] for k, v in cand.items()})
+                for s, idxs in by_frontier.items()])
+
+        # work completion (releases politeness budget; retries requeue)
+        by_host_shard: dict[int, list[int]] = {}
+        for i in range(out.num_rows):
+            by_host_shard.setdefault(
+                urlnorm.host_shard(cols["host"][i], len(self.frontier)),
+                []).append(i)
+        ray.get([self.frontier[s].complete.remote({
+            "url": [cols["url"][i] for i in idxs],
+            "host": [cols["host"][i] for i in idxs],
+            "ok": [cols["ok"][i] for i in idxs],
+            "attempts": [cols["attempts_count"][i] for i in idxs],
+            "is_webnews": [cols["is_webnews"][i] for i in idxs],
+            "round_added": [cols["work_round"][i] for i in idxs],
+            "seq64": [cols["work_seq64"][i] for i in idxs],
+            "url_to_refer": [cols["work_ref"][i] for i in idxs],
+        }) for s, idxs in by_host_shard.items()])
+
+        return finalize_page_rows(out, cfg.max_attempts)
+
+    def _commit_round(self, n_work: int):
+        cfg = self.cfg
+        logs = _merge_batches(ray.get([f.drain_order_log.remote()
+                                       for f in self.frontier]))
+        order_dir = os.path.join(cfg.out_dir, "crawl_order")
+        os.makedirs(order_dir, exist_ok=True)
+        pq.write_table(pa.table({
+            "host": pa.array(logs["host"], pa.string()),
+            "host_seq": pa.array(logs["host_seq"], pa.int64()),
+            "url": pa.array(logs["url"], pa.string()),
+            "priority_tier": pa.array(logs["priority_tier"], pa.int32()),
+        }), os.path.join(order_dir, f"round-{self.round}.parquet"))
+
+        stats = ray.get([f.stats.remote() for f in self.frontier])
+        seen_total = sum(ray.get([s.count.remote() for s in self.seen]))
+        in_flight = sum(s["in_flight"] for s in stats)
+        assert in_flight == 0, f"in-flight leak at round barrier: {in_flight}"
+        m = {
+            "round": self.round,
+            "dequeued": n_work,
+            "pending": sum(s["pending"] for s in stats),
+            "enqueued_total": sum(s["enqueued_total"] for s in stats),
+            "robots_rejected": sum(s["robots_rejected"] for s in stats),
+            "seen_total": seen_total,
+        }
+        self.metrics.append(m)
+        with open(os.path.join(cfg.out_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m) + "\n")
+        if (self.round + 1) % cfg.checkpoint_every == 0:
+            self._checkpoint()
+
+    # -- checkpoint / resume (north_rule) ------------------------------
+    def _checkpoint(self):
+        ck = os.path.join(self.cfg.out_dir, "checkpoint")
+        os.makedirs(ck, exist_ok=True)
+        refs = []
+        for i, s in enumerate(self.seen):
+            refs.append(s.snapshot.remote(os.path.join(ck, f"seen-{i}.parquet")))
+        for i, f in enumerate(self.frontier):
+            refs.append(f.snapshot.remote(os.path.join(ck, f"frontier-{i}.parquet")))
+        ray.get(refs)
+        manifest = {"round": self.round,
+                    "num_seen_shards": len(self.seen),
+                    "num_frontier_shards": len(self.frontier),
+                    "metrics": self.metrics[-1] if self.metrics else {}}
+        tmp = os.path.join(ck, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(ck, "manifest.json"))
+
+    def _resume(self):
+        ck = os.path.join(self.cfg.out_dir, "checkpoint")
+        with open(os.path.join(ck, "manifest.json")) as f:
+            manifest = json.load(f)
+        done_round = manifest["round"]
+        refs = []
+        for i, s in enumerate(self.seen):
+            refs.append(s.restore.remote(os.path.join(ck, f"seen-{i}.parquet")))
+        for i, fr in enumerate(self.frontier):
+            refs.append(fr.restore.remote(os.path.join(ck, f"frontier-{i}.parquet")))
+        ray.get(refs)
+        # drop partially-committed rounds (round either commits or replays)
+        pages = os.path.join(self.cfg.out_dir, "pages")
+        if os.path.isdir(pages):
+            for d in os.listdir(pages):
+                if d.startswith("round=") and int(d.split("=")[1]) > done_round:
+                    shutil.rmtree(os.path.join(pages, d))
+        order = os.path.join(self.cfg.out_dir, "crawl_order")
+        if os.path.isdir(order):
+            for fl in os.listdir(order):
+                if int(fl.split("-")[1].split(".")[0]) > done_round:
+                    os.remove(os.path.join(order, fl))
+        self.round = done_round + 1
+
+    # -- results -------------------------------------------------------
+    def summary(self) -> dict:
+        stats = ray.get([f.stats.remote() for f in self.frontier])
+        return {
+            "rounds": self.round,
+            "pages_written": sum(m["dequeued"] for m in self.metrics),
+            "seen_total": sum(ray.get([s.count.remote() for s in self.seen])),
+            "enqueued_total": sum(s["enqueued_total"] for s in stats),
+            "pending": sum(s["pending"] for s in stats),
+        }
+
+    def pages_dataset(self) -> "rd.Dataset":
+        return rd.read_parquet(os.path.join(self.cfg.out_dir, "pages"))
+
+    def crawl_order_table(self) -> pa.Table:
+        order_dir = os.path.join(self.cfg.out_dir, "crawl_order")
+        files = sorted(os.listdir(order_dir),
+                       key=lambda f: int(f.split("-")[1].split(".")[0]))
+        return pa.concat_tables([pq.read_table(os.path.join(order_dir, f))
+                                 for f in files])
+
+    def shutdown(self):
+        for a in self.seen + self.frontier:
+            ray.kill(a)

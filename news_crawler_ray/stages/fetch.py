@@ -1,0 +1,132 @@
+"""Fetch/replay stage: frontier work items ⋈ Parquet page corpus.
+
+Replaces the reference's live Selenium fetch (custom_webbrowser.py:78-133)
+with a partition-pruned point-lookup join against the Common-Crawl-style
+corpus (SURVEY.md §2.4 J4): the corpus is laid out as
+``pages/host_bucket=NN/*.parquet`` (hash of host), a work batch only opens
+the buckets its hosts live in, and each opened bucket is cached as a
+``canonical_url → row`` dict for the lifetime of the worker.
+
+Two equivalent forms are provided:
+
+- :class:`FetchReplay` — callable class for ``map_batches(FetchReplay,
+  concurrency=N)`` actor pools (state in ``__init__``): the bulk/streaming
+  path.
+- :func:`fetch_replay_batch` — plain function backed by a worker-global
+  store cache, for the round loop's short-lived per-round datasets (state
+  amortizes across rounds without re-creating an actor pool per round).
+
+Scale note: at 100 TB the per-bucket dict becomes a per-bucket sorted
+Parquet + row-group index; the lookup pattern (prune to bucket, then key
+lookup) is unchanged. Fetch emulation metadata (HTTP status, redirects,
+mime) comes from the ``fetchmeta`` sidecar (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..corpus import host_bucket
+from ..urlnorm import canonical_url
+
+
+class _CorpusStore:
+    def __init__(self, pages_dir: str, fetchmeta_path: str):
+        self.pages_dir = pages_dir
+        meta_path = os.path.join(os.path.dirname(pages_dir), "corpus_meta.json")
+        if os.path.exists(meta_path):
+            import json
+            with open(meta_path) as f:
+                self.num_buckets = json.load(f)["num_buckets"]
+        else:
+            # fallback: infer from the highest present partition id
+            self.num_buckets = 1 + max(
+                (int(d.split("=")[1]) for d in os.listdir(pages_dir)
+                 if d.startswith("host_bucket=")), default=0)
+        meta = pq.read_table(fetchmeta_path).to_pydict()
+        self.meta = {
+            canonical_url(u): (s, r, m)
+            for u, s, r, m in zip(meta["url"], meta["status"],
+                                  meta["redirect_to"], meta["mime_type"])
+        }
+        self._buckets: dict[int, dict] = {}
+
+    def bucket_for_host(self, host: str) -> dict:
+        b = host_bucket(host, self.num_buckets)
+        store = self._buckets.get(b)
+        if store is None:
+            part = os.path.join(self.pages_dir, f"host_bucket={b}")
+            store = {}
+            if os.path.isdir(part):
+                for f in sorted(os.listdir(part)):
+                    if f.endswith(".parquet"):
+                        t = pq.read_table(os.path.join(part, f)).to_pydict()
+                        for u, h, txt, lg in zip(t["url"], t["html"],
+                                                 t["text"], t["lang"]):
+                            store[canonical_url(u)] = (u, h, lg)
+            self._buckets[b] = store
+        return store
+
+    def lookup(self, canon: str, host: str):
+        """→ (found, full_url, html, lang, status, redirect_to, mime)."""
+        row = self.bucket_for_host(host).get(canon)
+        if row is None:
+            return False, None, b"", None, 0, None, None
+        status, redirect_to, mime = self.meta.get(canon, (200, None, "text/html"))
+        return True, row[0], row[1], row[2], status, \
+            (canonical_url(redirect_to) if redirect_to else None), mime
+
+
+_WORKER_STORES: dict[tuple, _CorpusStore] = {}
+
+
+def _get_store(pages_dir: str, fetchmeta_path: str) -> _CorpusStore:
+    key = (pages_dir, fetchmeta_path)
+    store = _WORKER_STORES.get(key)
+    if store is None:
+        store = _WORKER_STORES[key] = _CorpusStore(pages_dir, fetchmeta_path)
+    return store
+
+
+def _replay(store: _CorpusStore, batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    found, full, html, lang = [], [], [], []
+    status, redirect, mime = [], [], []
+    for u, h in zip(urls, hosts):
+        f, fu, ht, lg, st, rd, mm = store.lookup(u, h)
+        found.append(f)
+        full.append(fu)
+        html.append(ht)
+        lang.append(lg)
+        status.append(st)
+        redirect.append(rd)
+        mime.append(mm)
+    return (batch
+            .append_column("found", pa.array(found, pa.bool_()))
+            .append_column("full_url", pa.array(full, pa.string()))
+            .append_column("html", pa.array(html, pa.binary()))
+            .append_column("lang", pa.array(lang, pa.string()))
+            .append_column("status", pa.array(status, pa.int32()))
+            .append_column("redirect_to", pa.array(redirect, pa.string()))
+            .append_column("mime_type", pa.array(mime, pa.string())))
+
+
+class FetchReplay:
+    """Actor-pool stage: ``map_batches(FetchReplay, fn_constructor_args=
+    (pages_dir, fetchmeta), batch_format="pyarrow", concurrency=N)``."""
+
+    def __init__(self, pages_dir: str, fetchmeta_path: str):
+        self.store = _CorpusStore(pages_dir, fetchmeta_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _replay(self.store, batch)
+
+
+def fetch_replay_batch(batch: pa.Table, *, pages_dir: str,
+                       fetchmeta_path: str) -> pa.Table:
+    """Stateless-task form with worker-global store cache."""
+    return _replay(_get_store(pages_dir, fetchmeta_path), batch)
