@@ -1,0 +1,126 @@
+"""Benchmark harness — prints ONE JSON line with headline + per-query
+seconds.
+
+  python bench.py              # sf dir from $GRAFT_SF_DIR (default sf0.1),
+                               # CPUs from $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # same job at 8 vs 32 CPUs in fresh
+                               # processes → throughputs + efficiency
+
+Headline = crawl of the deterministic synthetic corpus (frontier
+throughput) + bulk streaming extraction over the same corpus (pages/sec),
+per BASELINE.json's metric. Secondary: the oracle-checked query suite
+over $GRAFT_SF_DIR tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_CORPUS = dict(num_hosts=8, pages_per_host=1200, hot_host_factor=2)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from news_crawler_ray.corpus import default_corpus
+    from news_crawler_ray.pipelines.bulk import extract_pipeline
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from news_crawler_ray.queries import QUERIES
+
+    # corpus generation is cached and excluded from timings
+    paths = default_corpus("bench", **BENCH_CORPUS)
+    total_pages = sum(paths.host_pages.values())
+
+    queries: dict[str, float] = {}
+
+    # 1. headline: crawl (frontier + fetch + extract + discovery)
+    t0 = time.perf_counter()
+    eng = CrawlEngine(CrawlConfig(
+        corpus_root=paths.root, out_dir="/tmp/ncr_bench_crawl",
+        num_seen_shards=4, num_frontier_shards=4,
+        max_in_flight_override=256, batch_size=128,
+        checkpoint_every=10**9))
+    summary = eng.run()
+    crawl_sec = time.perf_counter() - t0
+    eng.shutdown()
+    queries["crawl"] = round(crawl_sec, 3)
+
+    # 2. headline: bulk streaming extraction (pages/sec)
+    t0 = time.perf_counter()
+    n_extracted = extract_pipeline(
+        paths.pages_dir, concurrency=max(2, NUM_CPUS - 2),
+        batch_size=64).count()
+    bulk_sec = time.perf_counter() - t0
+    queries["bulk_extract"] = round(bulk_sec, 3)
+
+    # 3. query suite over the sf tables
+    for name in ("q1_pricing_summary", "q3_top_orders", "q_events_hourly",
+                 "q_events_sessions", "q_dedup_exact", "q_token_stats",
+                 "q_quality", "q_ann_topk", "minhash_lsh_pairs",
+                 "simhash_pairs", "embedding_neardup"):
+        t0 = time.perf_counter()
+        QUERIES[name](SF_DIR)
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    value = round(crawl_sec + bulk_sec, 3)
+    result = {
+        "metric": "headline crawl + bulk-extract wall time (synthetic "
+                  f"corpus, {total_pages} pages) plus query suite",
+        "value": value,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_pages": summary["pages_written"],
+        "crawl_pages_per_sec": round(summary["pages_written"] / crawl_sec, 1),
+        "crawl_frontier_ops_per_sec": round(
+            (summary["enqueued_total"] + summary["pages_written"]) / crawl_sec, 1),
+        "bulk_pages": n_extracted,
+        "bulk_pages_per_sec": round(n_extracted / bulk_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(8)          # warm page cache + corpus (untimed discard)
+    lo, hi = run(8), run(32)
+    thr_lo = lo["bulk_pages_per_sec"]
+    thr_hi = hi["bulk_pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    return {
+        "metric": "bulk-extract throughput scaling 8 -> 32 CPUs",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pages_per_sec_8": thr_lo, "pages_per_sec_32": thr_hi,
+        "crawl_pages_per_sec_8": lo["crawl_pages_per_sec"],
+        "crawl_pages_per_sec_32": hi["crawl_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,526 @@
+"""Query catalog: every operator family exposed as ``(sf_dir) → result``
+callables plus matching DuckDB oracle SQL (driver correctness gate).
+
+Column names match the oracle SQL exactly (driver hashes values after
+sorting columns by name). Float aggregates are rounded on BOTH sides to
+absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from . import corpus as corpus_mod
+from .functions import dedup as dd
+from .functions import multimodal as mm
+from .functions import similarity as sim
+from .functions import textops as to
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregation queries (TPC-H-flavored engine exercises)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with per-batch partial pre-aggregation before the
+    shuffle (scale pattern: the groupby moves one partial row per
+    (key, batch), not per lineitem row)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    # Money sums are floored to integer milli-units per ROW before
+    # summing: integer sums are summation-order independent, so the Ray
+    # and DuckDB results are bit-identical (a float SUM is not — its
+    # rounding can straddle a .005 boundary between engines).
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        if not len(batch):
+            return pd.DataFrame({k: [] for k in (
+                "l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_milli", "sum_disc_price_milli",
+                "count_order")})
+        disc = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            disc_milli=np.floor(disc * 1000).astype("int64"),
+            base_milli=np.floor(batch["l_extendedprice"] * 1000).astype("int64"))
+        g = batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price_milli=("base_milli", "sum"),
+            sum_disc_price_milli=("disc_milli", "sum"),
+            count_order=("l_quantity", "size"))
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_milli", alias_name="sum_base_price_milli"),
+        Sum("sum_disc_price_milli", alias_name="sum_disc_price_milli"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["sum_qty"] = out["sum_qty"].round(2)
+    for c in ("sum_base_price_milli", "sum_disc_price_milli", "count_order"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)) AS BIGINT) AS sum_base_price_milli,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000) AS BIGINT)) AS BIGINT) AS sum_disc_price_milli,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast-join shape: small sides (customer segment keys, order
+    dates) are ray.put once and probed per batch — no shuffle join."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    bld = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+    orders = pd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[(orders.o_custkey.isin(bld)) &
+                    (orders.o_orderdate < pd.Timestamp("1995-03-15"))]
+    odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
+    odate_ref = ray.put(odate)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(odate_ref)
+        batch = batch[batch["l_shipdate"] > pd.Timestamp("1995-03-15")]
+        batch = batch[batch["l_orderkey"].isin(od.keys())]
+        if not len(batch):
+            return pd.DataFrame({"o_orderkey": [], "revenue_milli": []})
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            revenue_milli=np.floor(rev * 1000).astype("int64"))
+        return batch.groupby("l_orderkey", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum")) \
+            .rename(columns={"l_orderkey": "o_orderkey"})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderkey") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
+        .to_pandas()
+    agg["revenue_milli"] = agg["revenue_milli"].astype("int64")
+    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
+    out = agg.sort_values(["revenue_milli", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return out[["o_orderkey", "revenue_milli", "o_orderdate"]].reset_index(drop=True)
+
+
+Q3_SQL = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_milli,
+       o.o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_milli DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    sup = pd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(sup.s_suppkey,
+                   sup.s_nationkey.map(dict(zip(nat.n_nationkey, nat.n_name)))))
+    s2n_ref = ray.put(s2n)
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(s2n_ref)
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            n_name=batch["l_suppkey"].map(m),
+            revenue_milli=np.floor(rev * 1000).astype("int64"))
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
+        .to_pandas()
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+Q_NATION_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_milli
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def q_orders_priority(sf_dir: str) -> pd.DataFrame:
+    out = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority"]) \
+        .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders")) \
+        .to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            hour_ts=batch["ts"].dt.floor("h"),
+            value_milli=np.floor(batch["value"] * 1000).astype("int64"))
+        return batch.groupby(["event_type", "hour_ts"], as_index=False).agg(
+            n_events=("value_milli", "size"),
+            sum_value_milli=("value_milli", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "hour_ts"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_milli", alias_name="sum_value_milli")).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value_milli"] = out["sum_value_milli"].astype("int64")
+    return out.sort_values(["event_type", "hour_ts"]).reset_index(drop=True)
+
+
+Q_EVENTS_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY 1, 2 ORDER BY event_type, hour_ts
+"""
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped op: per-user sessionization (30-min gap) as
+    ``groupby(user).map_groups`` over ts-sorted groups."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas") \
+        .to_pandas()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events)
+SELECT user_id,
+       count(*) FILTER (WHERE gap IS NULL OR gap > INTERVAL 30 MINUTE) AS n_sessions
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.exact_dedup(ds).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+def q_near_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Reference A4 (script2.py:8-21) over the documents table."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.near_dup_text_groups(ds, min_len=100, max_count=4).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+Q_NEAR_DUP_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n
+FROM documents WHERE length(text) > 100
+GROUP BY 1 HAVING count(*) < 4 ORDER BY text_hash
+"""
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return to.token_counts(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_TOKEN_SQL = r"""
+SELECT doc_id,
+       length(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.quality_scores(ds).to_pandas()
+    for c in ("avg_word_len", "punct_ratio", "stopword_ratio"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_EN_STOPS_SQL = ", ".join(
+    f"'{w}'" for w in sorted(__import__(
+        "news_crawler_ray.extract.textstats", fromlist=["STOPWORDS"]
+    ).STOPWORDS["en"]))
+
+Q_QUALITY_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(words) AS n_words,
+       round(CASE WHEN length(words) = 0 THEN 0
+             ELSE list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                  / CAST(length(words) AS DOUBLE) END, 6) AS avg_word_len,
+       round(CASE WHEN length(text) = 0 THEN 0
+             ELSE (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) END, 6) AS punct_ratio,
+       round(CASE WHEN length(words) = 0 THEN 0
+             ELSE length(list_filter(words, x -> list_contains([{_EN_STOPS_SQL}], lower(x))))
+                  / CAST(length(words) AS DOUBLE) END, 6) AS stopword_ratio
+FROM w ORDER BY doc_id
+"""
+
+
+def q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_LANG_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    emb = pd.read_parquet(_t(sf_dir, "embeddings"))
+    return np.asarray(
+        emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = sim.cosine_topk(ds, _query_vec(sf_dir), k=10)
+    out["cos_sim"] = out["cos_sim"].round(5)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out
+
+
+Q_ANN_SQL = """
+SELECT e.vec_id,
+       round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 5) AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, e.vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only operators (no SQL equivalent; driver records row counts)
+# ---------------------------------------------------------------------------
+
+def _sf_tag(sf_dir: str) -> tuple[str, dict]:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    spec = {
+        "sf0.001": dict(num_hosts=3, pages_per_host=24),
+        "sf0.01": dict(num_hosts=4, pages_per_host=60),
+        "sf0.1": dict(num_hosts=6, pages_per_host=200),
+    }.get(base, dict(num_hosts=3, pages_per_host=24))
+    return base, spec
+
+
+def q_crawl_flagship(sf_dir: str):
+    """Full crawl over the deterministic synthetic corpus scaled to the
+    sf tier; returns the final pages table."""
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    eng = CrawlEngine(CrawlConfig(
+        corpus_root=paths.root,
+        out_dir=f"/tmp/ncr_flagship_{tag}",
+        max_in_flight_override=16))
+    eng.run()
+    pages = eng.pages_dataset().to_pandas()
+    eng.shutdown()
+    return pages.sort_values("url").reset_index(drop=True)
+
+
+def q_crawl_bulk_extract(sf_dir: str):
+    """Streaming bulk extraction over the corpus (headline pipeline)."""
+    from .pipelines.bulk import extract_pipeline
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    return extract_pipeline(paths.pages_dir, concurrency=4).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
+    if len(out):
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        out["doc_a"] = out["doc_a"].astype("int64")
+        out["doc_b"] = out["doc_b"].astype("int64")
+    return out
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.simhash_pairs(ds, max_hamming=8).to_pandas()
+    if len(out):
+        out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = dd.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    if len(out):
+        out["cos_sim"] = out["cos_sim"].round(5)
+        out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return out
+
+
+def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(ds, _query_vec(sf_dir), k=10)
+    out["cos_sim"] = out["cos_sim"].round(5)
+    return out
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return to.langid(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return to.fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_media_metadata(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return mm.media_metadata(ds).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+
+
+def q_frame_sample(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = mm.media_dataset_from_documents(ds)
+    out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2).to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    # oracle-checked
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q_nation_revenue": q_nation_revenue,
+    "q_orders_priority": q_orders_priority,
+    "q_events_hourly": q_events_hourly,
+    "q_events_sessions": q_events_sessions,
+    "q_dedup_exact": q_dedup_exact,
+    "q_near_dup_groups": q_near_dup_groups,
+    "q_token_stats": q_token_stats,
+    "q_quality": q_quality,
+    "q_lang_counts": q_lang_counts,
+    "q_ann_topk": q_ann_topk,
+    # rows-only
+    "crawl_flagship": q_crawl_flagship,
+    "crawl_bulk_extract": q_crawl_bulk_extract,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "ivf_ann_topk": q_ivf_ann,
+    "doc_langid": q_langid,
+    "doc_fingerprints": q_fingerprints,
+    "media_metadata": q_media_metadata,
+    "media_frame_sample": q_frame_sample,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "q_nation_revenue": Q_NATION_SQL,
+    "q_orders_priority": Q_PRIORITY_SQL,
+    "q_events_hourly": Q_EVENTS_SQL,
+    "q_events_sessions": Q_SESSIONS_SQL,
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_near_dup_groups": Q_NEAR_DUP_SQL,
+    "q_token_stats": Q_TOKEN_SQL,
+    "q_quality": Q_QUALITY_SQL,
+    "q_lang_counts": Q_LANG_SQL,
+    "q_ann_topk": Q_ANN_SQL,
+}

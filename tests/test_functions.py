@@ -1,0 +1,165 @@
+"""Tests for the training-data operator suite (dedup, similarity, text
+analysis, multimodal plumbing)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from news_crawler_ray.functions import dedup as dd
+from news_crawler_ray.functions import multimodal as mm
+from news_crawler_ray.functions import similarity as sim
+from news_crawler_ray.functions import textops as to
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data as rd
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    texts = [
+        base,                                   # 0
+        base,                                   # 1 exact dup of 0
+        base.replace("tonight", "today"),       # 2 near dup of 0
+        "completely different content about ray data pipelines and arrow "
+        "batches flowing through the streaming executor",   # 3
+        "short text",                           # 4
+    ]
+    return rd.from_pandas(pd.DataFrame({"doc_id": range(5), "text": texts}))
+
+
+class TestExactDedup:
+    def test_min_id_survives(self, docs_ds):
+        out = dd.exact_dedup(docs_ds).to_pandas()
+        assert len(out) == 4  # 5 docs, one exact dup pair
+        dup_row = out[out.n_dups == 2]
+        assert len(dup_row) == 1 and dup_row.iloc[0]["doc_id"] == 0
+
+
+class TestMinHash:
+    def test_finds_exact_and_near_dups(self, docs_ds):
+        out = dd.minhash_lsh_pairs(docs_ds, threshold=0.5,
+                                   concurrency=2).to_pandas()
+        pairs = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+        assert (0, 1) in pairs          # exact dup: similarity 1.0
+        assert (0, 2) in pairs or (1, 2) in pairs   # near dup
+        assert not any(3 in p for p in pairs)
+
+    def test_signature_deterministic(self):
+        mh = dd.MinHasher(num_perm=64)
+        s1 = mh.signature("hello world this is a test of minhash")
+        s2 = dd.MinHasher(num_perm=64).signature(
+            "hello world this is a test of minhash")
+        assert (s1 == s2).all()
+
+    def test_jaccard_kernel(self):
+        assert dd.ngram_jaccard("a b c d", "a b c d") == 1.0
+        assert dd.ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+class TestSimHash:
+    def test_exact_dup_zero_hamming(self, docs_ds):
+        out = dd.simhash_pairs(docs_ds, max_hamming=3,
+                               concurrency=2).to_pandas()
+        pairs = {(a, b): h for a, b, h in
+                 out[["doc_a", "doc_b", "hamming"]].values.tolist()}
+        assert pairs.get((0, 1)) == 0
+
+    def test_fingerprint_deterministic(self):
+        fp1 = dd.SimHasher.fingerprint("some text to hash")
+        fp2 = dd.SimHasher.fingerprint("some text to hash")
+        assert fp1 == fp2 and 0 <= fp1 < (1 << 64)
+
+
+class TestEmbeddingNearDup:
+    def test_finds_close_vectors(self, ray_session):
+        import ray.data as rd
+        rng = np.random.RandomState(0)
+        base = rng.normal(size=16)
+        vecs = [base, base + 1e-4 * rng.normal(size=16),
+                rng.normal(size=16), rng.normal(size=16)]
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": range(4),
+            "embedding": [list(map(float, v)) for v in vecs]}))
+        out = dd.embedding_neardup_pairs(ds, threshold=0.99).to_pandas()
+        pairs = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
+        assert (0, 1) in pairs and len(pairs) == 1
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+        rng = np.random.RandomState(7)
+        mat = rng.normal(size=(100, 16))
+        self_mat = mat
+        df = pd.DataFrame({"vec_id": range(100),
+                           "embedding": [list(map(float, v)) for v in mat]})
+        return rd.from_pandas(df), self_mat
+
+    def test_topk_matches_numpy(self, emb_ds):
+        ds, mat = emb_ds
+        q = mat[0]
+        out = sim.cosine_topk(ds, q, k=5)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ (q / np.linalg.norm(q))
+        expect = np.argsort(-sims)[:5]
+        assert list(out["vec_id"]) == list(expect)
+
+    def test_ivf_recall_reasonable(self, emb_ds):
+        ds, mat = emb_ds
+        q = mat[0]
+        exact = set(sim.cosine_topk(ds, q, k=5)["vec_id"])
+        approx = set(sim.ivf_topk(ds, q, k=5, n_clusters=4, nprobe=2)["vec_id"])
+        assert 0 in approx                 # self-match always found
+        assert len(exact & approx) >= 3    # decent recall on toy data
+
+
+class TestTextOps:
+    def test_token_counts(self, docs_ds):
+        out = to.token_counts(docs_ds).to_pandas().set_index("doc_id")
+        assert out.loc[4, "n_tokens"] == 2
+        assert out.loc[4, "n_chars"] == len("short text")
+
+    def test_quality(self, docs_ds):
+        out = to.quality_scores(docs_ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "stopword_ratio"] > 0.2   # 'the', 'over', 'and'…
+        assert out.loc[4, "n_words"] == 2
+
+    def test_langid(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["the cat and the dog are in the house with them",
+                     "il governo ha approvato la riforma che era stata discussa"],
+        }))
+        out = to.langid(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "lang_pred"] == "en"
+        assert out.loc[1, "lang_pred"] == "it"
+
+    def test_fingerprints_deterministic(self, docs_ds):
+        a = to.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+        b = to.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+        assert (a["min_fp"].values == b["min_fp"].values).all()
+        # exact dup docs share fingerprints
+        assert a.iloc[0]["min_fp"] == a.iloc[1]["min_fp"]
+
+
+class TestMultimodal:
+    def test_decode_stub_schema(self, docs_ds):
+        out = mm.media_metadata(docs_ds, batch_size=2, concurrency=2).to_pandas()
+        assert set(out.columns) == {"media_id", "media_type", "byte_len",
+                                    "sha1_prefix", "width", "height",
+                                    "n_frames"}
+        assert (out["byte_len"] > 0).sum() == 5
+        assert out["width"].between(64, 255).all()
+
+    def test_real_decode_gated(self):
+        with pytest.raises(NotImplementedError):
+            mm.MediaDecodeStage(real_decode=True)
+
+    def test_frame_sample_explodes(self, docs_ds):
+        media = mm.media_dataset_from_documents(docs_ds)
+        out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
+                                batch_size=2, concurrency=2).to_pandas()
+        assert len(out) >= 5
+        assert (out.groupby("media_id")["frame_idx"].min() == 0).all()

@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate: run each queries()
+entry and its oracle_sql() side-by-side on an sf dir, compare row count,
+schema (column names) and order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    try:
+        import ray.data as rd
+        if isinstance(res, rd.Dataset):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    wanted = sys.argv[2:]
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if wanted and name not in wanted:
+            continue
+        try:
+            got = to_pandas(fn(sf_dir))
+        except Exception as ex:
+            print(f"FAIL  {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(got) != len(want):
+            problems.append(f"rows {len(got)} vs {len(want)}")
+        if sorted(got.columns) != sorted(want.columns):
+            problems.append(f"cols {sorted(got.columns)} vs {sorted(want.columns)}")
+        elif value_hash(got) != value_hash(want):
+            problems.append("value-hash mismatch")
+            merged = got[sorted(got.columns)].reset_index(drop=True)
+            wanted_df = want[sorted(want.columns)].reset_index(drop=True)
+            for c in sorted(got.columns):
+                if not merged[c].astype(str).sort_values().reset_index(drop=True).equals(
+                        wanted_df[c].astype(str).sort_values().reset_index(drop=True)):
+                    problems.append(f"col {c} differs")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(got)} rows")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
