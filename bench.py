@@ -23,7 +23,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-BENCH_CORPUS = dict(num_hosts=8, pages_per_host=1200, hot_host_factor=2)
+# ~52k pages: large enough that actor-pool startup and per-round RPC
+# overheads amortize at 32 CPUs (at 10k pages the 32-CPU run was slower
+# than the 8-CPU run — pool startup dominated)
+BENCH_CORPUS = dict(num_hosts=12, pages_per_host=4000, hot_host_factor=2)
 
 
 def run_bench() -> dict:
@@ -52,7 +55,8 @@ def run_bench() -> dict:
     eng = CrawlEngine(CrawlConfig(
         corpus_root=paths.root, out_dir="/tmp/ncr_bench_crawl",
         num_seen_shards=4, num_frontier_shards=4,
-        max_in_flight_override=256, batch_size=128,
+        max_in_flight_override=512, dequeue_per_shard=100_000,
+        batch_size=256, round_engine="tasks",
         checkpoint_every=10**9))
     summary = eng.run()
     crawl_sec = time.perf_counter() - t0

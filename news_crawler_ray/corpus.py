@@ -56,6 +56,9 @@ class CorpusSpec:
     error_every: int = 13        # every Nth page slot is a 404/500
 
 
+CORPUS_VERSION = 3   # bump when generated content changes (cache key)
+
+
 @dataclass
 class CorpusPaths:
     root: str
@@ -63,6 +66,7 @@ class CorpusPaths:
     fetchmeta: str
     seeds: str
     politeness: str
+    feeds: str = ""
     host_pages: dict = field(default_factory=dict)  # host -> page count
 
 
@@ -127,6 +131,10 @@ def _article_html(host: str, url_path: str, title: str, author: str,
 <html lang="{lang}">
 <head>
 <title>{title} | {host} Daily</title>
+<script src="http://ads.tracker.example/ads/serve.js?slot={len(paragraphs)}"></script>
+<link rel="stylesheet" href="http://cdn.static.example/css/main.css"/>
+<script src="http://facebook.com/sdk.js"></script>
+<script src="http://cdn.static.example/photo.jpg"></script>
 <meta property="og:type" content="article"/>
 <meta property="og:title" content="{title}"/>
 <meta property="article:published_time" content="{date_iso}"/>
@@ -144,7 +152,7 @@ def _article_html(host: str, url_path: str, title: str, author: str,
 {vid}
 <div class="related">{related}</div>
 </div>
-<footer id="ftr" itemtype="http://schema.org/WPFooter"><a href="/about/chi-siamo.html">Chi siamo</a> <a href="/contact/form.html">Contatti</a></footer>
+<footer id="ftr" itemtype="http://schema.org/WPFooter"><img src="http://cdn.static.example/logo.gif"/><a href="/about/chi-siamo.html">Chi siamo</a> <a href="/contact/form.html">Contatti</a></footer>
 </body></html>"""
 
 
@@ -178,6 +186,7 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
         fetchmeta=os.path.join(out_dir, "fetchmeta.parquet"),
         seeds=os.path.join(out_dir, "seeds.parquet"),
         politeness=os.path.join(out_dir, "politeness.parquet"),
+        feeds=os.path.join(out_dir, "feeds.parquet"),
     )
     done_marker = os.path.join(out_dir, "_DONE")
     meta_path = os.path.join(out_dir, "corpus_meta.json")
@@ -228,10 +237,13 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                     for i in range(n_hubs)]
         window = (n_articles + n_hubs - 1) // n_hubs
 
-        # hubs: chain + article windows (+ redirect aliases discovered here)
+        # hubs: heap-tree fanout (diameter O(log n_hubs) so crawl depth
+        # doesn't grow linearly with host size) + article windows
+        # (+ redirect aliases discovered here)
         for i, url in enumerate(hub_urls):
             rng = _rng(spec.seed, host, "hub", i)
-            links = [hub_urls[(i + 1) % n_hubs]]
+            links = [hub_urls[c] for c in (2 * i + 1, 2 * i + 2)
+                     if c < n_hubs]
             lo = i * window
             for a in range(lo, min(lo + window, n_articles)):
                 links.append(art_redirects.get(a, art_urls[a]))
@@ -298,6 +310,36 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
         "seq": pa.array(list(range(spec.num_hosts)), pa.int64()),
     }), paths.seeds)
 
+    # RSS feeds: one per host, first articles as items (S8 fixture)
+    feed_hosts, feed_urls, feed_xml = [], [], []
+    for h in range(spec.num_hosts):
+        host = host_name(h)
+        lang = spec.langs[h % len(spec.langs)]
+        items = []
+        for a in range(min(10, paths.host_pages[host])):
+            rng = _rng(spec.seed, host, "art", a)
+            section = SECTIONS[a % len(SECTIONS)]
+            y, m, d = 2020 + a % 3, 1 + a % 12, 1 + a % 28
+            slug = _slug(rng, lang)
+            url = f"http://{host}/{section}/{y}/{m:02d}/{d:02d}/{slug}-{a}.html"
+            title = " ".join(w.capitalize() for w in slug.split("-")[:4])
+            items.append(
+                f"<item><title>{title}</title><link>{url}</link>"
+                f"<category>{section}</category>"
+                f"<pubDate>Mon, 0{1 + a % 9} Jun 2021 10:00:00 GMT</pubDate></item>")
+        xml = (f'<?xml version="1.0"?><rss version="2.0"><channel>'
+               f"<title>{host} feed</title><language>{lang}</language>"
+               f"<lastBuildDate>Tue, 01 Jun 2021 09:00:00 GMT</lastBuildDate>"
+               f"{''.join(items)}</channel></rss>")
+        feed_hosts.append(host)
+        feed_urls.append(f"http://{host}/rss/feed.xml")
+        feed_xml.append(xml.encode())
+    pq.write_table(pa.table({
+        "host": pa.array(feed_hosts, pa.string()),
+        "url": pa.array(feed_urls, pa.string()),
+        "xml": pa.array(feed_xml, pa.binary()),
+    }), paths.feeds)
+
     pq.write_table(pa.table({
         "host": pa.array([host_name(h) for h in range(spec.num_hosts)], pa.string()),
         "max_in_flight": pa.array([6] * spec.num_hosts, pa.int32()),   # main.py:19
@@ -319,6 +361,7 @@ def default_corpus(tag: str, **spec_kwargs) -> CorpusPaths:
     """Cached corpus under /tmp keyed by tag+spec; regenerated only when
     absent."""
     spec = CorpusSpec(**spec_kwargs)
-    key = f"{tag}_h{spec.num_hosts}_p{spec.pages_per_host}_f{spec.hot_host_factor}_s{spec.seed}"
+    key = (f"{tag}_h{spec.num_hosts}_p{spec.pages_per_host}"
+           f"_f{spec.hot_host_factor}_s{spec.seed}_v{CORPUS_VERSION}")
     out = os.path.join("/tmp", f"ncr_corpus_{key}")
     return generate_corpus(out, spec)

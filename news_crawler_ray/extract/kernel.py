@@ -87,6 +87,16 @@ PUBLISH_DATE_TAGS = [
 # videos/extractors.py:5-6 provider whitelist
 VIDEO_PROVIDERS = ("youtube", "vimeo", "dailymotion", "kewego", "facebook")
 
+# HAR capture filters (custom_webbrowser.py:171-196). In replay mode the
+# "network requests" are derived statically from DOM resource references
+# (script/img/iframe/embed/source/audio/video src + link href) — the
+# reference reads CDP Network.responseReceived events; same filters.
+HAR_SOCIAL_DOMAINS = ("facebook.com", "facebook.it", "youtube.it",
+                      "youtube.com", "twitter.it", "twitter.com")
+HAR_FILETYPES_REMOVED = frozenset(["jpg", "png", "jpeg"])
+_HAR_SRC_TAGS = frozenset(["script", "img", "iframe", "embed", "source",
+                           "audio", "video"])
+
 # navigationcontenthunter.py:21
 MICRODATA_REMOVE_ITEMTYPES = frozenset([
     "http://schema.org/SiteNavigationElement",
@@ -130,6 +140,7 @@ class PageExtract:
     sections: list[str] = field(default_factory=list)
     text: str | None = None
     links: list[str] = field(default_factory=list)
+    har: list[str] = field(default_factory=list)
     nav_blocks_flagged: int = 0
 
 
@@ -187,6 +198,8 @@ class ExtractKernel:
 
         self._fix_relative_urls(body, scheme, urlnorm.get_principal_domain_www(url))
         result.links = self._domain_links(body, domain, scheme)
+        result.har = self._collect_har(tree, urlnorm.get_domain(
+            f"{scheme}://{url}" if "://" not in url else url))
 
         if result.language and len(result.language) >= 2:
             result.language = result.language[:2].lower()
@@ -255,6 +268,28 @@ class ExtractKernel:
                 if href not in seen:
                     seen[href] = None
         return list(seen.keys())
+
+    def _collect_har(self, tree: Node, domain: str | None) -> list[str]:
+        """S4 HAR capture (custom_webbrowser.py:171-196): third-party
+        request URLs — valid, off-domain, filetype not jpg/png/jpeg, not
+        on the social-domain blocklist; deduped (reference uses
+        ``list(set(...))``; here first-occurrence order, the persisted
+        table is UNIQUE-keyed either way)."""
+        seen: dict[str, None] = {}
+        for n in tree.iter():
+            src = n.get("src") if n.tag in _HAR_SRC_TAGS else None
+            if src is None and n.tag == "link":
+                src = n.get("href")
+            if not src or not urlnorm.is_valid_url(src):
+                continue
+            if domain and urlnorm.is_domain_link(src, domain):
+                continue
+            if urlnorm.get_filetype_from_url(src) in HAR_FILETYPES_REMOVED:
+                continue
+            if any(urlnorm.is_domain_link(src, d) for d in HAR_SOCIAL_DOMAINS):
+                continue
+            seen.setdefault(src)
+        return list(seen)
 
     # ------------------------------------------------------------------
     # article path

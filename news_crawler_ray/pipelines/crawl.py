@@ -50,8 +50,10 @@ import ray
 import ray.data as rd
 
 from .. import urlnorm
+from ..corpus import host_bucket
 from ..stages.extract_stage import PAGE_OUTPUT_COLUMNS, extract_batch
-from ..stages.fetch import fetch_replay_batch
+from ..stages.fetch import (fetch_replay_batch, fetch_replay_shared,
+                            put_corpus_refs)
 from ..state.frontier import FrontierShard
 from ..state.seen import SeenShard
 
@@ -96,15 +98,18 @@ def _merge_batches(dicts: list[dict]) -> dict:
     return out
 
 
-def discover_candidates(cols: dict, round_idx: int,
-                        only_webnews: bool) -> dict:
-    """Explode a processed batch's ``links`` into frontier candidate
-    records with lineage sort keys (M12 → enqueue routing)."""
-    cand: dict[str, list] = {k: [] for k in (
-        "url", "host", "is_webnews", "round_added", "seq64", "url_to_refer")}
-    for i in range(len(cols["url"])):
+def discover_cols(batch: pa.Table, *, only_webnews: bool) -> pa.Table:
+    """Per-batch link discovery: canonicalize, classify and key each
+    discovered link INSIDE the task (the per-link string/hash work is the
+    expensive part of routing — it must not run on the driver). Appends
+    per-row candidate list columns; the driver commit only dedups and
+    fans out RPCs."""
+    cols = batch.to_pydict()
+    c_url, c_host, c_news, c_seq, c_key = [], [], [], [], []
+    for i in range(batch.num_rows):
         links = cols["links"][i] or []
         base_seq = cols["host_seq"][i] * LINK_SEQ_STRIDE
+        u, h, nw, sq, ky = [], [], [], [], []
         for j, link in enumerate(links):
             canon = urlnorm.split_url_and_scheme(link)[1]
             host = urlnorm.host_of(link)
@@ -113,13 +118,22 @@ def discover_candidates(cols: dict, round_idx: int,
             is_news = urlnorm.is_news_url(link)
             if only_webnews and not is_news:
                 continue
-            cand["url"].append(canon)
-            cand["host"].append(host)
-            cand["is_webnews"].append(is_news)
-            cand["round_added"].append(round_idx + 1)
-            cand["seq64"].append(base_seq + j)
-            cand["url_to_refer"].append(cols["url"][i])
-    return cand
+            u.append(canon)
+            h.append(host)
+            nw.append(is_news)
+            sq.append(base_seq + j)
+            ky.append(urlnorm.url_key(canon))
+        c_url.append(u)
+        c_host.append(h)
+        c_news.append(nw)
+        c_seq.append(sq)
+        c_key.append(ky)
+    return (batch
+            .append_column("cand_url", pa.array(c_url, pa.list_(pa.string())))
+            .append_column("cand_host", pa.array(c_host, pa.list_(pa.string())))
+            .append_column("cand_news", pa.array(c_news, pa.list_(pa.bool_())))
+            .append_column("cand_seq64", pa.array(c_seq, pa.list_(pa.int64())))
+            .append_column("cand_key", pa.array(c_key, pa.list_(pa.binary()))))
 
 
 def finalize_page_rows(out: pa.Table, max_attempts: int) -> pa.Table:
@@ -146,12 +160,14 @@ def finalize_page_rows(out: pa.Table, max_attempts: int) -> pa.Table:
 
 
 @ray.remote
-def _round_batch_task(table: pa.Table, pages_dir: str,
-                      fetchmeta: str) -> pa.Table:
-    """Tasks-mode round processing: fetch + extract composed in one task
-    (worker-global caches keep corpus/kernel state warm)."""
-    return extract_batch(fetch_replay_batch(
-        table, pages_dir=pages_dir, fetchmeta_path=fetchmeta))
+def _round_batch_task(table: pa.Table, corpus_refs: dict,
+                      only_webnews: bool) -> pa.Table:
+    """Tasks-mode round processing: fetch + extract + link discovery
+    composed in one task. The corpus is shared through the object store
+    (zero-copy bucket tables, per-worker lazy key index); the extract
+    kernel is cached per worker."""
+    out = extract_batch(fetch_replay_shared(table, corpus_refs=corpus_refs))
+    return discover_cols(out, only_webnews=only_webnews)
 
 
 class CrawlEngine:
@@ -162,9 +178,12 @@ class CrawlEngine:
         self.cfg = cfg
         self.round = 0
         self.metrics: list[dict] = []
+        self._seed_redirects: dict | None = None
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         self.frontier = [FrontierShard.remote(i)
                          for i in range(cfg.num_frontier_shards)]
+        # corpus shared once through the object store (see stages/fetch.py)
+        self.corpus_refs = put_corpus_refs(cfg.pages_dir, cfg.fetchmeta)
         self._configure_politeness()
         if resume:
             self._resume()
@@ -191,13 +210,31 @@ class CrawlEngine:
         ray.get([self.frontier[s].configure_hosts.remote(rows)
                  for s, rows in by_shard.items()])
 
+    def _resolve_seed(self, canon: str) -> str:
+        """S2 seed redirect resolution (utils.py:254-261, main.py:10-13):
+        follow the fetchmeta redirect chain before seeding, ≤ 5 hops."""
+        if self._seed_redirects is None:
+            meta = pq.read_table(self.cfg.fetchmeta,
+                                 columns=["url", "status", "redirect_to"]).to_pydict()
+            self._seed_redirects = {
+                urlnorm.canonical_url(u): urlnorm.canonical_url(r)
+                for u, s, r in zip(meta["url"], meta["status"],
+                                   meta["redirect_to"])
+                if r and 300 <= s < 400}
+        for _ in range(5):
+            nxt = self._seed_redirects.get(canon)
+            if nxt is None:
+                return canon
+            canon = nxt
+        return canon
+
     def _enqueue_seeds(self):
         t = pq.read_table(os.path.join(self.cfg.corpus_root, "seeds.parquet")).to_pydict()
         recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
                                 "seq64", "url_to_refer")}
         keys, shards = [], []
         for url, seq in sorted(zip(t["url"], t["seq"]), key=lambda x: x[1]):
-            canon = urlnorm.canonical_url(url)
+            canon = self._resolve_seed(urlnorm.canonical_url(url))
             recs["url"].append(canon)
             recs["host"].append(urlnorm.host_of(url))
             recs["is_webnews"].append(urlnorm.is_news_url(url))
@@ -244,6 +281,13 @@ class CrawlEngine:
 
     def _process_round(self, work: dict):
         cfg = self.cfg
+        # bucket-pure batches: sort work by the corpus host-bucket so each
+        # task touches exactly one bucket partition (partition-pruned
+        # lookup; a mixed batch would fault in every bucket per worker)
+        nb = self.corpus_refs["num_buckets"]
+        order = sorted(range(len(work["url"])),
+                       key=lambda i: (host_bucket(work["host"][i], nb), i))
+        work = {k: [v[i] for i in order] for k, v in work.items()}
         table = pa.table({
             "url": pa.array(work["url"], pa.string()),
             "host": pa.array(work["host"], pa.string()),
@@ -262,12 +306,15 @@ class CrawlEngine:
                 else "dataset"
         if mode == "dataset":
             ds = (rd.from_arrow(table)
-                  .map_batches(fetch_replay_batch,
-                               fn_kwargs={"pages_dir": cfg.pages_dir,
-                                          "fetchmeta_path": cfg.fetchmeta},
+                  .map_batches(fetch_replay_shared,
+                               fn_kwargs={"corpus_refs": self.corpus_refs},
                                batch_format="pyarrow",
                                batch_size=cfg.batch_size)
                   .map_batches(extract_batch, batch_format="pyarrow",
+                               batch_size=cfg.batch_size)
+                  .map_batches(discover_cols,
+                               fn_kwargs={"only_webnews": cfg.only_webnews},
+                               batch_format="pyarrow",
                                batch_size=cfg.batch_size))
             parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
                      for b in ds.iter_batches(batch_size=cfg.batch_size,
@@ -276,8 +323,8 @@ class CrawlEngine:
             refs = []
             for off in range(0, table.num_rows, cfg.batch_size):
                 refs.append(_round_batch_task.remote(
-                    table.slice(off, cfg.batch_size), cfg.pages_dir,
-                    cfg.fetchmeta))
+                    table.slice(off, cfg.batch_size), self.corpus_refs,
+                    cfg.only_webnews))
             parts = ray.get(refs)
         page = self._commit_discoveries(parts)
         if page.num_rows:
@@ -302,7 +349,28 @@ class CrawlEngine:
         if out is None:
             return pa.table({})
         cols = out.to_pydict()
-        cand = discover_candidates(cols, self.round, cfg.only_webnews)
+
+        # flatten precomputed candidate columns (string/hash work already
+        # done in the tasks; see discover_cols)
+        cand: dict[str, list] = {k: [] for k in (
+            "url", "host", "is_webnews", "round_added", "seq64",
+            "url_to_refer", "key")}
+        for i in range(out.num_rows):
+            ref_url = cols["url"][i]
+            for u, h, nw, sq, ky in zip(cols["cand_url"][i],
+                                        cols["cand_host"][i],
+                                        cols["cand_news"][i],
+                                        cols["cand_seq64"][i],
+                                        cols["cand_key"][i]):
+                cand["url"].append(u)
+                cand["host"].append(h)
+                cand["is_webnews"].append(nw)
+                cand["round_added"].append(self.round + 1)
+                cand["seq64"].append(sq)
+                cand["url_to_refer"].append(ref_url)
+                cand["key"].append(ky)
+        out = out.drop_columns(["cand_url", "cand_host", "cand_news",
+                                "cand_seq64", "cand_key"])
 
         # min-lineage-key winner per canonical url
         best: dict[str, int] = {}
@@ -313,10 +381,11 @@ class CrawlEngine:
                 best[u] = idx
         order = sorted(best.values(), key=lambda i: (cand["seq64"][i],
                                                      cand["url"][i]))
-        cand = {k: [v[i] for i in order] for k, v in cand.items()}
+        keys = [cand["key"][i] for i in order]
+        cand = {k: [v[i] for i in order] for k, v in cand.items()
+                if k != "key"}
 
         if cand["url"]:
-            keys = [urlnorm.url_key(u) for u in cand["url"]]
             by_seen: dict[int, list[int]] = {}
             for idx, key in enumerate(keys):
                 s = int.from_bytes(key[:8], "big") % len(self.seen)

@@ -397,16 +397,11 @@ def _sf_tag(sf_dir: str) -> tuple[str, dict]:
 def q_crawl_flagship(sf_dir: str):
     """Full crawl over the deterministic synthetic corpus scaled to the
     sf tier; returns the final pages table."""
-    from .pipelines.crawl import CrawlConfig, CrawlEngine
-    tag, spec = _sf_tag(sf_dir)
-    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
-    eng = CrawlEngine(CrawlConfig(
-        corpus_root=paths.root,
-        out_dir=f"/tmp/ncr_flagship_{tag}",
-        max_in_flight_override=16))
-    eng.run()
-    pages = eng.pages_dataset().to_pandas()
-    eng.shutdown()
+    import shutil
+    tag, _ = _sf_tag(sf_dir)
+    # force a fresh crawl for the flagship itself (reports/har reuse it)
+    shutil.rmtree(f"/tmp/ncr_flagship_{tag}", ignore_errors=True)
+    pages = _flagship_pages_ds(sf_dir).to_pandas()
     return pages.sort_values("url").reset_index(drop=True)
 
 
@@ -465,6 +460,46 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     return to.fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _flagship_pages_ds(sf_dir: str):
+    """Run (or reuse) the flagship crawl and return its pages Dataset."""
+    import os
+
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    out_dir = f"/tmp/ncr_flagship_{tag}"
+    if not os.path.isdir(os.path.join(out_dir, "pages")):
+        eng = CrawlEngine(CrawlConfig(corpus_root=paths.root,
+                                      out_dir=out_dir,
+                                      max_in_flight_override=16))
+        eng.run()
+        eng.shutdown()
+    return rd.read_parquet(os.path.join(out_dir, "pages"))
+
+
+def q_har_ads(sf_dir: str) -> pd.DataFrame:
+    """S4 + ST2: third-party request urls from the crawl, ad-classified
+    by the compiled ruleset actor pool."""
+    from .functions.adrules import har_tables
+    har_urls, _ = har_tables(_flagship_pages_ds(sf_dir))
+    return har_urls.to_pandas().sort_values("har_url").reset_index(drop=True)
+
+
+def q_rss_entries(sf_dir: str) -> pd.DataFrame:
+    """S8: RSS feeds → pre-populated frontier/page records."""
+    from .sources.rss import rss_entries
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    out = rss_entries(rd.read_parquet(paths.feeds)).to_pandas()
+    return out.sort_values(["host", "url"]).reset_index(drop=True)
+
+
+def q_crawl_stats(sf_dir: str) -> pd.DataFrame:
+    """S10/A1-A4: per-host crawl stats over the flagship output."""
+    from .pipelines.reports import per_host_stats
+    return per_host_stats(_flagship_pages_ds(sf_dir))
+
+
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
@@ -506,6 +541,9 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
+    "crawl_har_ads": q_har_ads,
+    "rss_feed_entries": q_rss_entries,
+    "crawl_host_stats": q_crawl_stats,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
 }

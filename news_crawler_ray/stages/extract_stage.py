@@ -48,6 +48,7 @@ _PAGE_SCHEMA = pa.schema([
     ("videos_art", pa.list_(pa.string())),
     ("authors", pa.list_(pa.string())),
     ("category", pa.list_(pa.string())),
+    ("har", pa.list_(pa.string())),   # third-party request urls (S4)
     ("error_text", pa.string()),
     ("ok", pa.bool_()),          # False → retry path (engine-internal)
     ("links", pa.list_(pa.string())),  # full discovered link URLs
@@ -88,7 +89,7 @@ def _extract(kernel: ExtractKernel, batch: pa.Table) -> pa.Table:
                    is_webnews=bool(webnews[i]), scraped=False, ok=True,
                    mime_type=mimes[i], http_response_code=statuses[i],
                    language=langs[i], videos_art=[], authors=[],
-                   category=[], links=[], work_round=w_round[i],
+                   category=[], har=[], links=[], work_round=w_round[i],
                    work_seq64=w_seq[i], work_ref=w_ref[i])
         if not found[i]:
             # hard fetch failure → retry (crawler.py:90-101)
@@ -101,7 +102,7 @@ def _extract(kernel: ExtractKernel, batch: pa.Table) -> pa.Table:
                 r = kernel.extract(full, html.decode("utf-8", "replace"),
                                    lang_hint=langs[i],
                                    is_webnews=bool(webnews[i]))
-                row.update(scraped=True, language=r.language,
+                row.update(scraped=True, language=r.language, har=r.har,
                            title_art=r.title, text_art=r.text,
                            publish_date=(r.publish_date.strftime("%Y-%m-%d %H:%M:%S")
                                          if r.publish_date else None),

@@ -115,6 +115,123 @@ def _replay(store: _CorpusStore, batch: pa.Table) -> pa.Table:
             .append_column("mime_type", pa.array(mime, pa.string())))
 
 
+# ---------------------------------------------------------------------------
+# Shared-object-store replay path (used by the crawl round loop)
+#
+# The dict-per-worker store above costs every worker a full parse+build of
+# every bucket it touches. For the round loop, the driver instead
+# ``ray.put``s each bucket's Arrow table ONCE (zero-copy reads from the
+# object store for every worker on the node); workers build only a small
+# canon→row-index dict per bucket, lazily. On a multi-node cluster the
+# equivalent is locality-aware bucket ownership (one fetch actor per
+# bucket group); the lookup pattern is identical.
+# ---------------------------------------------------------------------------
+
+def put_corpus_refs(pages_dir: str, fetchmeta_path: str) -> dict:
+    """Driver-side: load each host-bucket partition + fetchmeta into the
+    object store. Returns a plain dict of ObjectRefs to pass to tasks."""
+    import ray
+    meta_path = os.path.join(os.path.dirname(pages_dir), "corpus_meta.json")
+    if os.path.exists(meta_path):
+        import json
+        with open(meta_path) as f:
+            num_buckets = json.load(f)["num_buckets"]
+    else:
+        num_buckets = 1 + max(
+            (int(d.split("=")[1]) for d in os.listdir(pages_dir)
+             if d.startswith("host_bucket=")), default=0)
+    buckets = {}
+    for d in sorted(os.listdir(pages_dir)):
+        if not d.startswith("host_bucket="):
+            continue
+        b = int(d.split("=")[1])
+        part = os.path.join(pages_dir, d)
+        tables = [pq.read_table(os.path.join(part, f))
+                  for f in sorted(os.listdir(part)) if f.endswith(".parquet")]
+        buckets[b] = ray.put(pa.concat_tables(tables))
+    meta = ray.put(pq.read_table(fetchmeta_path))
+    return {"buckets": buckets, "meta": meta, "num_buckets": num_buckets}
+
+
+class _SharedIndex:
+    """Per-worker lazy index over the shared corpus tables."""
+
+    def __init__(self, refs: dict):
+        self.refs = refs
+        self._bucket_idx: dict[int, tuple] = {}
+        self._meta_idx: dict | None = None
+
+    def meta(self) -> dict:
+        if self._meta_idx is None:
+            import ray
+            t = ray.get(self.refs["meta"])
+            self._meta_idx = {
+                canonical_url(u): (s, r, m)
+                for u, s, r, m in zip(t["url"].to_pylist(),
+                                      t["status"].to_pylist(),
+                                      t["redirect_to"].to_pylist(),
+                                      t["mime_type"].to_pylist())}
+        return self._meta_idx
+
+    def bucket(self, b: int):
+        entry = self._bucket_idx.get(b)
+        if entry is None:
+            import ray
+            ref = self.refs["buckets"].get(b)
+            if ref is None:
+                entry = (None, {})
+            else:
+                t = ray.get(ref)   # zero-copy from the object store
+                idx = {canonical_url(u): i
+                       for i, u in enumerate(t["url"].to_pylist())}
+                entry = (t, idx)
+            self._bucket_idx[b] = entry
+        return entry
+
+    def lookup(self, canon: str, host: str):
+        t, idx = self.bucket(host_bucket(host, self.refs["num_buckets"]))
+        i = idx.get(canon)
+        if i is None:
+            return False, None, b"", None, 0, None, None
+        status, redirect_to, mime = self.meta().get(
+            canon, (200, None, "text/html"))
+        return (True, t["url"][i].as_py(), t["html"][i].as_py(),
+                t["lang"][i].as_py(), status,
+                canonical_url(redirect_to) if redirect_to else None, mime)
+
+
+_WORKER_SHARED: dict[str, _SharedIndex] = {}
+
+
+def fetch_replay_shared(batch: pa.Table, *, corpus_refs: dict) -> pa.Table:
+    """Round-loop replay against the shared-object-store corpus."""
+    key = corpus_refs["meta"].hex()   # stable across task deserializations
+    shared = _WORKER_SHARED.get(key)
+    if shared is None:
+        shared = _WORKER_SHARED[key] = _SharedIndex(corpus_refs)
+    urls = batch["url"].to_pylist()
+    hosts = batch["host"].to_pylist()
+    found, full, html, lang = [], [], [], []
+    status, redirect, mime = [], [], []
+    for u, h in zip(urls, hosts):
+        f, fu, ht, lg, st, rd_, mm = shared.lookup(u, h)
+        found.append(f)
+        full.append(fu)
+        html.append(ht)
+        lang.append(lg)
+        status.append(st)
+        redirect.append(rd_)
+        mime.append(mm)
+    return (batch
+            .append_column("found", pa.array(found, pa.bool_()))
+            .append_column("full_url", pa.array(full, pa.string()))
+            .append_column("html", pa.array(html, pa.binary()))
+            .append_column("lang", pa.array(lang, pa.string()))
+            .append_column("status", pa.array(status, pa.int32()))
+            .append_column("redirect_to", pa.array(redirect, pa.string()))
+            .append_column("mime_type", pa.array(mime, pa.string())))
+
+
 class FetchReplay:
     """Actor-pool stage: ``map_batches(FetchReplay, fn_constructor_args=
     (pages_dir, fetchmeta), batch_format="pyarrow", concurrency=N)``."""

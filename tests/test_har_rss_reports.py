@@ -1,0 +1,167 @@
+"""Tests for HAR capture + ad classification (S4/ST2), RSS source (S8)
+and reporting pipelines (S10/A4)."""
+
+import pandas as pd
+import pytest
+
+from news_crawler_ray.corpus import default_corpus
+from news_crawler_ray.extract import ExtractKernel
+from news_crawler_ray.functions.adrules import (AdRuleSet, har_tables,
+                                                _rule_to_regex)
+from news_crawler_ray.sources.rss import parse_feed_xml, rss_entries
+
+
+ARTICLE_URL = "http://news-0.example/politica/2021/05/12/una-storia-lunga-con-dettagli-vari.html"
+
+
+def article_html(extra_head="", extra_body=""):
+    p = ("Il governo ha approvato oggi la riforma che era stata discussa "
+         "per mesi nelle aule del parlamento con un voto di fiducia.")
+    return (f'<html lang="it"><head><title>t</title>'
+            f'<meta property="og:type" content="article"/>{extra_head}</head>'
+            f'<body><div itemprop="articleBody"><p>{p}</p></div>'
+            f"{extra_body}</body></html>")
+
+
+class TestHarCapture:
+    def test_third_party_resources_collected(self):
+        k = ExtractKernel()
+        html = article_html(
+            extra_head='<script src="http://ads.tracker.example/ads/x.js"></script>'
+                       '<link rel="stylesheet" href="http://cdn.other.example/a.css"/>')
+        r = k.extract(ARTICLE_URL, html)
+        assert "http://ads.tracker.example/ads/x.js" in r.har
+        assert "http://cdn.other.example/a.css" in r.har
+
+    def test_same_domain_and_filetype_and_social_filtered(self):
+        k = ExtractKernel()
+        html = article_html(
+            extra_head='<script src="http://news-0.example/own.js"></script>'
+                       '<script src="http://cdn.x.example/pic.jpg"></script>'
+                       '<script src="http://facebook.com/sdk.js"></script>')
+        r = k.extract(ARTICLE_URL, html)
+        assert r.har == []
+
+    def test_har_does_not_change_text(self):
+        k = ExtractKernel()
+        plain = k.extract(ARTICLE_URL, article_html())
+        with_res = k.extract(ARTICLE_URL, article_html(
+            extra_head='<script src="http://ads.tracker.example/ads/x.js"></script>'))
+        assert plain.text == with_res.text
+
+
+class TestAdRules:
+    def test_domain_anchor(self):
+        rs = AdRuleSet(["||doubleclick.net^"])
+        assert rs.should_block("http://ad.doubleclick.net/pixel")
+        assert rs.should_block("https://doubleclick.net/x")
+        assert not rs.should_block("http://notdoubleclick.net.example/x")
+
+    def test_substring_and_wildcard(self):
+        rs = AdRuleSet(["/ads/*"])
+        assert rs.should_block("http://x.example/ads/banner.js")
+        assert not rs.should_block("http://x.example/loads/banner.js")
+
+    def test_separator_caret(self):
+        rs = AdRuleSet(["||tracker.example^"])
+        assert rs.should_block("http://tracker.example/x")
+        assert rs.should_block("http://tracker.example")
+
+    def test_exception_rule(self):
+        rs = AdRuleSet(["/ads/", "@@||good.example/ads/*"])
+        assert rs.should_block("http://bad.example/ads/x")
+        assert not rs.should_block("http://good.example/ads/x")
+
+    def test_comments_and_elemhide_ignored(self):
+        rs = AdRuleSet(["!comment", "example.com##.ad-banner"])
+        assert not rs.should_block("http://example.com/anything")
+
+    def test_default_rules(self):
+        rs = AdRuleSet()
+        assert rs.should_block("http://ads.tracker.example/ads/serve.js?slot=3")
+        assert not rs.should_block("http://cdn.static.example/css/main.css")
+
+
+class TestHarPipeline:
+    def test_har_tables_from_crawl(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        corpus = default_corpus("hartest", num_hosts=2, pages_per_host=18)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_har"))
+        eng.run()
+        pages = eng.pages_dataset()
+        har_urls, assoc = har_tables(pages)
+        hdf = har_urls.to_pandas()
+        adf = assoc.to_pandas()
+        eng.shutdown()
+        assert (hdf["is_advertising"] & hdf["har_url"].str.contains("ads.tracker")).any()
+        assert not hdf.loc[hdf["har_url"].str.contains("cdn.static"),
+                           "is_advertising"].any()
+        # M:N association references crawled pages
+        assert len(adf) > len(hdf)
+        assert hdf["har_url"].is_unique
+
+
+class TestRss:
+    def test_parse_feed(self):
+        corpus = default_corpus("rsstest", num_hosts=2, pages_per_host=18)
+        import pyarrow.parquet as pq
+        feeds = pq.read_table(corpus.feeds).to_pydict()
+        feed = parse_feed_xml(feeds["xml"][0])
+        assert feed["title"].endswith("feed")
+        assert feed["language"] in ("it", "en", "es", "de", "fr")
+        assert len(feed["entries"]) >= 5
+        e = feed["entries"][0]
+        assert e["link"].startswith("http://")
+        assert e["published"] is not None
+
+    def test_rss_entries_dataset(self, ray_session):
+        import ray.data as rd
+        corpus = default_corpus("rsstest", num_hosts=2, pages_per_host=18)
+        ds = rd.read_parquet(corpus.feeds)
+        out = rss_entries(ds).to_pandas()
+        assert len(out) >= 10
+        # channel title becomes the category (crawler.py:447)
+        assert out["category"].map(lambda c: len(c) == 1 and
+                                   c[0].endswith("feed")).all()
+        assert out["is_webnews"].all()   # dated article slugs
+        assert out["publish_date"].notna().all()
+
+    def test_malformed_xml(self):
+        assert parse_feed_xml(b"<not xml") == {
+            "title": None, "language": None, "updated": None, "entries": []}
+
+
+class TestReports:
+    def test_corpus_and_host_stats(self, ray_session):
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        from news_crawler_ray.pipelines.reports import (corpus_stats,
+                                                        per_host_stats)
+        corpus = default_corpus("hartest", num_hosts=2, pages_per_host=18)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_reports"))
+        eng.run()
+        pages = eng.pages_dataset()
+        stats = corpus_stats(pages, min_news_len=100)
+        hosts = per_host_stats(pages)
+        eng.shutdown()
+        assert stats.iloc[0]["n_pages"] > 30
+        assert 0 < stats.iloc[0]["n_news"] <= stats.iloc[0]["n_scraped"]
+        assert stats.iloc[0]["n_news_filtered"] <= stats.iloc[0]["n_news"]
+        assert len(hosts) == 2
+        assert (hosts["n_pages"] > 0).all()
+
+    def test_compact(self, ray_session, tmp_path):
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        from news_crawler_ray.pipelines.reports import compact
+        corpus = default_corpus("hartest", num_hosts=2, pages_per_host=18)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_compact"))
+        eng.run()
+        eng.shutdown()
+        import os
+        n = compact("/tmp/ncr_test_compact/pages", str(tmp_path / "compact"), 2)
+        assert n > 30
+        files = os.listdir(tmp_path / "compact")
+        assert 1 <= len(files) <= 4
