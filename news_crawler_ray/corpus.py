@@ -56,7 +56,7 @@ class CorpusSpec:
     error_every: int = 13        # every Nth page slot is a 404/500
 
 
-CORPUS_VERSION = 3   # bump when generated content changes (cache key)
+CORPUS_VERSION = 4   # bump when generated content changes (cache key)
 
 
 @dataclass
@@ -294,7 +294,13 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
             "text": pa.array(cols["text"], pa.string()),
             "lang": pa.array(cols["lang"], pa.string()),
         })
-        pq.write_table(table, os.path.join(part_dir, "part-0.parquet"))
+        # chunked files + small row groups so readers can parallelize
+        # (one giant file = one read task = a serial scan)
+        chunk = 4096
+        for fi, off in enumerate(range(0, table.num_rows, chunk)):
+            pq.write_table(table.slice(off, chunk),
+                           os.path.join(part_dir, f"part-{fi:04d}.parquet"),
+                           row_group_size=1024)
         for k in meta_cols:
             meta_cols[k].extend(cols[k])
     pq.write_table(pa.table({

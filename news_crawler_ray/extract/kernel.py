@@ -123,6 +123,21 @@ def parse_date_str(date_str: str | None) -> datetime | None:
         return None
 
 
+def is_valid_body(title: str | None, text: str | None,
+                  meta_type_is_article: bool) -> bool:
+    """M27 optional article-validity filter (newspaperlite/article.py:
+    194-220). NOT part of the crawl path in the reference (only reachable
+    via dead Source.py) — exposed as an opt-in corpus-quality filter:
+    og:type==article AND words>300, else title ≥ 2 words AND words ≥ 300
+    AND sentences ≥ 7."""
+    words = (text or "").split()
+    if meta_type_is_article and len(words) > 300:
+        return True
+    sentences = [s for s in re.split(r"[.!?]", text or "") if s.strip()]
+    return (len((title or "").split()) >= 2 and len(words) >= 300
+            and len(sentences) >= 7)
+
+
 @dataclass
 class PageExtract:
     """Columnar-friendly extraction result (reference PageContentContainer

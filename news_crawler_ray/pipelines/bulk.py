@@ -62,18 +62,42 @@ class _BulkExtract:
         })
 
 
-def extract_pipeline(pages_dir: str, concurrency: int = 8,
+_BULK_KERNEL: dict[bool, _BulkExtract] = {}
+
+
+def _bulk_extract_batch(batch: pa.Table, *, apply_nav_pruning: bool = False) -> pa.Table:
+    stage = _BULK_KERNEL.get(apply_nav_pruning)
+    if stage is None:
+        stage = _BULK_KERNEL[apply_nav_pruning] = _BulkExtract(apply_nav_pruning)
+    return stage(batch)
+
+
+def extract_pipeline(pages_dir: str, concurrency: int | None = None,
                      batch_size: int = 64,
-                     apply_nav_pruning: bool = False) -> "rd.Dataset":
+                     apply_nav_pruning: bool = False,
+                     use_actors: bool = False) -> "rd.Dataset":
     """Lazy Dataset of article records for the whole corpus. Consume with
-    ``write_parquet`` / ``count`` — do not materialize mid-pipeline."""
+    ``write_parquet`` / ``count`` — do not materialize mid-pipeline.
+
+    Default is stateless tasks with a worker-global kernel cache: the
+    kernel's state (stopword tables + compiled regexes) is cheap enough
+    that an actor pool only adds startup latency. ``use_actors=True``
+    switches to the explicit actor-pool form — the right shape when the
+    per-actor state is heavy (models, big rulesets)."""
     ds = rd.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
     ds = ds.drop_columns(["text"])  # golden column is not an input
+    if use_actors:
+        return ds.map_batches(
+            _BulkExtract,
+            fn_constructor_kwargs={"apply_nav_pruning": apply_nav_pruning},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or 8,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        _BulkExtract,
-        fn_constructor_kwargs={"apply_nav_pruning": apply_nav_pruning},
+        _bulk_extract_batch,
+        fn_kwargs={"apply_nav_pruning": apply_nav_pruning},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )

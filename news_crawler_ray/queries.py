@@ -500,6 +500,14 @@ def q_crawl_stats(sf_dir: str) -> pd.DataFrame:
     return per_host_stats(_flagship_pages_ds(sf_dir))
 
 
+def q_approx_distinct_tokens(sf_dir: str) -> pd.DataFrame:
+    """Mergeable-sketch aggregation: HLL distinct-token estimate."""
+    from .functions.sketches import approx_distinct_tokens
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    est = approx_distinct_tokens(ds)
+    return pd.DataFrame({"approx_distinct_tokens": [round(est)]})
+
+
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
@@ -544,6 +552,7 @@ QUERIES = {
     "crawl_har_ads": q_har_ads,
     "rss_feed_entries": q_rss_entries,
     "crawl_host_stats": q_crawl_stats,
+    "approx_distinct_tokens": q_approx_distinct_tokens,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
 }

@@ -67,11 +67,26 @@ class BloomFilter:
 
 class SeenSet:
     """Single-shard seen-set core (plain object — the actor wraps it, and
-    tests / the single-process oracle use it directly)."""
+    tests / the single-process oracle use it directly).
 
-    def __init__(self, shard_id: int = 0, capacity: int = 1 << 20):
+    Approximate layer: cuckoo filter (north_star structure; deletions
+    supported) by default, Bloom as an alternative — either way "filter
+    says absent" admits without touching the exact set, and the exact
+    set guarantees reference-equal membership (no false positives,
+    SURVEY.md §2.5). A saturated cuckoo filter degrades gracefully to
+    exact-only lookups."""
+
+    def __init__(self, shard_id: int = 0, capacity: int = 1 << 20,
+                 filter_kind: str = "cuckoo"):
+        from .cuckoo import CuckooFilter
         self.shard_id = shard_id
-        self.bloom = BloomFilter(capacity)
+        self.filter_kind = filter_kind
+        if filter_kind == "cuckoo":
+            self.cuckoo: CuckooFilter | None = CuckooFilter(capacity)
+            self.bloom = None
+        else:
+            self.cuckoo = None
+            self.bloom = BloomFilter(capacity)
         self.exact: set[bytes] = set()
 
     @staticmethod
@@ -84,21 +99,28 @@ class SeenSet:
         IGNORE semantics of the reference."""
         if not keys:
             return []
-        mat = self._as_matrix(keys)
-        maybe = self.bloom.might_contain(mat)
+        if self.cuckoo is not None:
+            maybe = self.cuckoo.might_contain_many(keys)
+        else:
+            maybe = self.bloom.might_contain(self._as_matrix(keys))
         out = []
         new_idx = []
         for i, key in enumerate(keys):
             if maybe[i] and key in self.exact:
                 out.append(False)
-            elif key in self.exact:  # bloom false negative impossible; safety
+            elif key in self.exact:  # filter false negative impossible; safety
                 out.append(False)
             else:
                 self.exact.add(key)
                 new_idx.append(i)
                 out.append(True)
         if new_idx:
-            self.bloom.add(mat[new_idx])
+            if self.cuckoo is not None:
+                for i in new_idx:
+                    if not self.cuckoo.add(keys[i]):
+                        break   # saturated: exact set remains authoritative
+            else:
+                self.bloom.add(self._as_matrix(keys)[new_idx])
         return out
 
     def contains(self, keys: list[bytes]) -> list[bool]:
@@ -117,7 +139,12 @@ class SeenSet:
         keys = pq.read_table(path)["key"].to_pylist()
         self.exact = set(keys)
         if keys:
-            self.bloom.add(self._as_matrix(keys))
+            if self.cuckoo is not None:
+                for k in keys:
+                    if not self.cuckoo.add(k):
+                        break
+            else:
+                self.bloom.add(self._as_matrix(keys))
         return len(keys)
 
 

@@ -1,0 +1,107 @@
+"""Tests for HLL sketches, M27 validity filter, enhanced nav pruning and
+crawl-round engine-mode equivalence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from news_crawler_ray.corpus import default_corpus
+from news_crawler_ray.extract.kernel import ExtractKernel, is_valid_body
+from news_crawler_ray.functions.sketches import (HyperLogLog,
+                                                 approx_distinct_tokens)
+
+
+class TestHLL:
+    def test_accuracy(self):
+        h = HyperLogLog(p=12)
+        h.add(f"value-{i}" for i in range(20_000))
+        est = h.estimate()
+        assert abs(est - 20_000) / 20_000 < 0.05
+
+    def test_merge_equals_union(self):
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        a.add(f"x{i}" for i in range(5000))
+        b.add(f"x{i}" for i in range(2500, 7500))
+        merged = a.merge(b)
+        assert abs(merged.estimate() - 7500) / 7500 < 0.05
+
+    def test_serialize_roundtrip(self):
+        h = HyperLogLog(10)
+        h.add(["a", "b", "c"])
+        h2 = HyperLogLog.deserialize(h.serialize())
+        assert h2.estimate() == h.estimate()
+
+    def test_distributed_sketch(self, ray_session):
+        import ray.data as rd
+        df = pd.DataFrame({"text": [f"tok{i} tok{i+1} common" for i in range(2000)]})
+        ds = rd.from_pandas(df)
+        est = approx_distinct_tokens(ds)
+        # distinct tokens = tok0..tok2000 + 'common' = 2002
+        assert abs(est - 2002) / 2002 < 0.1
+
+
+class TestValidBody:
+    def test_article_meta_long(self):
+        assert is_valid_body("t", "w " * 301, True)
+
+    def test_short_rejected(self):
+        assert not is_valid_body("a decent title", "too short", False)
+
+    def test_heuristic_path(self):
+        text = ("this is a long sentence with lots of words in it. " * 40)
+        assert is_valid_body("Two Words", text, False)
+        assert not is_valid_body("One", text, False)
+
+
+IT_P1 = ("Il governo ha approvato oggi la riforma che era stata discussa "
+         "per mesi nelle aule del parlamento con un voto di fiducia.")
+
+
+class TestEnhancedNavPruning:
+    def test_pruning_mode_removes_flagged_blocks(self):
+        # In enhanced mode the nav-hunter candidates ARE removed (the
+        # reference computes them and then no-ops — kernel docstring).
+        html = (f'<html lang="it"><head><title>t</title>'
+                f'<meta property="og:type" content="article"/></head><body>'
+                f'<div id="navwrap"><ul>'
+                f'<li><a href="/a/a.html">aa bb</a></li>'
+                f'<li><a href="/b/b.html">cc dd</a></li>'
+                f'<li><a href="/c/c.html">ee ff</a></li></ul></div>'
+                f'<div itemprop="articleBody"><p>{IT_P1}</p></div>'
+                f"</body></html>")
+        url = "http://news-0.example/politica/2021/05/12/una-storia-con-molti-dettagli-oggi.html"
+        ref = ExtractKernel(apply_nav_pruning=False).extract(url, html)
+        enh = ExtractKernel(apply_nav_pruning=True).extract(url, html)
+        # both give the same article text (top-node isolation)…
+        assert ref.text == enh.text == IT_P1
+        # …and both flagged the nav block
+        assert ref.nav_blocks_flagged >= 1
+
+
+class TestRoundEngineModes:
+    def test_dataset_mode_equals_tasks_mode(self, ray_session):
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        corpus = default_corpus("modetest", num_hosts=2, pages_per_host=18)
+        results = {}
+        for mode in ("tasks", "dataset"):
+            cfg = CrawlConfig(corpus_root=corpus.root,
+                              out_dir=f"/tmp/ncr_test_mode_{mode}",
+                              round_engine=mode)
+            eng = CrawlEngine(cfg)
+            eng.run()
+            results[mode] = {
+                "pages": eng.pages_dataset().to_pandas()
+                    .sort_values("url").reset_index(drop=True),
+                "order": eng.crawl_order_table().to_pandas()
+                    .sort_values(["host", "host_seq"]).reset_index(drop=True),
+            }
+            eng.shutdown()
+        pd.testing.assert_frame_equal(results["tasks"]["order"],
+                                      results["dataset"]["order"])
+        pd.testing.assert_frame_equal(
+            results["tasks"]["pages"].drop(columns=["har"]),
+            results["dataset"]["pages"].drop(columns=["har"]))
+        # har lists equal as sets per page (order may differ only if the
+        # corpus injected duplicates — compare directly)
+        assert results["tasks"]["pages"]["har"].map(list).tolist() == \
+            results["dataset"]["pages"]["har"].map(list).tolist()
