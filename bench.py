@@ -100,6 +100,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (the
+    sandbox stand-in for N vs 4N nodes). Pair configurable via
+    GRAFT_SCALE_LO / GRAFT_SCALE_HI (default 8 / 32). Note: on this
+    single box, all-core per-core throughput decays ~28% from 4 to 32
+    busy cores (measured with a no-Ray multiprocessing baseline), which
+    bounds any framework's measurable 8→32 efficiency — see
+    BASELINE.md."""
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_n = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -107,17 +117,17 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    run(8)          # warm page cache + corpus (untimed discard)
-    lo, hi = run(8), run(32)
+    run(lo_n)       # warm page cache + corpus (untimed discard)
+    lo, hi = run(lo_n), run(hi_n)
     thr_lo = lo["bulk_pages_per_sec"]
     thr_hi = hi["bulk_pages_per_sec"]
-    eff = (thr_hi / thr_lo) / (32 / 8)
+    eff = (thr_hi / thr_lo) / (hi_n / lo_n)
     return {
-        "metric": "bulk-extract throughput scaling 8 -> 32 CPUs",
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "pages_per_sec_8": thr_lo, "pages_per_sec_32": thr_hi,
-        "crawl_pages_per_sec_8": lo["crawl_pages_per_sec"],
-        "crawl_pages_per_sec_32": hi["crawl_pages_per_sec"],
+        "metric": f"bulk-extract throughput scaling {lo_n} -> {hi_n} CPUs",
+        f"sec_{lo_n}": lo["value"], f"sec_{hi_n}": hi["value"],
+        f"pages_per_sec_{lo_n}": thr_lo, f"pages_per_sec_{hi_n}": thr_hi,
+        f"crawl_pages_per_sec_{lo_n}": lo["crawl_pages_per_sec"],
+        f"crawl_pages_per_sec_{hi_n}": hi["crawl_pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -43,6 +43,8 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -138,24 +140,23 @@ def discover_cols(batch: pa.Table, *, only_webnews: bool) -> pa.Table:
 
 def finalize_page_rows(out: pa.Table, max_attempts: int) -> pa.Table:
     """Keep successes + exhausted failures (terminal -1 rows,
-    crawler.py:405-417); drop rows that will be retried."""
-    cols = out.to_pydict()
-    keep_idx, codes, attempts_out = [], [], []
-    for i in range(out.num_rows):
-        if cols["ok"][i]:
-            keep_idx.append(i)
-            codes.append(cols["http_response_code"][i])
-            attempts_out.append(cols["attempts_count"][i])
-        elif cols["attempts_count"][i] + 1 >= max_attempts:
-            keep_idx.append(i)
-            codes.append(-1)
-            attempts_out.append(cols["attempts_count"][i] + 1)
-    page = out.take(keep_idx).select(PAGE_OUTPUT_COLUMNS)
+    crawler.py:405-417); drop rows that will be retried. Vectorized."""
+    import pyarrow.compute as pc
+
+    ok = out["ok"]
+    next_att = pc.add(out["attempts_count"], 1)
+    keep = pc.or_(ok, pc.greater_equal(next_att, max_attempts))
+    page = out.filter(keep)
+    ok_f = page["ok"]
+    codes = pc.if_else(ok_f, page["http_response_code"],
+                       pa.scalar(-1, pa.int32())).cast(pa.int32())
+    attempts = pc.if_else(ok_f, page["attempts_count"],
+                          pc.add(page["attempts_count"], 1)).cast(pa.int32())
+    page = page.select(PAGE_OUTPUT_COLUMNS)
     page = page.set_column(page.column_names.index("http_response_code"),
-                           "http_response_code", pa.array(codes, pa.int32()))
+                           "http_response_code", codes)
     page = page.set_column(page.column_names.index("attempts_count"),
-                           "attempts_count",
-                           pa.array(attempts_out, pa.int32()))
+                           "attempts_count", attempts)
     return page
 
 
@@ -179,6 +180,7 @@ class CrawlEngine:
         self.round = 0
         self.metrics: list[dict] = []
         self._seed_redirects: dict | None = None
+        self._host_shard_memo: dict[str, int] = {}
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         self.frontier = [FrontierShard.remote(i)
                          for i in range(cfg.num_frontier_shards)]
@@ -343,87 +345,95 @@ class CrawlEngine:
         ``groupby(url).min(seq64)`` over the candidate dataset followed by
         identical per-shard RPC fan-out from tasks.
         """
+        import pyarrow.compute as pc
+
         cfg = self.cfg
         out = pa.concat_tables([p for p in parts if p.num_rows]) \
             if any(p.num_rows for p in parts) else None
         if out is None:
             return pa.table({})
-        cols = out.to_pydict()
 
-        # flatten precomputed candidate columns (string/hash work already
-        # done in the tasks; see discover_cols)
-        cand: dict[str, list] = {k: [] for k in (
-            "url", "host", "is_webnews", "round_added", "seq64",
-            "url_to_refer", "key")}
-        for i in range(out.num_rows):
-            ref_url = cols["url"][i]
-            for u, h, nw, sq, ky in zip(cols["cand_url"][i],
-                                        cols["cand_host"][i],
-                                        cols["cand_news"][i],
-                                        cols["cand_seq64"][i],
-                                        cols["cand_key"][i]):
-                cand["url"].append(u)
-                cand["host"].append(h)
-                cand["is_webnews"].append(nw)
-                cand["round_added"].append(self.round + 1)
-                cand["seq64"].append(sq)
-                cand["url_to_refer"].append(ref_url)
-                cand["key"].append(ky)
+        # vectorized candidate flatten (the string/hash work per link was
+        # already done inside the tasks; here only columnar ops run)
+        cand_url_col = out["cand_url"].combine_chunks()
+        parent = pc.list_parent_indices(cand_url_col)
+        cand = pd.DataFrame({
+            "url": pc.list_flatten(cand_url_col).to_pandas(),
+            "host": pc.list_flatten(out["cand_host"].combine_chunks()).to_pandas(),
+            "is_webnews": pc.list_flatten(out["cand_news"].combine_chunks()).to_pandas(),
+            "seq64": pc.list_flatten(out["cand_seq64"].combine_chunks()).to_pandas(),
+            "key": pc.list_flatten(out["cand_key"].combine_chunks()).to_pandas(),
+            "url_to_refer": pc.take(out["url"].combine_chunks(), parent).to_pandas(),
+        })
         out = out.drop_columns(["cand_url", "cand_host", "cand_news",
                                 "cand_seq64", "cand_key"])
 
-        # min-lineage-key winner per canonical url
-        best: dict[str, int] = {}
-        for idx, u in enumerate(cand["url"]):
-            cur = best.get(u)
-            if cur is None or (cand["seq64"][idx], cand["url_to_refer"][idx]) < \
-                    (cand["seq64"][cur], cand["url_to_refer"][cur]):
-                best[u] = idx
-        order = sorted(best.values(), key=lambda i: (cand["seq64"][i],
-                                                     cand["url"][i]))
-        keys = [cand["key"][i] for i in order]
-        cand = {k: [v[i] for i in order] for k, v in cand.items()
-                if k != "key"}
+        # min-lineage-key winner per canonical url, ordered by lineage
+        if len(cand):
+            cand = cand.sort_values(["seq64", "url_to_refer"], kind="stable") \
+                .drop_duplicates("url", keep="first") \
+                .sort_values(["seq64", "url"], kind="stable") \
+                .reset_index(drop=True)
+            cand["round_added"] = self.round + 1
 
-        if cand["url"]:
-            by_seen: dict[int, list[int]] = {}
-            for idx, key in enumerate(keys):
-                s = int.from_bytes(key[:8], "big") % len(self.seen)
-                by_seen.setdefault(s, []).append(idx)
-            refs = {s: self.seen[s].add_if_absent.remote([keys[i] for i in idxs])
-                    for s, idxs in by_seen.items()}
-            new_mask = [False] * len(keys)
-            for s, idxs in by_seen.items():
-                for i, is_new in zip(idxs, ray.get(refs[s])):
-                    new_mask[i] = is_new
-            by_frontier: dict[int, list[int]] = {}
-            for idx, keep in enumerate(new_mask):
-                if keep:
-                    by_frontier.setdefault(
-                        urlnorm.host_shard(cand["host"][idx],
-                                           len(self.frontier)), []).append(idx)
-            ray.get([self.frontier[s].enqueue.remote(
-                {k: [v[i] for i in idxs] for k, v in cand.items()})
-                for s, idxs in by_frontier.items()])
+            keys = cand["key"].to_list()
+            keymat = np.frombuffer(b"".join(keys), dtype=np.uint8).reshape(-1, 20)
+            seen_shard = (np.ascontiguousarray(keymat[:, :8]).view(">u8")
+                          .reshape(-1) % np.uint64(len(self.seen))).astype(int)
+            refs, idxs_by_shard = {}, {}
+            for s in np.unique(seen_shard):
+                idxs = np.flatnonzero(seen_shard == s)
+                idxs_by_shard[s] = idxs
+                refs[s] = self.seen[s].add_if_absent.remote(
+                    [keys[i] for i in idxs])
+            new_mask = np.zeros(len(keys), dtype=bool)
+            for s, idxs in idxs_by_shard.items():
+                new_mask[idxs] = ray.get(refs[s])
+
+            fresh = cand.loc[new_mask]
+            if len(fresh):
+                host_shards = fresh["host"].map(self._host_shard_cached).to_numpy()
+                enq_refs = []
+                for s in np.unique(host_shards):
+                    g = fresh.loc[host_shards == s]
+                    enq_refs.append(self.frontier[s].enqueue.remote({
+                        "url": g["url"].to_list(),
+                        "host": g["host"].to_list(),
+                        "is_webnews": g["is_webnews"].to_list(),
+                        "round_added": g["round_added"].to_list(),
+                        "seq64": g["seq64"].to_list(),
+                        "url_to_refer": g["url_to_refer"].to_list(),
+                    }))
+                ray.get(enq_refs)
 
         # work completion (releases politeness budget; retries requeue)
-        by_host_shard: dict[int, list[int]] = {}
-        for i in range(out.num_rows):
-            by_host_shard.setdefault(
-                urlnorm.host_shard(cols["host"][i], len(self.frontier)),
-                []).append(i)
-        ray.get([self.frontier[s].complete.remote({
-            "url": [cols["url"][i] for i in idxs],
-            "host": [cols["host"][i] for i in idxs],
-            "ok": [cols["ok"][i] for i in idxs],
-            "attempts": [cols["attempts_count"][i] for i in idxs],
-            "is_webnews": [cols["is_webnews"][i] for i in idxs],
-            "round_added": [cols["work_round"][i] for i in idxs],
-            "seq64": [cols["work_seq64"][i] for i in idxs],
-            "url_to_refer": [cols["work_ref"][i] for i in idxs],
-        }) for s, idxs in by_host_shard.items()])
+        comp = out.select(["url", "host", "ok", "attempts_count",
+                           "is_webnews", "work_round", "work_seq64",
+                           "work_ref"]).to_pandas()
+        comp_shards = comp["host"].map(self._host_shard_cached).to_numpy()
+        comp_refs = []
+        for s in np.unique(comp_shards):
+            g = comp.loc[comp_shards == s]
+            comp_refs.append(self.frontier[s].complete.remote({
+                "url": g["url"].to_list(),
+                "host": g["host"].to_list(),
+                "ok": g["ok"].to_list(),
+                "attempts": g["attempts_count"].to_list(),
+                "is_webnews": g["is_webnews"].to_list(),
+                "round_added": g["work_round"].to_list(),
+                "seq64": g["work_seq64"].to_list(),
+                "url_to_refer": g["work_ref"].to_list(),
+            }))
+        ray.get(comp_refs)
 
         return finalize_page_rows(out, cfg.max_attempts)
+
+    def _host_shard_cached(self, host: str) -> int:
+        s = self._host_shard_memo.get(host)
+        if s is None:
+            s = self._host_shard_memo[host] = urlnorm.host_shard(
+                host, len(self.frontier))
+        return s
 
     def _commit_round(self, n_work: int):
         cfg = self.cfg

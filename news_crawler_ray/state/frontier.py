@@ -49,14 +49,15 @@ _EMPTY_BATCH = {
 
 
 class _HostState:
-    __slots__ = ("tiers", "dirty", "in_flight", "host_seq", "next_allowed_ms",
-                 "max_in_flight", "min_interval_ms", "max_attempts",
-                 "robots_disallow")
+    __slots__ = ("tiers", "heads", "dirty", "in_flight", "host_seq",
+                 "next_allowed_ms", "max_in_flight", "min_interval_ms",
+                 "max_attempts", "robots_disallow")
 
     def __init__(self, max_in_flight=6, min_interval_ms=0, max_attempts=2,
                  robots_disallow=()):
         self.tiers: list[list] = [[], []]  # [webnews, other]; items =
         # (round_added, seq64, url, attempts, url_to_refer)
+        self.heads = [0, 0]    # consumed prefix (O(1) dequeue, no pop(0))
         self.dirty = [False, False]
         self.in_flight = 0
         self.host_seq = 0
@@ -65,6 +66,18 @@ class _HostState:
         self.min_interval_ms = min_interval_ms
         self.max_attempts = max_attempts
         self.robots_disallow = tuple(robots_disallow or ())
+
+    def pending(self, tier: int) -> int:
+        return len(self.tiers[tier]) - self.heads[tier]
+
+    def compact_sort(self, tier: int) -> None:
+        """Drop the consumed prefix and re-sort the remainder by lineage
+        key. Called only when new items arrived since the last sort."""
+        q = self.tiers[tier][self.heads[tier]:]
+        q.sort(key=lambda it: (it[0], it[1], it[2]))
+        self.tiers[tier] = q
+        self.heads[tier] = 0
+        self.dirty[tier] = False
 
 
 class Frontier:
@@ -139,12 +152,11 @@ class Frontier:
                 item = None
                 tier_taken = None
                 for tier in (0, 1):
-                    q = hs.tiers[tier]
-                    if q:
+                    if hs.pending(tier):
                         if hs.dirty[tier]:
-                            q.sort(key=lambda it: (it[0], it[1], it[2]))
-                            hs.dirty[tier] = False
-                        item = q.pop(0)
+                            hs.compact_sort(tier)
+                        item = hs.tiers[tier][hs.heads[tier]]
+                        hs.heads[tier] += 1
                         tier_taken = tier
                         break
                 if item is None:
@@ -195,7 +207,7 @@ class Frontier:
 
     # -- introspection -------------------------------------------------
     def pending_count(self) -> int:
-        return sum(len(hs.tiers[0]) + len(hs.tiers[1])
+        return sum(hs.pending(0) + hs.pending(1)
                    for hs in self.hosts.values())
 
     def in_flight_count(self) -> int:
@@ -241,7 +253,8 @@ class Frontier:
                 "robots_disallow": list(hs.robots_disallow),
             }
             for tier in (0, 1):
-                for (rnd, seq64, url, attempts, ref) in hs.tiers[tier]:
+                for (rnd, seq64, url, attempts, ref) in \
+                        hs.tiers[tier][hs.heads[tier]:]:
                     rows["host"].append(host)
                     rows["tier"].append(tier)
                     rows["round_added"].append(rnd)
