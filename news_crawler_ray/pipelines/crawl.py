@@ -77,6 +77,16 @@ class CrawlConfig:
     max_in_flight_override: int | None = None  # raise politeness for bench
     only_webnews: bool = False          # reference CrawlerManager knob
     round_engine: str = "auto"          # "dataset" | "tasks" | "auto"
+    # Skew escape hatch (north_rule; SURVEY.md §7.4 item 4): hosts listed
+    # here have their frontier queue split across ``k`` salted sub-shards
+    # (routing salt = sha1(url) % k), each enforcing max_in_flight/k.
+    # Spreads a hot host's queue storage and enqueue/dequeue RPC load
+    # across shards; the aggregate politeness budget is approximately
+    # preserved (salt→shard collisions undershoot it, never exceed), and
+    # strict per-host FIFO order is relaxed to per-sub-shard order
+    # (documented trade — the budget, not ordering, is the semantic
+    # limit).
+    salt_hosts: dict = field(default_factory=dict)   # host -> k
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
     # which dominates politeness-bounded small rounds. Large rounds (bulk
@@ -204,11 +214,26 @@ class CrawlEngine:
         if self.cfg.max_in_flight_override:
             t["max_in_flight"] = [self.cfg.max_in_flight_override] * len(t["host"])
         by_shard: dict[int, dict] = {}
-        for i, host in enumerate(t["host"]):
-            s = urlnorm.host_shard(host, len(self.frontier))
+
+        def add_row(s: int, i: int, budget: int | None = None):
             d = by_shard.setdefault(s, {k: [] for k in t})
             for k in t:
-                d[k].append(t[k][i])
+                if k == "max_in_flight" and budget is not None:
+                    d[k].append(budget)
+                else:
+                    d[k].append(t[k][i])
+
+        for i, host in enumerate(t["host"]):
+            k_salt = self.cfg.salt_hosts.get(host, 1)
+            if k_salt <= 1:
+                add_row(urlnorm.host_shard(host, len(self.frontier)), i)
+            else:
+                # each salted sub-shard gets an equal budget share so the
+                # aggregate politeness budget is preserved
+                budget = max(1, (t["max_in_flight"][i] or 6) // k_salt)
+                for salt in range(k_salt):
+                    add_row(urlnorm.host_shard(host, len(self.frontier),
+                                               salt=salt), i, budget)
         ray.get([self.frontier[s].configure_hosts.remote(rows)
                  for s, rows in by_shard.items()])
 
@@ -255,7 +280,7 @@ class CrawlEngine:
         by_frontier: dict[int, list[int]] = {}
         for i in keep:
             by_frontier.setdefault(
-                urlnorm.host_shard(recs["host"][i], len(self.frontier)), []).append(i)
+                self._route_shard(recs["host"][i], recs["url"][i]), []).append(i)
         ray.get([self.frontier[s].enqueue.remote(
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()])
@@ -392,7 +417,13 @@ class CrawlEngine:
 
             fresh = cand.loc[new_mask]
             if len(fresh):
-                host_shards = fresh["host"].map(self._host_shard_cached).to_numpy()
+                if self.cfg.salt_hosts:
+                    host_shards = np.fromiter(
+                        (self._route_shard(h, u)
+                         for h, u in zip(fresh["host"], fresh["url"])),
+                        dtype=int, count=len(fresh))
+                else:
+                    host_shards = fresh["host"].map(self._host_shard_cached).to_numpy()
                 enq_refs = []
                 for s in np.unique(host_shards):
                     g = fresh.loc[host_shards == s]
@@ -410,7 +441,13 @@ class CrawlEngine:
         comp = out.select(["url", "host", "ok", "attempts_count",
                            "is_webnews", "work_round", "work_seq64",
                            "work_ref"]).to_pandas()
-        comp_shards = comp["host"].map(self._host_shard_cached).to_numpy()
+        if self.cfg.salt_hosts:
+            comp_shards = np.fromiter(
+                (self._route_shard(h, u)
+                 for h, u in zip(comp["host"], comp["url"])),
+                dtype=int, count=len(comp))
+        else:
+            comp_shards = comp["host"].map(self._host_shard_cached).to_numpy()
         comp_refs = []
         for s in np.unique(comp_shards):
             g = comp.loc[comp_shards == s]
@@ -434,6 +471,15 @@ class CrawlEngine:
             s = self._host_shard_memo[host] = urlnorm.host_shard(
                 host, len(self.frontier))
         return s
+
+    def _route_shard(self, host: str, url: str) -> int:
+        """Frontier shard for (host, url): plain host hash, or salted by
+        the url for hosts in cfg.salt_hosts."""
+        k = self.cfg.salt_hosts.get(host, 1)
+        if k <= 1:
+            return self._host_shard_cached(host)
+        salt = urlnorm.url_shard(url, k)
+        return urlnorm.host_shard(host, len(self.frontier), salt=salt)
 
     def _commit_round(self, n_work: int):
         cfg = self.cfg
