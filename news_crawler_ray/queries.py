@@ -352,6 +352,78 @@ def q_lang_counts(sf_dir: str) -> pd.DataFrame:
 Q_LANG_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
 
 
+def q_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """flat_map → partial count → groupby → sort → limit: top-20 tokens
+    across documents (deterministic tie-break on token)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in batch["text"].fillna(""):
+            for tok in t.split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(counts),
+                             "n": pd.Series(list(counts.values()),
+                                            dtype="int64")})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype("int64")
+    return agg.sort_values(["n", "token"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+
+
+Q_TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents) t
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_segment_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Left-join aggregation: per market segment, customers, orders and
+    total order value (customers without orders still counted)."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    seg_ref = ray.put(seg_of)
+    n_cust = cust.groupby("c_mktsegment")["c_custkey"].nunique()
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(seg_ref)
+        batch = batch.assign(
+            c_mktsegment=batch["o_custkey"].map(m),
+            total_milli=np.floor(batch["o_totalprice"] * 1000).astype("int64"))
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_custkey", "size"), total_milli=("total_milli", "sum"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_milli", alias_name="total_milli")).to_pandas()
+    out = pd.DataFrame({"c_mktsegment": sorted(n_cust.index)})
+    out["n_customers"] = out["c_mktsegment"].map(n_cust).astype("int64")
+    agg = agg.set_index("c_mktsegment")
+    out["n_orders"] = out["c_mktsegment"].map(agg["n_orders"]).fillna(0).astype("int64")
+    out["total_milli"] = out["c_mktsegment"].map(agg["total_milli"]).fillna(0).astype("int64")
+    return out.reset_index(drop=True)
+
+
+Q_SEGMENT_SQL = """
+SELECT c.c_mktsegment,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       count(o.o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(floor(o.o_totalprice * 1000) AS BIGINT)), 0) AS BIGINT) AS total_milli
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embeddings: similarity search
 # ---------------------------------------------------------------------------
@@ -540,6 +612,8 @@ QUERIES = {
     "q_quality": q_quality,
     "q_lang_counts": q_lang_counts,
     "q_ann_topk": q_ann_topk,
+    "q_top_tokens": q_top_tokens,
+    "q_segment_order_stats": q_segment_order_stats,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -570,4 +644,6 @@ ORACLES = {
     "q_quality": Q_QUALITY_SQL,
     "q_lang_counts": Q_LANG_SQL,
     "q_ann_topk": Q_ANN_SQL,
+    "q_top_tokens": Q_TOP_TOKENS_SQL,
+    "q_segment_order_stats": Q_SEGMENT_SQL,
 }

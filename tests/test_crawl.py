@@ -113,6 +113,22 @@ class TestConformance:
             assert 0 in tiers
 
 
+class TestOnlyWebnews:
+    def test_only_news_urls_crawled(self, ray_session, corpus):
+        # reference CrawlerManager(only_webnews=...) knob: non-news
+        # discoveries are not enqueued
+        cfg = CrawlConfig(corpus_root=corpus.root,
+                          out_dir="/tmp/ncr_test_crawl_newsonly",
+                          only_webnews=True)
+        eng = CrawlEngine(cfg)
+        eng.run()
+        pages = eng.pages_dataset().to_pandas()
+        eng.shutdown()
+        non_seed = pages[~pages["url"].str.contains("hub-0")]
+        assert len(non_seed) > 0
+        assert non_seed["is_webnews"].all()
+
+
 class TestDeterminism:
     def test_rerun_identical(self, ray_session, corpus, engine_result):
         cfg = CrawlConfig(corpus_root=corpus.root,
