@@ -1,0 +1,65 @@
+"""Stored-golden conformance (FIXTURES.md §4): both the oracle and the
+distributed engine must reproduce the committed golden artifacts —
+catches silent co-drift of code shared between them. Regenerate
+deliberately with tools/make_golden.py when semantics change."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from news_crawler_ray.corpus import default_corpus
+from news_crawler_ray.oracle import crawl_oracle
+from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+CORPUS_SPEC = dict(num_hosts=2, pages_per_host=18)   # tools/make_golden.py
+CORPUS_TAG = "golden"
+
+PAGE_COLS = ["url", "protocol", "scraped", "attempts_count", "mime_type",
+             "http_response_code", "language", "url_to_refer", "is_webnews",
+             "title_art", "text_art", "publish_date", "error_text"]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return {
+        "pages": pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_pages.parquet")).to_pandas(),
+        "order": pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_crawl_order.parquet")).to_pandas(),
+        "seen": set(pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_seen.parquet"))["url"].to_pylist()),
+    }
+
+
+def _norm_pages(df: pd.DataFrame) -> pd.DataFrame:
+    return df[PAGE_COLS].sort_values("url").reset_index(drop=True)
+
+
+class TestGolden:
+    def test_oracle_matches_golden(self, golden):
+        corpus = default_corpus(CORPUS_TAG, **CORPUS_SPEC)
+        result = crawl_oracle(corpus.root)
+        pd.testing.assert_frame_equal(
+            _norm_pages(result["pages"].to_pandas()),
+            _norm_pages(golden["pages"]))
+        pd.testing.assert_frame_equal(
+            result["order"].to_pandas().reset_index(drop=True),
+            golden["order"].reset_index(drop=True))
+
+    def test_engine_matches_golden(self, ray_session, golden):
+        corpus = default_corpus(CORPUS_TAG, **CORPUS_SPEC)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_golden"))
+        eng.run()
+        pages = eng.pages_dataset().to_pandas()
+        order = eng.crawl_order_table().to_pandas()
+        eng.shutdown()
+        pd.testing.assert_frame_equal(_norm_pages(pages),
+                                      _norm_pages(golden["pages"]))
+        a = order.sort_values(["host", "host_seq"]).reset_index(drop=True)
+        b = golden["order"].sort_values(["host", "host_seq"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert set(pages["url"]) == golden["seen"]
