@@ -142,6 +142,51 @@ class TestDeterminism:
             order2.sort_values(["host", "host_seq"]).reset_index(drop=True))
 
 
+class TestPolitenessInterval:
+    def test_min_interval_paces_dequeues(self, ray_session, corpus, tmp_path):
+        # copy corpus, set min_interval_ms = round_ms → at most ONE fetch
+        # per host per round
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        root = str(tmp_path / "paced")
+        shutil.copytree(corpus.root, root)
+        pol = pq.read_table(os.path.join(root, "politeness.parquet")).to_pydict()
+        pol["min_interval_ms"] = [1000] * len(pol["host"])
+        pq.write_table(pa.table(pol), os.path.join(root, "politeness.parquet"))
+
+        cfg = CrawlConfig(corpus_root=root, out_dir="/tmp/ncr_test_paced",
+                          max_rounds=12, round_ms=1000)
+        eng = CrawlEngine(cfg)
+        eng.run()
+        order = eng.crawl_order_table().to_pandas()
+        eng.shutdown()
+        # ≤ 1 dequeue per host per round ⇒ after 12 rounds each host has
+        # at most 12 dequeues
+        per_host = order.groupby("host").size()
+        assert (per_host <= 12).all()
+        assert len(order) > 0
+
+
+class TestEmptySeeds:
+    def test_no_seeds_terminates(self, ray_session, corpus, tmp_path):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        root = str(tmp_path / "noseeds")
+        shutil.copytree(corpus.root, root)
+        pq.write_table(pa.table({"url": pa.array([], pa.string()),
+                                 "seq": pa.array([], pa.int64())}),
+                       os.path.join(root, "seeds.parquet"))
+        eng = CrawlEngine(CrawlConfig(corpus_root=root,
+                                      out_dir="/tmp/ncr_test_noseeds"))
+        summary = eng.run()
+        eng.shutdown()
+        assert summary["pages_written"] == 0 and summary["rounds"] == 0
+
+
 class TestResume:
     def test_resume_equivalent_to_uninterrupted(self, ray_session, corpus,
                                                 engine_result):
