@@ -155,6 +155,7 @@ class PageExtract:
     sections: list[str] = field(default_factory=list)
     text: str | None = None
     links: list[str] = field(default_factory=list)
+    outbound_links: list[str] = field(default_factory=list)
     har: list[str] = field(default_factory=list)
     nav_blocks_flagged: int = 0
 
@@ -213,6 +214,10 @@ class ExtractKernel:
 
         self._fix_relative_urls(body, scheme, urlnorm.get_principal_domain_www(url))
         result.links = self._domain_links(body, domain, scheme)
+        # M13 outbound links (extractor.py:284-295): computed like the
+        # reference but never persisted (extract_content discards them —
+        # extractor.py:85; observable behavior = not in the pages row)
+        result.outbound_links = self._outbound_links(body, url)
         result.har = self._collect_har(tree, urlnorm.get_domain(
             f"{scheme}://{url}" if "://" not in url else url))
 
@@ -283,6 +288,23 @@ class ExtractKernel:
                 if href not in seen:
                     seen[href] = None
         return list(seen.keys())
+
+    def _outbound_links(self, body: Node, url: str) -> list[str]:
+        """M13 (extractor.py:284-295): hrefs NOT containing the principal
+        domain → validity filter → clean_url (args stripped) → ordered
+        dedup."""
+        principal = urlnorm.get_principal_domain(
+            url if "://" in url else "http://" + url) or ""
+        seen: dict[str, None] = {}
+        for n in body.iter():
+            href = n.get("href")
+            if not href or (principal and principal in href):
+                continue
+            if urlnorm.is_valid_url(href):
+                cleaned = urlnorm.clean_url(href)
+                if cleaned not in seen:
+                    seen[cleaned] = None
+        return list(seen)
 
     def _collect_har(self, tree: Node, domain: str | None) -> list[str]:
         """S4 HAR capture (custom_webbrowser.py:171-196): third-party

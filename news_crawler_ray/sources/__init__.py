@@ -1,1 +1,2 @@
 from .rss import parse_feed_xml, rss_entries  # noqa: F401
+from .seeds import read_seed_list  # noqa: F401

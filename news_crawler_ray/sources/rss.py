@@ -53,7 +53,8 @@ def parse_feed_xml(xml_bytes: bytes) -> dict:
         lang = lang[:2].lower()
     out["language"] = lang
     out["updated"] = _parse_date(channel.findtext("lastBuildDate"))
-    for item in channel.findall("item"):
+    # feed entry cap (reference caps feeds at 50 entries — SURVEY.md §2.6 O4)
+    for item in channel.findall("item")[:50]:
         out["entries"].append({
             "title": item.findtext("title"),
             "link": item.findtext("link"),

@@ -133,6 +133,31 @@ class TestRss:
             "title": None, "language": None, "updated": None, "entries": []}
 
 
+class TestSeedList:
+    def test_read_seed_list(self, tmp_path):
+        from news_crawler_ray.sources.seeds import read_seed_list
+        p = tmp_path / "seeds.txt"
+        p.write_text("http://a.example/x\n\nhttp://b.example/y\n"
+                     "http://a.example/x\n")
+        t = read_seed_list(str(p))
+        assert t["url"].to_pylist() == ["http://a.example/x",
+                                        "http://b.example/y"]
+        assert t["seq"].to_pylist() == [0, 1]
+
+
+class TestOutboundLinks:
+    def test_outbound_computed_not_persisted(self):
+        k = ExtractKernel()
+        html = article_html(
+            extra_body='<a href="http://other.example/some/page.html">out</a>'
+                       '<a href="http://news-0.example/own/page.html">in</a>')
+        r = k.extract(ARTICLE_URL, html)
+        assert "http://other.example/some/page.html" in r.outbound_links
+        assert all("news-0.example" not in u for u in r.outbound_links)
+        # in_links and outbound are disjoint concerns (extractor.py:264-295)
+        assert "http://news-0.example/own/page.html" in r.links
+
+
 class TestReports:
     def test_corpus_and_host_stats(self, ray_session):
         from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
