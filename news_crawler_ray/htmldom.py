@@ -287,6 +287,9 @@ def nearest_parent_by_tag(node: Node, tags) -> Node | None:
 _RAW_TEXT_TAGS = frozenset(["script", "style"])
 
 
+MAX_DOM_DEPTH = 200   # bounds tree recursion on hostile/degenerate pages
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -299,7 +302,10 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
         self._cur().append(node)
-        if tag not in VOID_TAGS:
+        # depth cap: deeper elements become leaves (their content still
+        # lands in the tree as text/siblings) so traversal recursion is
+        # bounded on adversarial nesting
+        if tag not in VOID_TAGS and len(self.stack) < MAX_DOM_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):

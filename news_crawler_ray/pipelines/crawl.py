@@ -89,9 +89,10 @@ class CrawlConfig:
     salt_hosts: dict = field(default_factory=dict)   # host -> k
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
-    # which dominates politeness-bounded small rounds. Large rounds (bulk
-    # budget) use the streaming Dataset path.
-    dataset_round_threshold: int = 2000
+    # which dominates politeness-bounded rounds (measured: tasks mode wins
+    # through at least ~12k-item rounds). The streaming Dataset path is
+    # for rounds too large to barrier through the driver.
+    dataset_round_threshold: int = 50_000
 
     @property
     def pages_dir(self):
