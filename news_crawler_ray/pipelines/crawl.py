@@ -87,6 +87,12 @@ class CrawlConfig:
     # (documented trade — the budget, not ordering, is the semantic
     # limit).
     salt_hosts: dict = field(default_factory=dict)   # host -> k
+    # S8: parse corpus feeds at start and enqueue their entries as
+    # pre-known work (crawler.py:61-62, 427-470). Entries join the
+    # frontier after the seeds (seq64 offset) and are crawled like any
+    # discovery; the reference pre-fills page metadata that extraction
+    # overwrites on crawl — net rows identical for fetchable entries.
+    scrape_rss: bool = False
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
     # which dominates politeness-bounded rounds (measured: tasks mode wins
@@ -205,6 +211,8 @@ class CrawlEngine:
                 shutil.rmtree(cfg.out_dir)
             os.makedirs(cfg.out_dir, exist_ok=True)
             self._enqueue_seeds()
+            if cfg.scrape_rss:
+                self._enqueue_rss()
 
     # -- setup ---------------------------------------------------------
     def _configure_politeness(self):
@@ -282,6 +290,54 @@ class CrawlEngine:
         for i in keep:
             by_frontier.setdefault(
                 self._route_shard(recs["host"][i], recs["url"][i]), []).append(i)
+        ray.get([self.frontier[s].enqueue.remote(
+            {k: [v[i] for i in idxs] for k, v in recs.items()})
+            for s, idxs in by_frontier.items()])
+
+    def _enqueue_rss(self):
+        """S8: feed entries → seen-checked frontier records
+        (crawler.py:427-470; entries carry is_webnews from the url)."""
+        feeds_path = os.path.join(self.cfg.corpus_root, "feeds.parquet")
+        if not os.path.exists(feeds_path):
+            return
+        from ..sources.rss import parse_feed_xml
+        feeds = pq.read_table(feeds_path).to_pydict()
+        recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
+                                "seq64", "url_to_refer")}
+        keys = []
+        seq = 1_000_000  # after the seeds
+        for host, feed_url, xml in zip(feeds["host"], feeds["url"],
+                                       feeds["xml"]):
+            for e in parse_feed_xml(xml)["entries"]:
+                if not e["link"]:
+                    continue
+                link = urlnorm.clean_url(e["link"], remove_arguments=False)
+                canon = urlnorm.canonical_url(link)
+                recs["url"].append(canon)
+                recs["host"].append(urlnorm.host_of(link))
+                recs["is_webnews"].append(urlnorm.is_news_url(link))
+                recs["round_added"].append(0)
+                recs["seq64"].append(seq)
+                recs["url_to_refer"].append(feed_url)
+                keys.append(urlnorm.url_key(canon))
+                seq += 1
+        if not keys:
+            return
+        by_seen: dict[int, list[int]] = {}
+        for i, key in enumerate(keys):
+            by_seen.setdefault(
+                int.from_bytes(key[:8], "big") % len(self.seen), []).append(i)
+        new_mask = [False] * len(keys)
+        for s, idxs in by_seen.items():
+            for i, is_new in zip(idxs, ray.get(
+                    self.seen[s].add_if_absent.remote([keys[i] for i in idxs]))):
+                new_mask[i] = is_new
+        by_frontier: dict[int, list[int]] = {}
+        for i, keep in enumerate(new_mask):
+            if keep:
+                by_frontier.setdefault(
+                    self._route_shard(recs["host"][i], recs["url"][i]),
+                    []).append(i)
         ray.get([self.frontier[s].enqueue.remote(
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()])

@@ -128,6 +128,29 @@ class TestRss:
         assert out["is_webnews"].all()   # dated article slugs
         assert out["publish_date"].notna().all()
 
+    def test_engine_scrape_rss_seeds_articles_early(self, ray_session):
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        corpus = default_corpus("rsstest", num_hosts=2, pages_per_host=18)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_rss_crawl",
+                                      scrape_rss=True))
+        eng.run()
+        order = eng.crawl_order_table().to_pandas()
+        pages = eng.pages_dataset().to_pandas()
+        eng.shutdown()
+        # with RSS seeding, round 0 already dequeues article urls (not
+        # just the seed hubs): first host_seq positions include tier-0
+        first = order[order.host_seq <= 6]
+        assert (first.priority_tier == 0).any()
+        # membership identical to a non-RSS crawl (feeds list reachable
+        # articles)
+        eng2 = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                       out_dir="/tmp/ncr_test_rss_crawl2"))
+        eng2.run()
+        base = set(eng2.pages_dataset().to_pandas()["url"])
+        eng2.shutdown()
+        assert set(pages["url"]) == base
+
     def test_malformed_xml(self):
         assert parse_feed_xml(b"<not xml") == {
             "title": None, "language": None, "updated": None, "entries": []}
