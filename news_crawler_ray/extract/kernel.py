@@ -169,6 +169,10 @@ class ExtractKernel:
         self.default_language = default_language
         self.apply_nav_pruning = apply_nav_pruning
         self._stopwords_cache: dict[str, StopWords] = {}
+        # per-actor memo for hot pure URL predicates (nav links repeat on
+        # every page of a host); bounded, reset when full
+        self._nav_memo: dict[str, bool] = {}
+        self._news_memo: dict[str, bool] = {}
         # extractor.py:338-352 noise regex (compiled once; used only when
         # apply_nav_pruning=True — no-op in the reference, see module doc)
         self._noise_re = re.compile(
@@ -283,11 +287,18 @@ class ExtractKernel:
                 continue
             href = urlnorm.clean_url(href, remove_arguments=False,
                                      domain=domain, scheme=scheme)
-            if urlnorm.is_valid_url_to_navigate(href) and \
-                    urlnorm.is_domain_link(href, domain):
+            if self._nav_ok(href) and urlnorm.is_domain_link(href, domain):
                 if href not in seen:
                     seen[href] = None
         return list(seen.keys())
+
+    def _nav_ok(self, url: str) -> bool:
+        v = self._nav_memo.get(url)
+        if v is None:
+            if len(self._nav_memo) > 100_000:
+                self._nav_memo.clear()
+            v = self._nav_memo[url] = urlnorm.is_valid_url_to_navigate(url)
+        return v
 
     def _outbound_links(self, body: Node, url: str) -> list[str]:
         """M13 (extractor.py:284-295): hrefs NOT containing the principal
@@ -354,9 +365,12 @@ class ExtractKernel:
                         and self._can_be_deleted(n):
                     n.drop_tree_keep_tail()
 
-        # Article.parse (article.py:115-171). Title/authors/date read a
-        # clean copy; gravity scoring mutates the live tree.
-        clean_tree = tree.copy()
+        # Article.parse (article.py:115-171). The reference deepcopies the
+        # tree for title/authors/date because its lxml extractors mutate;
+        # this kernel's meta extractors are read-only and run before
+        # gravity scoring touches the live tree, so the copy is skipped
+        # (observable output identical — golden tests pin it).
+        clean_tree = tree
         result.title = self._get_title(clean_tree)
         result.authors = self._get_authors(clean_tree)
         if result.title and result.language is None:
@@ -574,15 +588,26 @@ class ExtractKernel:
                 _authors.append(" ".join(curname))
             return _authors
 
+        # Single tree pass; match order preserved as (attr, val)-major then
+        # document order — identical to the reference's 15 sequential
+        # scans (extractors.py:149-157; case-insensitive substring match,
+        # explorer.py:106-117)
+        attrs = ("name", "rel", "itemprop", "class", "id")
+        vals = ("author", "byline", "dc.creator")
+        buckets: dict[tuple, list[Node]] = {(a, v): [] for a in attrs
+                                            for v in vals}
+        for n in tree.iter():
+            for a in attrs:
+                av = n.attrib.get(a)
+                if av is not None:
+                    low = av.lower()
+                    for v in vals:
+                        if v in low:
+                            buckets[(a, v)].append(n)
         matches: list[Node] = []
-        for attr in ("name", "rel", "itemprop", "class", "id"):
-            for val in ("author", "byline", "dc.creator"):
-                for n in tree.iter():
-                    # reference match is case-insensitive substring
-                    # (explorer.py:106-117 translate+contains)
-                    av = n.get(attr)
-                    if av is not None and val in av.lower():
-                        matches.append(n)
+        for a in attrs:
+            for v in vals:
+                matches.extend(buckets[(a, v)])
         authors: list[str] = []
         for m in matches:
             content = m.get("content") or "" if m.tag == "meta" else (m.text or "")
