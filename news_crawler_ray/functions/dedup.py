@@ -85,15 +85,35 @@ def near_dup_text_groups(ds: "rd.Dataset", text_col: str = "text",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_TOKEN_HASH_MEMO: dict[str, int] = {}
+
+
+def _token_hash(tok: str) -> int:
+    """Deterministic 64-bit token hash, memoized (vocabulary repeats
+    heavily across documents — Zipf — so the sha1 cost amortizes)."""
+    h = _TOKEN_HASH_MEMO.get(tok)
+    if h is None:
+        if len(_TOKEN_HASH_MEMO) > 1_000_000:
+            _TOKEN_HASH_MEMO.clear()
+        h = _TOKEN_HASH_MEMO[tok] = int.from_bytes(
+            hashlib.sha1(tok.encode()).digest()[:8], "big")
+    return h
+
+
 def _shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingles hashed to 61-bit ints (deterministic)."""
+    """Word k-gram shingles hashed to 61-bit ints: per-token hashes
+    (memoized) combined positionally with odd multipliers — vectorized
+    over the token array, deterministic."""
     toks = (text or "").lower().split()
-    out = set()
-    for i in range(max(0, len(toks) - k + 1)):
-        sh = " ".join(toks[i:i + k])
-        out.add(int.from_bytes(hashlib.sha1(sh.encode()).digest()[:8],
-                               "big") & _MERSENNE)
-    return out
+    n = len(toks)
+    if n < k:
+        return set()
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64,
+                     count=n)
+    acc = th[: n - k + 1] * np.uint64(0x9E3779B97F4A7C15)
+    for j in range(1, k):
+        acc = acc ^ (th[j: n - k + 1 + j] * np.uint64(0xC2B2AE3D27D4EB4F + 2 * j))
+    return set((acc & np.uint64(_MERSENNE)).tolist())
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -171,13 +191,23 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
 
     bands_ds = sigs_mat.map_batches(to_bands, batch_format="pyarrow")
 
-    # Collision detection: vectorized count per bucket → only buckets
-    # with ≥2 docs survive (LSH buckets are overwhelmingly singletons;
-    # a per-group map_groups over every bucket would pay Python-call
-    # overhead per singleton). The collision set is small by construction
-    # and pairs up in one task.
-    counts = bands_ds.groupby(["band", "band_hash"]).count().to_pandas()
-    hot = counts[counts["count()"] >= 2]
+    # Collision detection: per-batch partial counts merged on the driver
+    # (pre-aggregation before the wide step — a full groupby shuffle over
+    # the band rows costs more than the tiny combined count table). Only
+    # buckets with ≥2 docs survive; LSH buckets are overwhelmingly
+    # singletons, so the collision set is small by construction.
+    def partial_counts(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"band": b["band"].to_pylist(),
+                           "band_hash": b["band_hash"].to_pylist()})
+        g = df.groupby(["band", "band_hash"], as_index=False).size()
+        return pa.table({"band": pa.array(g["band"], pa.int32()),
+                         "band_hash": pa.array(g["band_hash"], pa.string()),
+                         "n": pa.array(g["size"], pa.int64())})
+
+    counts = bands_ds.map_batches(partial_counts,
+                                  batch_format="pyarrow").to_pandas()
+    counts = counts.groupby(["band", "band_hash"], as_index=False)["n"].sum()
+    hot = counts[counts["n"] >= 2]
     hot_keys = set(zip(hot["band"], hot["band_hash"]))
     import ray as _ray
     hot_ref = _ray.put(hot_keys)
@@ -215,6 +245,41 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
         "similarity": pd.Series(sim_out, dtype="float64")}))
 
 
+def dedup_groups(pairs_df: pd.DataFrame, all_ids=None) -> pd.DataFrame:
+    """Near-dup pair list → connected components → one surviving
+    representative (min id) per cluster. Union-find on the pair set —
+    valid because LSH candidate pairs are a small fraction of the corpus
+    (the guide's documented condition); at cluster scale the same result
+    comes from a few rounds of min-label propagation via groupby.
+
+    Returns (doc_id, cluster_rep, keep)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    ids = (sorted(set(map(int, all_ids)))
+           if all_ids is not None else
+           sorted({find(int(x)) for x in
+                   pd.concat([pairs_df["doc_a"], pairs_df["doc_b"]])}
+                  | set(map(int, pairs_df["doc_a"]))
+                  | set(map(int, pairs_df["doc_b"]))))
+    reps = [find(i) for i in ids]
+    return pd.DataFrame({"doc_id": ids, "cluster_rep": reps,
+                         "keep": [i == r for i, r in zip(ids, reps)]})
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (verification kernel for LSH pairs)."""
     sa, sb = _shingles(text_a, k), _shingles(text_b, k)
@@ -241,9 +306,8 @@ class SimHasher:
         toks = (text or "").lower().split()
         if not toks:
             return 0
-        hashes = np.fromiter(
-            (int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big")
-             for t in toks), dtype=np.uint64, count=len(toks))
+        hashes = np.fromiter((_token_hash(t) for t in toks),
+                             dtype=np.uint64, count=len(toks))
         shifts = np.arange(64, dtype=np.uint64)
         bits = (hashes[:, None] >> shifts[None, :]) & np.uint64(1)
         acc = np.where(bits == 1, 1, -1).sum(axis=0)

@@ -496,6 +496,17 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup dedup: LSH pairs → connected components →
+    surviving representative per cluster."""
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
+    all_ids = pd.read_parquet(_t(sf_dir, "documents"),
+                              columns=["doc_id"])["doc_id"]
+    out = dd.dedup_groups(pairs, all_ids=all_ids)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.simhash_pairs(ds, max_hamming=8).to_pandas()
@@ -618,6 +629,7 @@ QUERIES = {
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "minhash_dedup_keep": q_minhash_dedup_keep,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann_topk": q_ivf_ann,

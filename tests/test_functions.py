@@ -56,6 +56,26 @@ class TestMinHash:
         assert dd.ngram_jaccard("a b c d", "x y z w") == 0.0
 
 
+class TestDedupGroups:
+    def test_components_and_representatives(self):
+        pairs = pd.DataFrame({"doc_a": [0, 1, 5], "doc_b": [1, 2, 6]})
+        out = dd.dedup_groups(pairs, all_ids=range(8))
+        out = out.set_index("doc_id")
+        assert out.loc[0, "keep"] and not out.loc[1, "keep"] \
+            and not out.loc[2, "keep"]
+        assert out.loc[2, "cluster_rep"] == 0
+        assert out.loc[5, "keep"] and not out.loc[6, "keep"]
+        assert out.loc[3, "keep"] and out.loc[7, "keep"]  # singletons
+        assert out["keep"].sum() == 5  # 8 docs, 3 removed as dups
+
+    def test_pipeline_with_minhash(self, docs_ds):
+        pairs = dd.minhash_lsh_pairs(docs_ds, threshold=0.5,
+                                     concurrency=2).to_pandas()
+        out = dd.dedup_groups(pairs, all_ids=range(5))
+        kept = set(out.loc[out["keep"], "doc_id"])
+        assert 0 in kept and 1 not in kept  # exact dup collapsed to min id
+
+
 class TestSimHash:
     def test_exact_dup_zero_hamming(self, docs_ds):
         out = dd.simhash_pairs(docs_ds, max_hamming=3,
