@@ -636,3 +636,6 @@ class CrawlEngine:
     def shutdown(self):
         for a in self.seen + self.frontier:
             ray.kill(a)
+        directory = self.corpus_refs.get("directory")
+        if directory is not None:
+            ray.kill(directory)

@@ -127,30 +127,59 @@ def _replay(store: _CorpusStore, batch: pa.Table) -> pa.Table:
 # bucket group); the lookup pattern is identical.
 # ---------------------------------------------------------------------------
 
-def put_corpus_refs(pages_dir: str, fetchmeta_path: str) -> dict:
-    """Driver-side: load each host-bucket partition + fetchmeta into the
-    object store. Returns a plain dict of ObjectRefs to pass to tasks."""
-    import ray
+def _corpus_num_buckets(pages_dir: str) -> int:
     meta_path = os.path.join(os.path.dirname(pages_dir), "corpus_meta.json")
     if os.path.exists(meta_path):
         import json
         with open(meta_path) as f:
-            num_buckets = json.load(f)["num_buckets"]
-    else:
-        num_buckets = 1 + max(
-            (int(d.split("=")[1]) for d in os.listdir(pages_dir)
-             if d.startswith("host_bucket=")), default=0)
-    buckets = {}
-    for d in sorted(os.listdir(pages_dir)):
-        if not d.startswith("host_bucket="):
-            continue
-        b = int(d.split("=")[1])
-        part = os.path.join(pages_dir, d)
-        tables = [pq.read_table(os.path.join(part, f))
-                  for f in sorted(os.listdir(part)) if f.endswith(".parquet")]
-        buckets[b] = ray.put(pa.concat_tables(tables))
-    meta = ray.put(pq.read_table(fetchmeta_path))
-    return {"buckets": buckets, "meta": meta, "num_buckets": num_buckets}
+            return json.load(f)["num_buckets"]
+    return 1 + max((int(d.split("=")[1]) for d in os.listdir(pages_dir)
+                    if d.startswith("host_bucket=")), default=0)
+
+
+def _load_bucket_table(pages_dir: str, b: int) -> pa.Table | None:
+    part = os.path.join(pages_dir, f"host_bucket={b}")
+    if not os.path.isdir(part):
+        return None
+    tables = [pq.read_table(os.path.join(part, f))
+              for f in sorted(os.listdir(part)) if f.endswith(".parquet")]
+    return pa.concat_tables(tables) if tables else None
+
+
+class _CorpusDirectory:
+    """Named actor: loads bucket partitions into the object store ON
+    DEMAND and hands out the refs. The working set is the buckets the
+    crawl actually touches, not the whole corpus — the behavior a 100 TB
+    corpus requires (multi-node: one directory per node / bucket group
+    with locality-aware placement)."""
+
+    def __init__(self, pages_dir: str, fetchmeta_path: str):
+        import ray
+        self.pages_dir = pages_dir
+        self._refs: dict[int, object] = {}
+        self.meta_ref = ray.put(pq.read_table(fetchmeta_path))
+        self.num_buckets = _corpus_num_buckets(pages_dir)
+
+    def describe(self):
+        return {"meta": self.meta_ref, "num_buckets": self.num_buckets}
+
+    def get_bucket(self, b: int):
+        import ray
+        if b not in self._refs:
+            t = _load_bucket_table(self.pages_dir, b)
+            self._refs[b] = ray.put(t) if t is not None else None
+        return self._refs[b]
+
+
+def put_corpus_refs(pages_dir: str, fetchmeta_path: str) -> dict:
+    """Driver-side: start the corpus directory actor; buckets load
+    lazily on first touch (bounded working set at any corpus size)."""
+    import ray
+    directory = ray.remote(num_cpus=0.1)(_CorpusDirectory).remote(
+        pages_dir, fetchmeta_path)
+    desc = ray.get(directory.describe.remote())
+    return {"directory": directory, "meta": desc["meta"],
+            "num_buckets": desc["num_buckets"]}
 
 
 class _SharedIndex:
@@ -177,7 +206,7 @@ class _SharedIndex:
         entry = self._bucket_idx.get(b)
         if entry is None:
             import ray
-            ref = self.refs["buckets"].get(b)
+            ref = ray.get(self.refs["directory"].get_bucket.remote(b))
             if ref is None:
                 entry = (None, {})
             else:

@@ -90,11 +90,11 @@ class TestHarPipeline:
         eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
                                       out_dir="/tmp/ncr_test_har"))
         eng.run()
-        pages = eng.pages_dataset()
+        eng.shutdown()   # release actor CPUs before running the pipelines
+        pages = rd.read_parquet("/tmp/ncr_test_har/pages")
         har_urls, assoc = har_tables(pages)
         hdf = har_urls.to_pandas()
         adf = assoc.to_pandas()
-        eng.shutdown()
         assert (hdf["is_advertising"] & hdf["har_url"].str.contains("ads.tracker")).any()
         assert not hdf.loc[hdf["har_url"].str.contains("cdn.static"),
                            "is_advertising"].any()
