@@ -111,6 +111,7 @@ _AUTHOR_TAG_RE = re.compile(r"<[^<]+?>")
 _AUTHOR_BY_RE = re.compile(r"[bB][yY][\:\s]|[fF]rom[\:\s]")
 _AUTHOR_SPLIT_RE = re.compile(r"[^\w\'\-\.]")
 _HREF_REL_RE = re.compile(r"^/")
+_SCHEME_ANY_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
 
 
 def parse_date_str(date_str: str | None) -> datetime | None:
@@ -158,6 +159,13 @@ class PageExtract:
     outbound_links: list[str] = field(default_factory=list)
     har: list[str] = field(default_factory=list)
     nav_blocks_flagged: int = 0
+    # M20 meta extractors (transient in the reference — never persisted
+    # to the pages row; exposed on the kernel API)
+    meta_description: str | None = None
+    meta_keywords: str | None = None
+    meta_favicon: str | None = None
+    canonical_link: str | None = None
+    meta_data: dict = field(default_factory=dict)
 
 
 class ExtractKernel:
@@ -378,6 +386,14 @@ class ExtractKernel:
         stops = self._stops(result.language)
         result.publish_date = self._get_publish_date(url, clean_tree, stops)
         result.sections = self._get_sections(clean_tree)
+        # M20 meta extractors (extractors.py:385-555)
+        result.meta_description = self._meta_content(clean_tree, "name",
+                                                     "description")
+        result.meta_keywords = self._meta_content(clean_tree, "name",
+                                                  "keywords")
+        result.meta_favicon = self._get_favicon(clean_tree)
+        result.canonical_link = self._get_canonical(clean_tree, url, scheme)
+        result.meta_data = self._get_meta_data(clean_tree)
 
         top_node = self._calculate_best_node(tree, stops)
         if top_node is not None:
@@ -646,6 +662,52 @@ class ExtractKernel:
                 if dt:
                     return dt
         return None
+
+    # -- M20 meta extractors ---------------------------------------------
+    def _get_favicon(self, tree: Node) -> str | None:
+        """extractors.py:385-395: first <link rel*="icon"> href."""
+        for link in tree.iter("link"):
+            if "icon" in (link.get("rel") or ""):
+                return link.get("href")
+        return None
+
+    def _get_canonical(self, tree: Node, url: str, scheme: str) -> str | None:
+        """extractors.py:520-555: <link rel="canonical"> with hostname
+        repair for relative/schemeless hrefs."""
+        for link in tree.iter("link"):
+            if (link.get("rel") or "") == "canonical":
+                href = (link.get("href") or "").strip()
+                if not href:
+                    return None
+                if href.startswith("//"):
+                    return f"{scheme}:{href}"
+                if href.startswith("/"):
+                    host = urlnorm.get_principal_domain_www(
+                        url if "://" in url else "http://" + url)
+                    return f"{scheme}://{host}{href}"
+                if not _SCHEME_ANY_RE.match(href):
+                    return f"{scheme}://{href}"
+                return href
+        return None
+
+    def _get_meta_data(self, tree: Node) -> dict:
+        """extractors.py:481-518: nested meta property/name map (dotted
+        keys kept flat: {'og': {'type': 'article', ...}, ...})."""
+        out: dict = {}
+        for meta in tree.iter("meta"):
+            key = meta.get("property") or meta.get("name")
+            content = meta.get("content")
+            if not key or content is None:
+                continue
+            parts = re.split(r"[:.]", key, maxsplit=1)
+            if len(parts) == 2:
+                ns, sub = parts
+                bucket = out.setdefault(ns, {})
+                if isinstance(bucket, dict):
+                    bucket[sub] = content
+            else:
+                out.setdefault(key, content)
+        return out
 
     # -- sections (extractors.py:1083-1094; name=sections branch dead) ---
     def _get_sections(self, tree: Node) -> list[str]:

@@ -352,6 +352,41 @@ def q_lang_counts(sf_dir: str) -> pd.DataFrame:
 Q_LANG_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang"
 
 
+def q_status_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large join via the native hash-partitioned ``Dataset.join``
+    (both sides shuffle on the key — the pattern for joins where neither
+    side broadcasts), then grouped aggregate."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def add_milli(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue_milli": np.floor(rev * 1000).astype("int64")})
+
+    li = li.map_batches(add_milli, batch_format="pandas")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue_milli", alias_name="revenue_milli")).to_pandas()
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+Q_STATUS_REVENUE_SQL = """
+SELECT o.o_orderstatus, count(*) AS n_items,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000) AS BIGINT)) AS BIGINT) AS revenue_milli
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
 def q_top_tokens(sf_dir: str) -> pd.DataFrame:
     """flat_map → partial count → groupby → sort → limit: top-20 tokens
     across documents (deterministic tie-break on token)."""
@@ -583,6 +618,26 @@ def q_crawl_stats(sf_dir: str) -> pd.DataFrame:
     return per_host_stats(_flagship_pages_ds(sf_dir))
 
 
+def q_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based train/val/test assignment + counts."""
+    from .functions.splits import assign_split
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = assign_split(ds).groupby("split") \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+Q_TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n
+FROM (SELECT CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+      FROM documents) t
+GROUP BY 1 ORDER BY split
+"""
+
+
 def q_approx_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     """Mergeable-sketch aggregation: HLL distinct-token estimate."""
     from .functions.sketches import approx_distinct_tokens
@@ -625,6 +680,8 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_top_tokens": q_top_tokens,
     "q_segment_order_stats": q_segment_order_stats,
+    "q_status_revenue": q_status_revenue,
+    "q_train_split": q_train_split,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -658,4 +715,6 @@ ORACLES = {
     "q_ann_topk": Q_ANN_SQL,
     "q_top_tokens": Q_TOP_TOKENS_SQL,
     "q_segment_order_stats": Q_SEGMENT_SQL,
+    "q_status_revenue": Q_STATUS_REVENUE_SQL,
+    "q_train_split": Q_TRAIN_SPLIT_SQL,
 }

@@ -138,6 +138,24 @@ class TestMeta:
         r = kernel.extract(ARTICLE_URL, html)
         assert r.sections == ["politica"]
 
+    def test_m20_meta_extractors(self, kernel):
+        head = ('<meta name="description" content="Una descrizione"/>'
+                '<meta name="keywords" content="a,b,c"/>'
+                '<link rel="shortcut icon" href="/favicon.ico"/>'
+                '<link rel="canonical" href="/politica/2021/05/12/canon.html"/>'
+                '<meta property="og:site_name" content="Sito"/>'
+                '<meta property="article:tag" content="politica"/>')
+        html = wrap_article(f"<p>{IT_P1}</p>", head_extra=head)
+        r = kernel.extract(ARTICLE_URL, html)
+        assert r.meta_description == "Una descrizione"
+        assert r.meta_keywords == "a,b,c"
+        assert r.meta_favicon == "/favicon.ico"
+        assert r.canonical_link == \
+            "http://news-0.example/politica/2021/05/12/canon.html"
+        assert r.meta_data["og"]["site_name"] == "Sito"
+        assert r.meta_data["og"]["type"] == "article"
+        assert r.meta_data["article"]["tag"] == "politica"
+
     def test_videos_provider_whitelist(self, kernel):
         body = (f"<p>{IT_P1}</p>"
                 '<iframe src="http://youtube.example/embed/v1"></iframe>'
