@@ -507,7 +507,7 @@ def q_crawl_flagship(sf_dir: str):
     import shutil
     tag, _ = _sf_tag(sf_dir)
     # force a fresh crawl for the flagship itself (reports/har reuse it)
-    shutil.rmtree(f"/tmp/ncr_flagship_{tag}", ignore_errors=True)
+    shutil.rmtree(_flagship_out_dir(tag), ignore_errors=True)
     pages = _flagship_pages_ds(sf_dir).to_pandas()
     return pages.sort_values("url").reset_index(drop=True)
 
@@ -578,6 +578,12 @@ def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     return to.fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def _flagship_out_dir(tag: str) -> str:
+    # versioned so stale outputs from older engine/corpus versions are
+    # never reused across runs
+    return f"/tmp/ncr_flagship_{tag}_v{corpus_mod.CORPUS_VERSION}"
+
+
 def _flagship_pages_ds(sf_dir: str):
     """Run (or reuse) the flagship crawl and return its pages Dataset."""
     import os
@@ -585,7 +591,7 @@ def _flagship_pages_ds(sf_dir: str):
     from .pipelines.crawl import CrawlConfig, CrawlEngine
     tag, spec = _sf_tag(sf_dir)
     paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
-    out_dir = f"/tmp/ncr_flagship_{tag}"
+    out_dir = _flagship_out_dir(tag)
     if not os.path.isdir(os.path.join(out_dir, "pages")):
         eng = CrawlEngine(CrawlConfig(corpus_root=paths.root,
                                       out_dir=out_dir,
