@@ -209,3 +209,30 @@ class TestResume:
         pd.testing.assert_frame_equal(
             engine_result["order"].sort_values(["host", "host_seq"]).reset_index(drop=True),
             order.sort_values(["host", "host_seq"]).reset_index(drop=True))
+
+    def test_resume_replays_uncheckpointed_round(self, ray_session, corpus,
+                                                 engine_result):
+        # checkpoint every 2 rounds, stop after 5: round 4 ran but was
+        # not checkpointed → resume must drop and replay it exactly
+        out = "/tmp/ncr_test_crawl_resume2"
+        cfg = CrawlConfig(corpus_root=corpus.root, out_dir=out,
+                          max_rounds=5, checkpoint_every=2)
+        eng = CrawlEngine(cfg)
+        eng.run()
+        eng.shutdown()
+        import json
+        with open(os.path.join(out, "checkpoint", "manifest.json")) as f:
+            done_round = json.load(f)["round"]
+        assert done_round == 3   # checkpoints fire after rounds 1 and 3
+        assert os.path.isdir(os.path.join(out, "pages", "round=4"))
+
+        eng2 = CrawlEngine(CrawlConfig(corpus_root=corpus.root, out_dir=out,
+                                       checkpoint_every=2), resume=True)
+        eng2.run()
+        pages = eng2.pages_dataset().to_pandas()
+        order = eng2.crawl_order_table().to_pandas()
+        eng2.shutdown()
+        assert set(pages["url"]) == set(engine_result["pages"]["url"])
+        pd.testing.assert_frame_equal(
+            engine_result["order"].sort_values(["host", "host_seq"]).reset_index(drop=True),
+            order.sort_values(["host", "host_seq"]).reset_index(drop=True))
