@@ -624,6 +624,37 @@ def q_crawl_stats(sf_dir: str) -> pd.DataFrame:
     return per_host_stats(_flagship_pages_ds(sf_dir))
 
 
+def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for each purchase event, the most recent prior 'view'
+    event time of the same user (custom operator — composition of
+    groupby + per-group merge_asof; DuckDB native ASOF JOIN oracle)."""
+    from .functions.joins import asof_join
+    purchases = rd.read_parquet(_t(sf_dir, "events"),
+                                columns=["event_id", "user_id", "ts",
+                                         "event_type"]) \
+        .map_batches(lambda df: df[df.event_type == "purchase"]
+                     .drop(columns=["event_type"]), batch_format="pandas")
+    views = rd.read_parquet(_t(sf_dir, "events"),
+                            columns=["user_id", "ts", "event_type"]) \
+        .map_batches(lambda df: df[df.event_type == "view"]
+                     .drop(columns=["event_type"]), batch_format="pandas")
+    out = asof_join(purchases, views, by="user_id", on="ts",
+                    value_cols=[]).to_pandas()
+    out = out.rename(columns={"ts_right": "prior_view_ts"})
+    out["event_id"] = out["event_id"].astype("int64")
+    return out[["event_id", "user_id", "ts", "prior_view_ts"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+Q_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, v.ts AS prior_view_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
 def q_train_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based train/val/test assignment + counts."""
     from .functions.splits import assign_split
@@ -688,6 +719,7 @@ QUERIES = {
     "q_segment_order_stats": q_segment_order_stats,
     "q_status_revenue": q_status_revenue,
     "q_train_split": q_train_split,
+    "q_asof_purchase_view": q_asof_purchase_view,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -723,4 +755,5 @@ ORACLES = {
     "q_segment_order_stats": Q_SEGMENT_SQL,
     "q_status_revenue": Q_STATUS_REVENUE_SQL,
     "q_train_split": Q_TRAIN_SPLIT_SQL,
+    "q_asof_purchase_view": Q_ASOF_SQL,
 }

@@ -164,6 +164,27 @@ class TestTextOps:
         assert a.iloc[0]["min_fp"] == a.iloc[1]["min_fp"]
 
 
+class TestAsofJoin:
+    def test_backward_match(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.joins import asof_join
+        left = rd.from_pandas(pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 8],
+            "ts": pd.to_datetime(["2021-01-10", "2021-01-20", "2021-01-10"]),
+        }))
+        right = rd.from_pandas(pd.DataFrame({
+            "user_id": [7, 7, 9],
+            "ts": pd.to_datetime(["2021-01-05", "2021-01-15", "2021-01-01"]),
+        }))
+        out = asof_join(left, right, by="user_id", on="ts",
+                        value_cols=[]).to_pandas().set_index("event_id")
+        assert out.loc[1, "ts_right"] == pd.Timestamp("2021-01-05")
+        assert out.loc[2, "ts_right"] == pd.Timestamp("2021-01-15")
+        assert pd.isna(out.loc[3, "ts_right"])  # user 8 has no marker
+
+
 class TestMultimodal:
     def test_decode_stub_schema(self, docs_ds):
         out = mm.media_metadata(docs_ds, batch_size=2, concurrency=2).to_pandas()
