@@ -63,3 +63,24 @@ class TestGolden:
         b = golden["order"].sort_values(["host", "host_seq"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
         assert set(pages["url"]) == golden["seen"]
+
+    def test_kernel_links_match_golden(self):
+        # FIXTURES.md §4.4: per-page discovered links, order-preserving
+        from news_crawler_ray.extract import ExtractKernel
+        import pyarrow.dataset as pads
+        golden_links = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_links.parquet")).to_pandas()
+        corpus = default_corpus(CORPUS_TAG, **CORPUS_SPEC)
+        t = pads.dataset(corpus.pages_dir, partitioning="hive").to_table()
+        pages = {u: (h, lg) for u, h, lg in zip(t["url"].to_pylist(),
+                                                t["html"].to_pylist(),
+                                                t["lang"].to_pylist())}
+        kernel = ExtractKernel()
+        checked = 0
+        for page_url, g in golden_links.groupby("page_url"):
+            html, lang = pages[page_url]
+            r = kernel.extract(page_url, html.decode(), lang_hint=lang)
+            want = list(g.sort_values("link_seq")["link_url"])
+            assert r.links == want, page_url
+            checked += 1
+        assert checked > 20

@@ -39,8 +39,36 @@ def main():
                    os.path.join(GOLDEN_DIR, "golden_crawl_order.parquet"))
     seen = pa.table({"url": pages["url"]})
     pq.write_table(seen, os.path.join(GOLDEN_DIR, "golden_seen.parquet"))
+
+    # golden_links (FIXTURES.md §4.4): discovered same-domain links per
+    # 200-page, order-preserving, straight from the kernel
+    import pyarrow.dataset as pads
+
+    from news_crawler_ray.extract import ExtractKernel
+    t = pads.dataset(corpus.pages_dir, partitioning="hive").to_table()
+    meta = pq.read_table(corpus.fetchmeta).to_pydict()
+    status = dict(zip(meta["url"], meta["status"]))
+    kernel = ExtractKernel()
+    page_urls, link_urls, link_seqs = [], [], []
+    for url, html, lang in sorted(zip(t["url"].to_pylist(),
+                                      t["html"].to_pylist(),
+                                      t["lang"].to_pylist())):
+        if status[url] != 200 or not html:
+            continue
+        r = kernel.extract(url, html.decode(), lang_hint=lang)
+        for i, link in enumerate(r.links):
+            page_urls.append(url)
+            link_urls.append(link)
+            link_seqs.append(i)
+    pq.write_table(pa.table({
+        "page_url": pa.array(page_urls, pa.string()),
+        "link_url": pa.array(link_urls, pa.string()),
+        "link_seq": pa.array(link_seqs, pa.int32()),
+    }), os.path.join(GOLDEN_DIR, "golden_links.parquet"))
+
     print(f"wrote {pages.num_rows} pages, "
-          f"{result['order'].num_rows} order rows to {GOLDEN_DIR}")
+          f"{result['order'].num_rows} order rows, "
+          f"{len(link_urls)} links to {GOLDEN_DIR}")
 
 
 if __name__ == "__main__":
