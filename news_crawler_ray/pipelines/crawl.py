@@ -404,10 +404,15 @@ class CrawlEngine:
                      for b in ds.iter_batches(batch_size=cfg.batch_size,
                                               batch_format="pyarrow")]
         else:
+            # adaptive batch size: target ≥2 task waves per CPU so the
+            # round barrier's last wave doesn't idle most of the pool
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            bs = max(32, min(cfg.batch_size,
+                             -(-table.num_rows // (2 * ncpu))))
             refs = []
-            for off in range(0, table.num_rows, cfg.batch_size):
+            for off in range(0, table.num_rows, bs):
                 refs.append(_round_batch_task.remote(
-                    table.slice(off, cfg.batch_size), self.corpus_refs,
+                    table.slice(off, bs), self.corpus_refs,
                     cfg.only_webnews))
             parts = ray.get(refs)
         page = self._commit_discoveries(parts)
