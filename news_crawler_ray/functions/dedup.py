@@ -152,19 +152,54 @@ class MinHasher:
         })
 
 
+def _empty_pairs(value_name: str, value_dtype: str) -> pd.DataFrame:
+    """Typed empty pair frame — explicit dtypes so Ray's pandas block
+    schema stays stable across empty and non-empty groups (the round-1
+    PandasBlockSchema float64-vs-int64 executor warning)."""
+    return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                         "doc_b": pd.Series([], dtype="int64"),
+                         value_name: pd.Series([], dtype=value_dtype)})
+
+
+def _dedup_pairs(pairs: "rd.Dataset", value_name: str,
+                 value_dtype: str) -> "rd.Dataset":
+    """Distributed pair dedup: the same (doc_a, doc_b) emitted from
+    several LSH buckets carries an identical value (it is a pure function
+    of the two docs), so keeping the first row per pair key is
+    deterministic. ``groupby`` on the pair key — rows are 24 bytes, the
+    pair set is tiny relative to the corpus."""
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_a": pd.Series([g["doc_a"].iloc[0]], dtype="int64"),
+            "doc_b": pd.Series([g["doc_b"].iloc[0]], dtype="int64"),
+            value_name: pd.Series([g[value_name].iloc[0]],
+                                  dtype=value_dtype)})
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first, batch_format="pandas")
+
+
 def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 3,
                       threshold: float = 0.5, text_col: str = "text",
                       id_col: str = "doc_id",
                       concurrency: int = 4) -> "rd.Dataset":
     """Near-duplicate pairs via MinHash + banded LSH + exact-estimate
-    verification.
+    verification — fully distributed, no driver materialization.
 
-    shingle→minhash per batch (actor pool) → explode to (band_id,
-    band_hash, doc_id) → ``groupby`` band buckets (the shuffle; band_hash
-    is 16 hex chars, so only small rows move) → candidate pairs in-bucket
-    → verify with full-signature agreement ≥ threshold → global pair
-    dedup. Returns (doc_a, doc_b, similarity)."""
+    shingle→minhash per batch (actor pool) → explode to (band, band_hash,
+    doc_id, signature-blob) rows → ``groupby(band, band_hash)`` buckets
+    (the one shuffle) → in-bucket pairwise signature agreement ≥
+    threshold inside ``map_groups`` → distributed pair dedup
+    (``groupby(doc_a, doc_b)`` keep-first). Returns (doc_a, doc_b,
+    similarity).
+
+    Scale notes: the shuffle moves ``bands`` copies of each 1 KB
+    signature (the blob rides with its band row so verification never
+    needs a second lookup join); singleton buckets — the overwhelming
+    majority — emit nothing. A pathological all-identical corpus makes
+    one bucket quadratic; salt such keys upstream (state/cuckoo.py has
+    the salting pattern) if a corpus is known degenerate."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(MinHasher,
                           fn_constructor_kwargs={"num_perm": num_perm,
@@ -172,77 +207,48 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                                                  "text_col": text_col,
                                                  "id_col": id_col},
                           batch_format="pyarrow", concurrency=concurrency)
-    sigs_mat = sigs.materialize()  # small: (id, 128 u64) per doc
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bnd, bh = [], [], []
+        ids, bnd, bh, blob = [], [], [], []
         for did, sig in zip(batch["doc_id"].to_pylist(),
                             batch["signature"].to_pylist()):
             arr = np.asarray(sig, dtype=np.uint64)
+            raw = arr.tobytes()
             for b in range(bands):
                 seg = arr[b * rows_per_band:(b + 1) * rows_per_band]
                 h = hashlib.sha1(seg.tobytes() + bytes([b])).hexdigest()[:16]
                 ids.append(did)
                 bnd.append(b)
                 bh.append(h)
+                blob.append(raw)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "band": pa.array(bnd, pa.int32()),
-                         "band_hash": pa.array(bh, pa.string())})
+                         "band_hash": pa.array(bh, pa.string()),
+                         "sig": pa.array(blob, pa.binary())})
 
-    bands_ds = sigs_mat.map_batches(to_bands, batch_format="pyarrow")
+    bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    # Collision detection: per-batch partial counts merged on the driver
-    # (pre-aggregation before the wide step — a full groupby shuffle over
-    # the band rows costs more than the tiny combined count table). Only
-    # buckets with ≥2 docs survive; LSH buckets are overwhelmingly
-    # singletons, so the collision set is small by construction.
-    def partial_counts(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"band": b["band"].to_pylist(),
-                           "band_hash": b["band_hash"].to_pylist()})
-        g = df.groupby(["band", "band_hash"], as_index=False).size()
-        return pa.table({"band": pa.array(g["band"], pa.int32()),
-                         "band_hash": pa.array(g["band_hash"], pa.string()),
-                         "n": pa.array(g["size"], pa.int64())})
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs("similarity", "float64")
+        # unique docs in bucket, ascending id → canonical doc_a < doc_b
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64) \
+            .reshape(len(ids), -1)
+        # pairwise agreement fraction, vectorized (buckets are small)
+        agree = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        sims = agree[ia, ib]
+        mask = sims >= threshold
+        return pd.DataFrame({
+            "doc_a": pd.Series(ids[ia[mask]], dtype="int64"),
+            "doc_b": pd.Series(ids[ib[mask]], dtype="int64"),
+            "similarity": pd.Series(sims[mask], dtype="float64")})
 
-    counts = bands_ds.map_batches(partial_counts,
-                                  batch_format="pyarrow").to_pandas()
-    counts = counts.groupby(["band", "band_hash"], as_index=False)["n"].sum()
-    hot = counts[counts["n"] >= 2]
-    hot_keys = set(zip(hot["band"], hot["band_hash"]))
-    import ray as _ray
-    hot_ref = _ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = _ray.get(hot_ref)
-        mask = [(b, h) in keys for b, h in
-                zip(batch["band"].to_pylist(), batch["band_hash"].to_pylist())]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    colliding = bands_ds.map_batches(only_hot, batch_format="pyarrow") \
-        .to_pandas()
-
-    sig_lookup = {r["doc_id"]: np.asarray(r["signature"], dtype=np.uint64)
-                  for r in sigs_mat.take_all()}
-    seen_pairs: set[tuple] = set()
-    a_out, b_out, sim_out = [], [], []
-    for _, bucket in colliding.groupby(["band", "band_hash"]):
-        docs = sorted(set(bucket["doc_id"]))
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pair = (docs[i], docs[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                sa, sb = sig_lookup[pair[0]], sig_lookup[pair[1]]
-                s = float((sa == sb).mean())
-                if s >= threshold:
-                    a_out.append(pair[0])
-                    b_out.append(pair[1])
-                    sim_out.append(s)
-    return rd.from_pandas(pd.DataFrame({
-        "doc_a": pd.Series(a_out, dtype="int64"),
-        "doc_b": pd.Series(b_out, dtype="int64"),
-        "similarity": pd.Series(sim_out, dtype="float64")}))
+    raw_pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+        bucket_verify, batch_format="pandas")
+    return _dedup_pairs(raw_pairs, "similarity", "float64")
 
 
 def dedup_groups(pairs_df: pd.DataFrame, all_ids=None) -> pd.DataFrame:
@@ -334,41 +340,46 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          fn_constructor_kwargs={"text_col": text_col,
                                                 "id_col": id_col},
                          batch_format="pyarrow", concurrency=concurrency)
-    fps_df = fps.to_pandas()
-    fp_lookup = dict(zip(fps_df["doc_id"].astype(int),
-                         fps_df["simhash"].astype(np.uint64).map(int)))
 
-    # pigeonhole segments + collision-count filter (same shape as the
-    # MinHash path: groupby count finds the few non-singleton buckets)
-    seg_rows = {"doc_id": [], "segment": [], "value": []}
-    for did, fp in fp_lookup.items():
-        for s in range(4):
-            seg_rows["doc_id"].append(did)
-            seg_rows["segment"].append(s)
-            seg_rows["value"].append((fp >> (16 * s)) & 0xFFFF)
-    seg_df = pd.DataFrame(seg_rows)
-    sizes = seg_df.groupby(["segment", "value"])["doc_id"].transform("size")
-    colliding = seg_df[sizes >= 2]
+    # pigeonhole segment explosion, vectorized per batch: 4 rows/doc,
+    # each carrying the full 64-bit fingerprint (8 bytes — cheap to ship)
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(ids)
+        seg = np.repeat(np.arange(4, dtype=np.int32), n)
+        vals = np.concatenate([
+            ((fp >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int32)
+            for s in range(4)])
+        return pa.table({"doc_id": pa.array(np.tile(ids, 4)),
+                         "segment": pa.array(seg),
+                         "value": pa.array(vals),
+                         "simhash": pa.array(np.tile(fp, 4))})
 
-    seen_pairs: set[tuple] = set()
-    a_out, b_out, hd_out = [], [], []
-    for _, bucket in colliding.groupby(["segment", "value"]):
-        docs = sorted(set(bucket["doc_id"]))
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                pair = (docs[i], docs[j])
-                if pair in seen_pairs:
-                    continue
-                seen_pairs.add(pair)
-                d = bin(fp_lookup[pair[0]] ^ fp_lookup[pair[1]]).count("1")
-                if d <= max_hamming:
-                    a_out.append(pair[0])
-                    b_out.append(pair[1])
-                    hd_out.append(d)
-    return rd.from_pandas(pd.DataFrame({
-        "doc_a": pd.Series(a_out, dtype="int64"),
-        "doc_b": pd.Series(b_out, dtype="int64"),
-        "hamming": pd.Series(hd_out, dtype="int64")}))
+    seg_ds = fps.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs("hamming", "int64")
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        fp = g["simhash"].to_numpy(dtype=np.uint64)
+        xor = fp[:, None] ^ fp[None, :]
+        ham = np.unpackbits(
+            xor[..., None].view(np.uint8).reshape(len(ids), len(ids), 8),
+            axis=-1).sum(axis=-1)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        d = ham[ia, ib]
+        mask = d <= max_hamming
+        return pd.DataFrame({
+            "doc_a": pd.Series(ids[ia[mask]], dtype="int64"),
+            "doc_b": pd.Series(ids[ib[mask]], dtype="int64"),
+            "hamming": pd.Series(d[mask], dtype="int64")})
+
+    raw_pairs = seg_ds.groupby(["segment", "value"]).map_groups(
+        bucket_verify, batch_format="pandas")
+    return _dedup_pairs(raw_pairs, "hamming", "int64")
 
 
 # ---------------------------------------------------------------------------
@@ -378,48 +389,78 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
 def embedding_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            n_planes: int = 12,
+                            n_tables: int = 8, n_planes: int = 6,
                             seed: int = 42) -> "rd.Dataset":
-    """Cosine-similarity near-dup pairs via random-hyperplane LSH
-    buckets: sign-pattern of ``n_planes`` projections → ``groupby`` →
-    exact cosine verification in-bucket (numpy matmul). At 0.95+ cosine
-    two vectors almost surely share the full sign pattern, so recall is
-    high while buckets stay small. Returns (id_a, id_b, cos_sim)."""
+    """Cosine-similarity near-dup pairs via multi-table random-hyperplane
+    LSH: ``n_tables`` independent tables of ``n_planes`` hyperplanes each
+    (OR-amplification) → ``groupby(table, bucket)`` → exact cosine
+    verification in-bucket (numpy matmul) → distributed pair dedup across
+    tables. Returns (id_a, id_b, cos_sim).
+
+    Recall: P(one table collides) = (1 - θ/π)^b, so with the default
+    8 tables × 6 planes P(missed) = (1 - (1-θ/π)^6)^8 ≈ 0.003 at
+    cos = 0.95 and ≈ 0.02 at cos = 0.9 — the single-12-plane table this
+    replaces had only ~16–28 % recall in that range (round-1 defect).
+    tests/test_functions.py pins recall on planted near-dup pairs.
+
+    Scale: each vector is shipped ``n_tables`` times through one shuffle;
+    buckets hold ~n/2^b vectors so in-bucket matmuls stay small. Raise
+    ``n_planes`` (and ``n_tables`` to hold recall) as the corpus grows."""
     import ray as _ray
 
     # sample one batch to get dimensionality, then fixed planes
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0].as_py())
-    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    planes = np.random.RandomState(seed).normal(
+        size=(n_tables, dim, n_planes))
     planes_ref = _ray.put(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = _ray.get(planes_ref)
         mat = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-        signs = (mat @ pl) > 0
-        codes = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        n = len(mat)
+        tabs, codes = [], []
+        for t in range(n_tables):
+            signs = (mat @ pl[t]) > 0
+            codes.append(signs @ weights)
+            tabs.append(np.full(n, t, dtype=np.int32))
+        reps = pa.concat_tables([batch.select([id_col, vec_col])] * n_tables)
         return pa.table({
-            "vec_id": batch[id_col],
-            "bucket": pa.array(codes.astype(np.int64)),
-            "vec": batch[vec_col],
+            "vec_id": reps[id_col],
+            "table": pa.array(np.concatenate(tabs)),
+            "bucket": pa.array(np.concatenate(codes)),
+            "vec": reps[vec_col],
         })
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64")})
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float32)
-                        for v in g["vec"].to_numpy()[order]])
+                        for v in g["vec"].to_numpy()])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1
         sims = (mat / norms) @ (mat / norms).T
         ia, ib = np.triu_indices(len(ids), k=1)
         mask = sims[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
-                             "cos_sim": sims[ia, ib][mask].astype(float)})
+        return pd.DataFrame({
+            "id_a": pd.Series(ids[ia[mask]], dtype="int64"),
+            "id_b": pd.Series(ids[ib[mask]], dtype="int64"),
+            "cos_sim": pd.Series(sims[ia, ib][mask], dtype="float64")})
 
-    return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    raw = buckets.groupby(["table", "bucket"]).map_groups(
+        verify, batch_format="pandas")
+
+    # pair dedup across tables (cos_sim identical wherever emitted)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["id_a", "id_b", "cos_sim"]]
+
+    return raw.groupby(["id_a", "id_b"]).map_groups(
+        first, batch_format="pandas")
