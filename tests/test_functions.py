@@ -275,6 +275,30 @@ class TestSimilarity:
         assert 0 in approx                 # self-match always found
         assert len(exact & approx) >= 3    # decent recall on toy data
 
+    def test_ivf_actually_prunes(self, emb_ds, tmp_path):
+        """The query path must physically read only the nprobe probed
+        cluster partitions (VERDICT r1 item 4)."""
+        ds, mat = emb_ds
+        idx = sim.IvfIndex.build(ds, str(tmp_path / "ivf"), n_clusters=8)
+        assert idx.total_rows == 100       # every vector landed once
+        out = idx.query(mat[0], k=5, nprobe=2)
+        assert idx.last_scan_rows is not None
+        assert 0 < idx.last_scan_rows < idx.total_rows
+        # scanned exactly the two probed partitions, nothing else
+        q = mat[0] / np.linalg.norm(mat[0])
+        probe = np.argsort(-(idx.centroids @ q))[:2]
+        assert idx.last_scan_rows == idx._dir_rows(
+            idx._partition_dirs(probe))
+        assert 0 in set(out["vec_id"])     # self-match in probed cluster
+
+    def test_ivf_full_probe_equals_bruteforce(self, emb_ds, tmp_path):
+        ds, mat = emb_ds
+        idx = sim.IvfIndex.build(ds, str(tmp_path / "ivf_full"),
+                                 n_clusters=4)
+        exact = sim.cosine_topk(ds, mat[3], k=10)
+        full = idx.query(mat[3], k=10, nprobe=4)   # probe everything
+        assert list(full["vec_id"]) == list(exact["vec_id"])
+
 
 class TestTextOps:
     def test_token_counts(self, docs_ds):
