@@ -386,6 +386,45 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 
+def exact_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.45,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> "rd.Dataset":
+    """EXACT all-pairs cosine near-dup (the oracle baseline the LSH path
+    is measured against; DuckDB cross-join oracle in queries.py).
+
+    Shape: the normalized corpus matrix is broadcast once (``ray.put``)
+    and every batch computes one batch×corpus matmul, emitting only
+    qualifying ``id_a < id_b`` pairs — compute is O(n²/p) per worker and
+    fully distributed, but the broadcast side is the whole corpus
+    (n·d floats), so this is the small/medium-corpus baseline; use
+    :func:`embedding_neardup_pairs` (multi-table LSH) when n·d no longer
+    fits a worker."""
+    import ray as _ray
+
+    ref = ds.select_columns([id_col, vec_col]).to_pandas()
+    ref_ids = ref[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(ref[vec_col].to_list(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    ref_blob = _ray.put((ref_ids, mat / norms))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_r, matn = _ray.get(ref_blob)
+        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bm = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1
+        sims = (bm / bn) @ matn.T
+        m = (sims >= threshold) & (ids_r[None, :] > bids[:, None])
+        ia, ib = np.nonzero(m)
+        return pa.table({
+            "id_a": pa.array(bids[ia], pa.int64()),
+            "id_b": pa.array(ids_r[ib], pa.int64()),
+            "cos_sim": pa.array(sims[ia, ib], pa.float64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",

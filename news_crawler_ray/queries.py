@@ -487,6 +487,111 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT 10
 """
 
 
+def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine near-dup at threshold 0.45 — the exactness
+    oracle for the LSH near-dup path (distributed batch×corpus matmul
+    with the corpus matrix broadcast once)."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = dd.exact_neardup_pairs(ds, threshold=0.45).to_pandas()
+    out["cos_sim"] = out["cos_sim"].round(5)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+Q_EMB_EXACT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY id_a, id_b
+"""
+
+
+def q_whois_host_metadata(sf_dir: str) -> pd.DataFrame:
+    """S7 whois connector (reference whoisinfo.py:39-104): per-host
+    registration metadata joined to per-host corpus stats. Whois fields
+    are the deterministic md5 synthesis from sources/whois.py (network
+    whois can't run in replay — SURVEY.md §2.1 S7); the join is the
+    degenerate broadcast-small-side shape (pure function of the key)."""
+    from .sources.whois import join_whois
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"))
+    out = join_whois(agg, host_col="source").to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    cols = ["source", "registrar", "created_year", "expires_year",
+            "country", "n_docs", "total_chars"]
+    return out[cols].sort_values("source").reset_index(drop=True)
+
+
+Q_WHOIS_SQL = """
+WITH w AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(source), 1, 8)) AS UBIGINT) AS seed
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT d.source,
+       'registrar-' || CAST(w.seed % 7 AS VARCHAR) AS registrar,
+       CAST(2000 + w.seed % 20 AS BIGINT) AS created_year,
+       CAST(2000 + w.seed % 20 + 2 + (w.seed // 20) % 10 AS BIGINT) AS expires_year,
+       ['US','DE','FR','IT','ES'][CAST(w.seed % 5 AS INT) + 1] AS country,
+       count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN w ON d.source = w.source
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY d.source
+"""
+
+
+def _langid_sql() -> str:
+    """DuckDB oracle for the stopword-vote language id: replicates
+    detect_language (extract/textstats.py:92-107) — strip ASCII
+    punctuation, lowercase, whitespace-split, count stopword hits per
+    language (with multiplicity), winner = max hits with candidate-order
+    tie-break, NULL when no hits. The stopword VALUES list is generated
+    from the same STOPWORDS tables the engine uses."""
+    from .extract.textstats import STOPWORDS
+    langs = ("it", "en", "es", "de", "fr")
+    vals = ",".join(
+        f"('{lang}',{pri},'{w}')"
+        for pri, lang in enumerate(langs)
+        for w in sorted(STOPWORDS[lang]))
+    # string.punctuation == ASCII 33-47, 58-64, 91-96, 123-126
+    punct = r"[!-/:-@\[-`{-~]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(regexp_replace(text, '{punct}', '', 'g')), '\\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+),
+sw(lang, pri, tok) AS (VALUES {vals}),
+hits AS (
+  SELECT t.doc_id, s.lang, s.pri, count(*) AS n
+  FROM toks t JOIN sw s ON s.tok = t.tok
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pri ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id, b.lang AS lang_pred
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operators (no SQL equivalent; driver records row counts)
 # ---------------------------------------------------------------------------
@@ -720,6 +825,8 @@ QUERIES = {
     "q_status_revenue": q_status_revenue,
     "q_train_split": q_train_split,
     "q_asof_purchase_view": q_asof_purchase_view,
+    "q_embedding_neardup_exact": q_embedding_neardup_exact,
+    "q_whois_host_metadata": q_whois_host_metadata,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -756,4 +863,7 @@ ORACLES = {
     "q_status_revenue": Q_STATUS_REVENUE_SQL,
     "q_train_split": Q_TRAIN_SPLIT_SQL,
     "q_asof_purchase_view": Q_ASOF_SQL,
+    "q_embedding_neardup_exact": Q_EMB_EXACT_SQL,
+    "q_whois_host_metadata": Q_WHOIS_SQL,
+    "doc_langid": _langid_sql(),
 }

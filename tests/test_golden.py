@@ -84,3 +84,17 @@ class TestGolden:
             assert r.links == want, page_url
             checked += 1
         assert checked > 20
+
+
+class TestFingerprintGolden:
+    def test_distributed_fingerprints_match_golden(self, ray_session):
+        """doc_fingerprints (winnowing) vs the committed single-process
+        golden over sf0.001 — the driver-surface check for a pure
+        function with no SQL oracle (VERDICT r1 #9)."""
+        from news_crawler_ray.queries import q_fingerprints
+        golden_fp = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_fingerprints.parquet")
+        ).to_pandas()
+        got = q_fingerprints("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), golden_fp.reset_index(drop=True))

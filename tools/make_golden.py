@@ -66,9 +66,25 @@ def main():
         "link_seq": pa.array(link_seqs, pa.int32()),
     }), os.path.join(GOLDEN_DIR, "golden_links.parquet"))
 
+    # golden_fingerprints: single-process winnowing over the sf0.001
+    # documents table — pins the distributed doc_fingerprints query
+    # (deterministic pure function, not SQL-expressible; VERDICT r1 #9)
+    import pandas as pd
+
+    from news_crawler_ray.functions.textops import _winnow_fingerprints
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    fps = [_winnow_fingerprints(t or "") for t in docs["text"]]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(docs["doc_id"], pa.int64()),
+        "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+        "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.uint64()),
+    }), os.path.join(GOLDEN_DIR, "golden_fingerprints.parquet"))
+
     print(f"wrote {pages.num_rows} pages, "
           f"{result['order'].num_rows} order rows, "
-          f"{len(link_urls)} links to {GOLDEN_DIR}")
+          f"{len(link_urls)} links, {len(fps)} fingerprint rows "
+          f"to {GOLDEN_DIR}")
 
 
 if __name__ == "__main__":
