@@ -56,17 +56,18 @@ class CorpusSpec:
     error_every: int = 13        # every Nth page slot is a 404/500
 
 
-CORPUS_VERSION = 4   # bump when generated content changes (cache key)
+CORPUS_VERSION = 5   # bump when generated content changes (cache key)
 
 
 @dataclass
 class CorpusPaths:
     root: str
     pages_dir: str
-    fetchmeta: str
+    fetchmeta: str     # bucket-partitioned directory (fetchmeta/host_bucket=NN/)
     seeds: str
     politeness: str
     feeds: str = ""
+    whois: str = ""    # S7 per-host registration metadata sidecar
     host_pages: dict = field(default_factory=dict)  # host -> page count
 
 
@@ -183,10 +184,11 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
     paths = CorpusPaths(
         root=out_dir,
         pages_dir=os.path.join(out_dir, "pages"),
-        fetchmeta=os.path.join(out_dir, "fetchmeta.parquet"),
+        fetchmeta=os.path.join(out_dir, "fetchmeta"),
         seeds=os.path.join(out_dir, "seeds.parquet"),
         politeness=os.path.join(out_dir, "politeness.parquet"),
         feeds=os.path.join(out_dir, "feeds.parquet"),
+        whois=os.path.join(out_dir, "whois.parquet"),
     )
     done_marker = os.path.join(out_dir, "_DONE")
     meta_path = os.path.join(out_dir, "corpus_meta.json")
@@ -237,6 +239,13 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                     for i in range(n_hubs)]
         window = (n_articles + n_hubs - 1) // n_hubs
 
+        # M28 fixture (host 0 only): a real article served with a
+        # charset-suffixed mime — the reference's EXACT mime comparison
+        # (crawler.py:133) must record it scraped-without-article while
+        # the kernel itself still extracts its text (golden text kept)
+        charset_url = (f"http://{host}/misc/charset-note.html"
+                       if h == 0 else None)
+
         # hubs: heap-tree fanout (diameter O(log n_hubs) so crawl depth
         # doesn't grow linearly with host size) + article windows
         # (+ redirect aliases discovered here)
@@ -249,9 +258,23 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                 links.append(art_redirects.get(a, art_urls[a]))
             if h + 1 < spec.num_hosts:  # off-host link (must be filtered)
                 links.append(f"http://{host_name(h + 1)}/{SECTIONS[0]}/hub-0.html")
+            if charset_url and i == 0:
+                links.append(charset_url)
             html = _hub_html(host, SECTIONS[i % len(SECTIONS)], lang, links)
             emit(bucket, url, EPOCH_BASE_US + row_index * 1_000_000, html,
                  "", lang, 200, None, "text/html")
+            row_index += 1
+
+        if charset_url:
+            rng = _rng(spec.seed, host, "charset", 0)
+            paragraphs = _paragraphs(rng, lang)
+            html = _article_html(host, "/charset", "Charset Note",
+                                 f"{rng.choice(_FIRST)} {rng.choice(_LAST)}",
+                                 "2021-06-01T09:30:00", SECTIONS[0], lang,
+                                 paragraphs, [], None)
+            emit(bucket, charset_url, EPOCH_BASE_US + row_index * 1_000_000,
+                 html, " ".join(paragraphs), lang, 200, None,
+                 "text/html; charset=utf-8")
             row_index += 1
 
         # articles (+ error pages + redirect alias rows)
@@ -282,8 +305,38 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                  "", lang, 301, art_urls[a], "text/html")
             row_index += 1
 
-    # write partitioned pages + fetchmeta sidecar
-    meta_cols = {"url": [], "status": [], "redirect_to": [], "mime_type": []}
+    # S2 fixture: a redirecting seed whose chain lands CROSS-HOST (the
+    # alias lives only in fetchmeta — it has no page row, exactly like a
+    # URL whose fetch always 301s; the engine/oracle must route the
+    # resolved url to the resolved HOST's frontier shard and bucket,
+    # ADVICE r1 item 2)
+    seed_urls = [f"http://{host_name(h)}/{SECTIONS[0]}/hub-0.html"
+                 for h in range(spec.num_hosts)]
+    extra_meta: list[tuple] = []   # (host, url, status, redirect_to, mime)
+    if spec.num_hosts >= 2:
+        alias = f"http://{host_name(0)}/seed/landing.html"
+        target = (f"http://{host_name(1)}/"
+                  f"{SECTIONS[1 % len(SECTIONS)]}/hub-1.html")
+        extra_meta.append((host_name(0), alias, 301, target, "text/html"))
+        seed_urls.append(alias)
+
+    # write partitioned pages + bucket-partitioned fetchmeta sidecar
+    # (fetchmeta is corpus-sized at scale → partitioned and lazily
+    # loaded per bucket exactly like the pages, VERDICT r1 item 7)
+    meta_by_bucket: dict[int, dict] = {
+        b: {"url": list(cols["url"]), "status": list(cols["status"]),
+            "redirect_to": list(cols["redirect_to"]),
+            "mime_type": list(cols["mime_type"])}
+        for b, cols in buckets.items()}
+    for mhost, murl, mstatus, mredir, mmime in extra_meta:
+        b = host_bucket(mhost, spec.num_buckets)
+        cols = meta_by_bucket.setdefault(b, {
+            "url": [], "status": [], "redirect_to": [], "mime_type": []})
+        cols["url"].append(murl)
+        cols["status"].append(mstatus)
+        cols["redirect_to"].append(mredir)
+        cols["mime_type"].append(mmime)
+
     for bucket, cols in sorted(buckets.items()):
         part_dir = os.path.join(paths.pages_dir, f"host_bucket={bucket}")
         os.makedirs(part_dir, exist_ok=True)
@@ -301,20 +354,27 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
             pq.write_table(table.slice(off, chunk),
                            os.path.join(part_dir, f"part-{fi:04d}.parquet"),
                            row_group_size=1024)
-        for k in meta_cols:
-            meta_cols[k].extend(cols[k])
-    pq.write_table(pa.table({
-        "url": pa.array(meta_cols["url"], pa.string()),
-        "status": pa.array(meta_cols["status"], pa.int32()),
-        "redirect_to": pa.array(meta_cols["redirect_to"], pa.string()),
-        "mime_type": pa.array(meta_cols["mime_type"], pa.string()),
-    }), paths.fetchmeta)
+    for bucket, cols in sorted(meta_by_bucket.items()):
+        meta_dir = os.path.join(paths.fetchmeta, f"host_bucket={bucket}")
+        os.makedirs(meta_dir, exist_ok=True)
+        pq.write_table(pa.table({
+            "url": pa.array(cols["url"], pa.string()),
+            "status": pa.array(cols["status"], pa.int32()),
+            "redirect_to": pa.array(cols["redirect_to"], pa.string()),
+            "mime_type": pa.array(cols["mime_type"], pa.string()),
+        }), os.path.join(meta_dir, "part-0000.parquet"))
 
     pq.write_table(pa.table({
-        "url": pa.array([f"http://{host_name(h)}/{SECTIONS[0]}/hub-0.html"
-                         for h in range(spec.num_hosts)], pa.string()),
-        "seq": pa.array(list(range(spec.num_hosts)), pa.int64()),
+        "url": pa.array(seed_urls, pa.string()),
+        "seq": pa.array(list(range(len(seed_urls))), pa.int64()),
     }), paths.seeds)
+
+    # S7 whois sidecar: deterministic per-host registration metadata
+    # (reference whoisinfo.py:39-104; synthesis in sources/whois.py)
+    from .sources.whois import whois_frame
+    pq.write_table(pa.Table.from_pandas(
+        whois_frame(list(paths.host_pages.keys())), preserve_index=False),
+        paths.whois)
 
     # RSS feeds: one per host, first articles as items (S8 fixture)
     feed_hosts, feed_urls, feed_xml = [], [], []

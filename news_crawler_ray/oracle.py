@@ -31,10 +31,12 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
     import os
     import pyarrow.parquet as pq
 
-    store = _CorpusStore(os.path.join(corpus_root, "pages"),
-                         os.path.join(corpus_root, "fetchmeta.parquet"))
+    fetchmeta = os.path.join(corpus_root, "fetchmeta")
+    if not os.path.isdir(fetchmeta):
+        fetchmeta = os.path.join(corpus_root, "fetchmeta.parquet")
+    store = _CorpusStore(os.path.join(corpus_root, "pages"), fetchmeta)
     kernel = ExtractKernel()
-    frontier = Frontier()
+    frontier = Frontier(default_max_attempts=max_attempts)
     seen = SeenSet()
 
     pol_path = os.path.join(corpus_root, "politeness.parquet")
@@ -48,11 +50,13 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
     recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
                             "seq64", "url_to_refer")}
     for url, seq in sorted(zip(seeds["url"], seeds["seq"]), key=lambda x: x[1]):
-        canon = urlnorm.canonical_url(url)
+        # S2: resolve the seed's redirect chain, then route by the
+        # RESOLVED host (parity with CrawlEngine._enqueue_seeds)
+        canon = store.resolve_chain(urlnorm.canonical_url(url))
         if seen.add_if_absent([urlnorm.url_key(canon)])[0]:
             recs["url"].append(canon)
-            recs["host"].append(urlnorm.host_of(url))
-            recs["is_webnews"].append(urlnorm.is_news_url(url))
+            recs["host"].append(urlnorm.host_of(canon))
+            recs["is_webnews"].append(urlnorm.is_news_url(canon))
             recs["round_added"].append(0)
             recs["seq64"].append(seq)
             recs["url_to_refer"].append(None)
@@ -125,7 +129,9 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
                 enq["seq64"].append(seq64)
                 enq["url_to_refer"].append(ref)
         frontier.enqueue(enq)
-        frontier.complete(comp)
+        # the frontier's own exhausted verdict gates terminal rows —
+        # same single authority as the engine (ADVICE r1 item 1)
+        exhausted = set(frontier.complete(comp)["exhausted"])
 
         keep, codes, att = [], [], []
         for i in range(n):
@@ -133,7 +139,7 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
                 keep.append(i)
                 codes.append(cols["http_response_code"][i])
                 att.append(cols["attempts_count"][i])
-            elif cols["attempts_count"][i] + 1 >= max_attempts:
+            elif cols["url"][i] in exhausted:
                 keep.append(i)
                 codes.append(-1)
                 att.append(cols["attempts_count"][i] + 1)

@@ -106,6 +106,11 @@ class CrawlConfig:
 
     @property
     def fetchmeta(self):
+        """Bucket-partitioned ``fetchmeta/`` directory (current corpus
+        layout), falling back to the legacy single-file sidecar."""
+        d = os.path.join(self.corpus_root, "fetchmeta")
+        if os.path.isdir(d):
+            return d
         return os.path.join(self.corpus_root, "fetchmeta.parquet")
 
 
@@ -155,14 +160,21 @@ def discover_cols(batch: pa.Table, *, only_webnews: bool) -> pa.Table:
             .append_column("cand_key", pa.array(c_key, pa.list_(pa.binary()))))
 
 
-def finalize_page_rows(out: pa.Table, max_attempts: int) -> pa.Table:
+def finalize_page_rows(out: pa.Table, exhausted: set) -> pa.Table:
     """Keep successes + exhausted failures (terminal -1 rows,
-    crawler.py:405-417); drop rows that will be retried. Vectorized."""
+    crawler.py:405-417); drop rows that will be retried. ``exhausted`` is
+    the frontier's own verdict (returned by ``Frontier.complete``) so the
+    requeue gate and this page-row gate can never desynchronize, even
+    when the politeness table overrides max_attempts per host (ADVICE r1
+    item 1). Vectorized."""
     import pyarrow.compute as pc
 
     ok = out["ok"]
-    next_att = pc.add(out["attempts_count"], 1)
-    keep = pc.or_(ok, pc.greater_equal(next_att, max_attempts))
+    if exhausted:
+        keep = pc.or_(ok, pc.is_in(out["url"], value_set=pa.array(
+            sorted(exhausted), pa.string())))
+    else:
+        keep = ok
     page = out.filter(keep)
     ok_f = page["ok"]
     codes = pc.if_else(ok_f, page["http_response_code"],
@@ -196,10 +208,14 @@ class CrawlEngine:
         self.cfg = cfg
         self.round = 0
         self.metrics: list[dict] = []
-        self._seed_redirects: dict | None = None
+        self._seed_store = None
         self._host_shard_memo: dict[str, int] = {}
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
-        self.frontier = [FrontierShard.remote(i)
+        # cfg.max_attempts reaches every frontier shard at construction so
+        # the requeue gate and the page-row finalize gate share one
+        # authority (ADVICE r1 item 1); the politeness table may still
+        # override it per host.
+        self.frontier = [FrontierShard.remote(i, cfg.max_attempts)
                          for i in range(cfg.num_frontier_shards)]
         # corpus shared once through the object store (see stages/fetch.py)
         self.corpus_refs = put_corpus_refs(cfg.pages_dir, cfg.fetchmeta)
@@ -248,21 +264,14 @@ class CrawlEngine:
 
     def _resolve_seed(self, canon: str) -> str:
         """S2 seed redirect resolution (utils.py:254-261, main.py:10-13):
-        follow the fetchmeta redirect chain before seeding, ≤ 5 hops."""
-        if self._seed_redirects is None:
-            meta = pq.read_table(self.cfg.fetchmeta,
-                                 columns=["url", "status", "redirect_to"]).to_pydict()
-            self._seed_redirects = {
-                urlnorm.canonical_url(u): urlnorm.canonical_url(r)
-                for u, s, r in zip(meta["url"], meta["status"],
-                                   meta["redirect_to"])
-                if r and 300 <= s < 400}
-        for _ in range(5):
-            nxt = self._seed_redirects.get(canon)
-            if nxt is None:
-                return canon
-            canon = nxt
-        return canon
+        follow the fetchmeta redirect chain before seeding, ≤ 5 hops.
+        Bucket-pruned: only the fetchmeta partitions of the chain's hosts
+        are read (never the whole fetchmeta)."""
+        if self._seed_store is None:
+            from ..stages.fetch import _CorpusStore
+            self._seed_store = _CorpusStore(self.cfg.pages_dir,
+                                            self.cfg.fetchmeta)
+        return self._seed_store.resolve_chain(canon)
 
     def _enqueue_seeds(self):
         t = pq.read_table(os.path.join(self.cfg.corpus_root, "seeds.parquet")).to_pydict()
@@ -271,9 +280,12 @@ class CrawlEngine:
         keys, shards = [], []
         for url, seq in sorted(zip(t["url"], t["seq"]), key=lambda x: x[1]):
             canon = self._resolve_seed(urlnorm.canonical_url(url))
+            # host/news-class of the RESOLVED url: a cross-host seed
+            # redirect must route to the resolved host's frontier shard
+            # and corpus bucket (ADVICE r1 item 2)
             recs["url"].append(canon)
-            recs["host"].append(urlnorm.host_of(url))
-            recs["is_webnews"].append(urlnorm.is_news_url(url))
+            recs["host"].append(urlnorm.host_of(canon))
+            recs["is_webnews"].append(urlnorm.is_news_url(canon))
             recs["round_added"].append(0)
             recs["seq64"].append(seq)
             recs["url_to_refer"].append(None)
@@ -523,9 +535,11 @@ class CrawlEngine:
                 "seq64": g["work_seq64"].to_list(),
                 "url_to_refer": g["work_ref"].to_list(),
             }))
-        ray.get(comp_refs)
+        exhausted: set = set()
+        for r in ray.get(comp_refs):
+            exhausted.update(r["exhausted"])
 
-        return finalize_page_rows(out, cfg.max_attempts)
+        return finalize_page_rows(out, exhausted)
 
     def _host_shard_cached(self, host: str) -> int:
         s = self._host_shard_memo.get(host)

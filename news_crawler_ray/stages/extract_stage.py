@@ -98,7 +98,11 @@ def _extract(kernel: ExtractKernel, batch: pa.Table) -> pa.Table:
                        language=None)
         elif statuses[i] == 200:
             html = htmls[i] or b""
-            if len(html) >= 200 and (mimes[i] or "").startswith("text/html"):
+            # M28 gate: EXACT mime equality like the reference
+            # (crawler.py:133 compares mime_type == 'text/html'), so a
+            # 'text/html; charset=utf-8' page is scraped-without-article
+            # (charset fixture page in corpus.py pins this)
+            if len(html) >= 200 and mimes[i] == "text/html":
                 r = kernel.extract(full, html.decode("utf-8", "replace"),
                                    lang_hint=langs[i],
                                    is_webnews=bool(webnews[i]))

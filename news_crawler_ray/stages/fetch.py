@@ -33,9 +33,42 @@ from ..corpus import host_bucket
 from ..urlnorm import canonical_url
 
 
+_META_ALL = -1   # cache key for legacy single-file fetchmeta
+
+
+def _fetchmeta_bucket_files(fetchmeta_path: str, b: int) -> list[str]:
+    """Parquet files of one fetchmeta host-bucket partition (or all files
+    when ``fetchmeta_path`` is the legacy single file)."""
+    if os.path.isdir(fetchmeta_path):
+        part = os.path.join(fetchmeta_path, f"host_bucket={b}")
+        if not os.path.isdir(part):
+            return []
+        return [os.path.join(part, f) for f in sorted(os.listdir(part))
+                if f.endswith(".parquet")]
+    return [fetchmeta_path]
+
+
+def _load_meta_dict(files: list[str]) -> dict:
+    out: dict[str, tuple] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["url", "status", "redirect_to",
+                                      "mime_type"]).to_pydict()
+        for u, s, r, m in zip(t["url"], t["status"], t["redirect_to"],
+                              t["mime_type"]):
+            out[canonical_url(u)] = (s, r, m)
+    return out
+
+
 class _CorpusStore:
+    """Per-worker corpus index. Pages AND fetchmeta are loaded lazily by
+    host bucket (VERDICT r1 item 7: fetchmeta is corpus-sized at 10^10
+    URLs, so it is partitioned ``fetchmeta/host_bucket=NN/`` exactly like
+    the pages and never loaded whole; the legacy single-file layout still
+    works for old fixtures)."""
+
     def __init__(self, pages_dir: str, fetchmeta_path: str):
         self.pages_dir = pages_dir
+        self.fetchmeta_path = fetchmeta_path
         meta_path = os.path.join(os.path.dirname(pages_dir), "corpus_meta.json")
         if os.path.exists(meta_path):
             import json
@@ -46,13 +79,17 @@ class _CorpusStore:
             self.num_buckets = 1 + max(
                 (int(d.split("=")[1]) for d in os.listdir(pages_dir)
                  if d.startswith("host_bucket=")), default=0)
-        meta = pq.read_table(fetchmeta_path).to_pydict()
-        self.meta = {
-            canonical_url(u): (s, r, m)
-            for u, s, r, m in zip(meta["url"], meta["status"],
-                                  meta["redirect_to"], meta["mime_type"])
-        }
+        self._meta: dict[int, dict] = {}
         self._buckets: dict[int, dict] = {}
+
+    def meta_for_host(self, host: str) -> dict:
+        key = (host_bucket(host, self.num_buckets)
+               if os.path.isdir(self.fetchmeta_path) else _META_ALL)
+        m = self._meta.get(key)
+        if m is None:
+            m = self._meta[key] = _load_meta_dict(
+                _fetchmeta_bucket_files(self.fetchmeta_path, key))
+        return m
 
     def bucket_for_host(self, host: str) -> dict:
         b = host_bucket(host, self.num_buckets)
@@ -75,9 +112,22 @@ class _CorpusStore:
         row = self.bucket_for_host(host).get(canon)
         if row is None:
             return False, None, b"", None, 0, None, None
-        status, redirect_to, mime = self.meta.get(canon, (200, None, "text/html"))
+        status, redirect_to, mime = self.meta_for_host(host).get(
+            canon, (200, None, "text/html"))
         return True, row[0], row[1], row[2], status, \
             (canonical_url(redirect_to) if redirect_to else None), mime
+
+    def resolve_chain(self, canon: str, max_hops: int = 5) -> str:
+        """S2 seed redirect resolution (utils.py:254-261, main.py:10-13):
+        follow the fetchmeta redirect chain ≤ ``max_hops``, loading only
+        the buckets the chain's hosts live in. Hops may cross hosts."""
+        from ..urlnorm import host_of
+        for _ in range(max_hops):
+            rec = self.meta_for_host(host_of(canon)).get(canon)
+            if rec is None or not (300 <= rec[0] < 400) or not rec[1]:
+                return canon
+            canon = canonical_url(rec[1])
+        return canon
 
 
 _WORKER_STORES: dict[tuple, _CorpusStore] = {}
@@ -154,14 +204,16 @@ class _CorpusDirectory:
     with locality-aware placement)."""
 
     def __init__(self, pages_dir: str, fetchmeta_path: str):
-        import ray
+        import uuid
         self.pages_dir = pages_dir
+        self.fetchmeta_path = fetchmeta_path
         self._refs: dict[int, object] = {}
-        self.meta_ref = ray.put(pq.read_table(fetchmeta_path))
+        self._meta_refs: dict[int, object] = {}
         self.num_buckets = _corpus_num_buckets(pages_dir)
+        self.token = uuid.uuid4().hex   # worker-side cache key
 
     def describe(self):
-        return {"meta": self.meta_ref, "num_buckets": self.num_buckets}
+        return {"num_buckets": self.num_buckets, "token": self.token}
 
     def get_bucket(self, b: int):
         import ray
@@ -169,6 +221,20 @@ class _CorpusDirectory:
             t = _load_bucket_table(self.pages_dir, b)
             self._refs[b] = ray.put(t) if t is not None else None
         return self._refs[b]
+
+    def get_meta(self, b: int):
+        """Fetchmeta partition for bucket ``b``, shared via the object
+        store like the pages buckets (legacy single-file fetchmeta loads
+        once under one key)."""
+        import ray
+        if not os.path.isdir(self.fetchmeta_path):
+            b = _META_ALL
+        if b not in self._meta_refs:
+            files = _fetchmeta_bucket_files(self.fetchmeta_path, b)
+            t = (pa.concat_tables([pq.read_table(f) for f in files])
+                 if files else None)
+            self._meta_refs[b] = ray.put(t) if t is not None else None
+        return self._meta_refs[b]
 
 
 def put_corpus_refs(pages_dir: str, fetchmeta_path: str) -> dict:
@@ -178,29 +244,36 @@ def put_corpus_refs(pages_dir: str, fetchmeta_path: str) -> dict:
     directory = ray.remote(num_cpus=0.1)(_CorpusDirectory).remote(
         pages_dir, fetchmeta_path)
     desc = ray.get(directory.describe.remote())
-    return {"directory": directory, "meta": desc["meta"],
+    return {"directory": directory, "token": desc["token"],
             "num_buckets": desc["num_buckets"]}
 
 
 class _SharedIndex:
-    """Per-worker lazy index over the shared corpus tables."""
+    """Per-worker lazy index over the shared corpus tables. Pages AND
+    fetchmeta partitions load per host bucket on first touch — the
+    working set is the buckets this worker's batches actually hit."""
 
     def __init__(self, refs: dict):
         self.refs = refs
         self._bucket_idx: dict[int, tuple] = {}
-        self._meta_idx: dict | None = None
+        self._meta_idx: dict[int, dict] = {}
 
-    def meta(self) -> dict:
-        if self._meta_idx is None:
+    def meta(self, b: int) -> dict:
+        m = self._meta_idx.get(b)
+        if m is None:
             import ray
-            t = ray.get(self.refs["meta"])
-            self._meta_idx = {
-                canonical_url(u): (s, r, m)
-                for u, s, r, m in zip(t["url"].to_pylist(),
-                                      t["status"].to_pylist(),
-                                      t["redirect_to"].to_pylist(),
-                                      t["mime_type"].to_pylist())}
-        return self._meta_idx
+            ref = ray.get(self.refs["directory"].get_meta.remote(b))
+            if ref is None:
+                m = {}
+            else:
+                t = ray.get(ref)   # zero-copy from the object store
+                m = {canonical_url(u): (s, r, mm)
+                     for u, s, r, mm in zip(t["url"].to_pylist(),
+                                            t["status"].to_pylist(),
+                                            t["redirect_to"].to_pylist(),
+                                            t["mime_type"].to_pylist())}
+            self._meta_idx[b] = m
+        return m
 
     def bucket(self, b: int):
         entry = self._bucket_idx.get(b)
@@ -218,11 +291,12 @@ class _SharedIndex:
         return entry
 
     def lookup(self, canon: str, host: str):
-        t, idx = self.bucket(host_bucket(host, self.refs["num_buckets"]))
+        b = host_bucket(host, self.refs["num_buckets"])
+        t, idx = self.bucket(b)
         i = idx.get(canon)
         if i is None:
             return False, None, b"", None, 0, None, None
-        status, redirect_to, mime = self.meta().get(
+        status, redirect_to, mime = self.meta(b).get(
             canon, (200, None, "text/html"))
         return (True, t["url"][i].as_py(), t["html"][i].as_py(),
                 t["lang"][i].as_py(), status,
@@ -234,7 +308,7 @@ _WORKER_SHARED: dict[str, _SharedIndex] = {}
 
 def fetch_replay_shared(batch: pa.Table, *, corpus_refs: dict) -> pa.Table:
     """Round-loop replay against the shared-object-store corpus."""
-    key = corpus_refs["meta"].hex()   # stable across task deserializations
+    key = corpus_refs["token"]   # stable across task deserializations
     shared = _WORKER_SHARED.get(key)
     if shared is None:
         shared = _WORKER_SHARED[key] = _SharedIndex(corpus_refs)

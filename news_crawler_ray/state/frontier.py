@@ -83,8 +83,9 @@ class _HostState:
 class Frontier:
     """Single-shard frontier core (plain object; actor + oracle reuse)."""
 
-    def __init__(self, shard_id: int = 0):
+    def __init__(self, shard_id: int = 0, default_max_attempts: int = 2):
         self.shard_id = shard_id
+        self.default_max_attempts = default_max_attempts
         self.hosts: dict[str, _HostState] = {}
         self.order_log: list[tuple] = []
         self.robots_rejected = 0
@@ -109,7 +110,8 @@ class Frontier:
     def _host(self, host: str) -> _HostState:
         hs = self.hosts.get(host)
         if hs is None:
-            hs = self.hosts[host] = _HostState()
+            hs = self.hosts[host] = _HostState(
+                max_attempts=self.default_max_attempts)
         return hs
 
     # -- enqueue -------------------------------------------------------
