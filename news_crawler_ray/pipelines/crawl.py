@@ -189,6 +189,130 @@ def finalize_page_rows(out: pa.Table, exhausted: set) -> pa.Table:
     return page
 
 
+def _route_shard_for(host: str, url: str, salt_hosts: dict,
+                     num_shards: int) -> int:
+    """Frontier shard for (host, url): plain host hash, or salted by the
+    url for hosts in ``salt_hosts`` (shared by driver and task commit)."""
+    k = salt_hosts.get(host, 1) if salt_hosts else 1
+    if k <= 1:
+        return urlnorm.host_shard(host, num_shards)
+    return urlnorm.host_shard(host, num_shards,
+                              salt=urlnorm.url_shard(url, k))
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mode distributed round commit (VERDICT r1 item 6): the same
+# commit spec as CrawlEngine._commit_discoveries, but the reduce runs as
+# Dataset operators and the seen/frontier RPCs fan out FROM TASKS — the
+# driver never sees a candidate row. Round flow:
+#
+#   out = fetch → extract → discover          (materialized: one round's
+#                                              blocks, the round working set)
+#   pass 1: flatten candidates → groupby(url) min-lineage winner →
+#           seen add_if_absent + frontier enqueue per batch (task-side)
+#   pass 2: frontier complete per batch (task-side, idempotent via the
+#           shard's per-round guard) → finalize page rows → write_parquet
+#
+# Fault model: the round barrier still holds (both passes are fully
+# consumed before the next dequeue); task retries are tolerated by the
+# frontier's completion guard and by seen-idempotent enqueue. A task that
+# dies between add_if_absent and enqueue loses those urls for the run —
+# the checkpoint/resume contract (round replays from the last snapshot)
+# covers driver/actor failure, which is the crash mode that matters.
+# ---------------------------------------------------------------------------
+
+def _flatten_cands(batch: pa.Table) -> pa.Table:
+    """Explode the per-row candidate list columns into one row per
+    discovered link (columnar ops only — the per-link string/hash work
+    already happened inside discover_cols)."""
+    import pyarrow.compute as pc
+    col = batch["cand_url"].combine_chunks()
+    parent = pc.list_parent_indices(col)
+    return pa.table({
+        "url": pc.list_flatten(col),
+        "host": pc.list_flatten(batch["cand_host"].combine_chunks()),
+        "is_webnews": pc.list_flatten(batch["cand_news"].combine_chunks()),
+        "seq64": pc.list_flatten(batch["cand_seq64"].combine_chunks()),
+        "key": pc.list_flatten(batch["cand_key"].combine_chunks()),
+        "url_to_refer": pc.take(batch["url"].combine_chunks(), parent),
+    })
+
+
+def _min_lineage_winner(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-url dedup winner: MIN (seq64, url_to_refer) — identical
+    tie-break to the driver commit and the oracle."""
+    g = g.sort_values(["seq64", "url_to_refer"], kind="stable")
+    return g.iloc[:1]
+
+
+def _commit_candidates_batch(batch: pa.Table, *, seen, frontier,
+                             salt_hosts, round_added: int) -> pa.Table:
+    """Task-side seen-check + frontier enqueue for one batch of deduped
+    candidates; one RPC per shard per batch. Emits a count row."""
+    keys = batch["key"].to_pylist()
+    if not keys:
+        return pa.table({"admitted": pa.array([0], pa.int64())})
+    shards = [int.from_bytes(k[:8], "big") % len(seen) for k in keys]
+    refs, idxs = {}, {}
+    for s in set(shards):
+        ii = [i for i, x in enumerate(shards) if x == s]
+        idxs[s] = ii
+        refs[s] = seen[s].add_if_absent.remote([keys[i] for i in ii])
+    fresh = [False] * len(keys)
+    for s, ii in idxs.items():
+        for i, is_new in zip(ii, ray.get(refs[s])):
+            fresh[i] = is_new
+    cols = batch.to_pydict()
+    by_frontier: dict[int, list[int]] = {}
+    for i, f in enumerate(fresh):
+        if f:
+            s = _route_shard_for(cols["host"][i], cols["url"][i],
+                                 salt_hosts, len(frontier))
+            by_frontier.setdefault(s, []).append(i)
+    enq_refs = [frontier[s].enqueue.remote({
+        "url": [cols["url"][i] for i in ii],
+        "host": [cols["host"][i] for i in ii],
+        "is_webnews": [cols["is_webnews"][i] for i in ii],
+        "round_added": [round_added] * len(ii),
+        "seq64": [cols["seq64"][i] for i in ii],
+        "url_to_refer": [cols["url_to_refer"][i] for i in ii],
+    }) for s, ii in by_frontier.items()]
+    if enq_refs:
+        ray.get(enq_refs)
+    return pa.table({"admitted": pa.array([sum(fresh)], pa.int64())})
+
+
+def _complete_finalize_batch(batch: pa.Table, *, frontier,
+                             salt_hosts) -> pa.Table:
+    """Task-side work completion + page-row finalize for one batch of
+    extracted rows: complete() RPC per shard (idempotent under retry),
+    then keep successes + this batch's exhausted failures."""
+    batch = batch.drop_columns(["cand_url", "cand_host", "cand_news",
+                                "cand_seq64", "cand_key"])
+    cols = batch.select(["url", "host", "ok", "attempts_count",
+                         "is_webnews", "work_round", "work_seq64",
+                         "work_ref"]).to_pydict()
+    by_shard: dict[int, list[int]] = {}
+    for i in range(batch.num_rows):
+        s = _route_shard_for(cols["host"][i], cols["url"][i],
+                             salt_hosts, len(frontier))
+        by_shard.setdefault(s, []).append(i)
+    refs = [frontier[s].complete.remote({
+        "url": [cols["url"][i] for i in ii],
+        "host": [cols["host"][i] for i in ii],
+        "ok": [cols["ok"][i] for i in ii],
+        "attempts": [cols["attempts_count"][i] for i in ii],
+        "is_webnews": [cols["is_webnews"][i] for i in ii],
+        "round_added": [cols["work_round"][i] for i in ii],
+        "seq64": [cols["work_seq64"][i] for i in ii],
+        "url_to_refer": [cols["work_ref"][i] for i in ii],
+    }) for s, ii in by_shard.items()]
+    exhausted: set = set()
+    for r in ray.get(refs):
+        exhausted.update(r["exhausted"])
+    return finalize_page_rows(batch, exhausted)
+
+
 @ray.remote
 def _round_batch_task(table: pa.Table, corpus_refs: dict,
                       only_webnews: bool) -> pa.Table:
@@ -401,36 +525,74 @@ class CrawlEngine:
             mode = "tasks" if table.num_rows < cfg.dataset_round_threshold \
                 else "dataset"
         if mode == "dataset":
-            ds = (rd.from_arrow(table)
-                  .map_batches(fetch_replay_shared,
-                               fn_kwargs={"corpus_refs": self.corpus_refs},
-                               batch_format="pyarrow",
-                               batch_size=cfg.batch_size)
-                  .map_batches(extract_batch, batch_format="pyarrow",
-                               batch_size=cfg.batch_size)
-                  .map_batches(discover_cols,
-                               fn_kwargs={"only_webnews": cfg.only_webnews},
-                               batch_format="pyarrow",
-                               batch_size=cfg.batch_size))
-            parts = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-                     for b in ds.iter_batches(batch_size=cfg.batch_size,
-                                              batch_format="pyarrow")]
-        else:
-            # adaptive batch size: target ≥2 task waves per CPU so the
-            # round barrier's last wave doesn't idle most of the pool
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            bs = max(32, min(cfg.batch_size,
-                             -(-table.num_rows // (2 * ncpu))))
-            refs = []
-            for off in range(0, table.num_rows, bs):
-                refs.append(_round_batch_task.remote(
-                    table.slice(off, bs), self.corpus_refs,
-                    cfg.only_webnews))
-            parts = ray.get(refs)
+            self._process_round_dataset(table, round_dir)
+            return
+        # adaptive batch size: target ≥2 task waves per CPU so the
+        # round barrier's last wave doesn't idle most of the pool
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        bs = max(32, min(cfg.batch_size,
+                         -(-table.num_rows // (2 * ncpu))))
+        refs = []
+        for off in range(0, table.num_rows, bs):
+            refs.append(_round_batch_task.remote(
+                table.slice(off, bs), self.corpus_refs,
+                cfg.only_webnews))
+        parts = ray.get(refs)
         page = self._commit_discoveries(parts)
         if page.num_rows:
             os.makedirs(round_dir, exist_ok=True)
             pq.write_table(page, os.path.join(round_dir, "part-0.parquet"))
+
+    def _process_round_dataset(self, table: pa.Table, round_dir: str):
+        """Streaming round for large work sets: the whole round — fetch,
+        extract, discovery, candidate dedup, seen/frontier commit,
+        page-row finalize and the parquet sink — runs as Dataset
+        operators; the driver only orchestrates (VERDICT r1 item 6). The
+        one shuffle is the ``groupby(url)`` candidate dedup, moving
+        (url, host, seq64, 20B key, referrer) rows."""
+        cfg = self.cfg
+        out = (rd.from_arrow(table)
+               .map_batches(fetch_replay_shared,
+                            fn_kwargs={"corpus_refs": self.corpus_refs},
+                            batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+               .map_batches(extract_batch, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+               .map_batches(discover_cols,
+                            fn_kwargs={"only_webnews": cfg.only_webnews},
+                            batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+               ).materialize()   # the round working set, reused by both passes
+
+        # pass 1: discoveries — min-lineage winner per url, then
+        # task-side seen-check + enqueue
+        (out.map_batches(_flatten_cands, batch_format="pyarrow")
+            .groupby("url")
+            .map_groups(_min_lineage_winner, batch_format="pandas")
+            .map_batches(_commit_candidates_batch,
+                         fn_kwargs={"seen": self.seen,
+                                    "frontier": self.frontier,
+                                    "salt_hosts": cfg.salt_hosts,
+                                    "round_added": self.round + 1},
+                         batch_format="pyarrow")
+            .count())   # consume (tiny count rows) → commit barrier
+
+        # pass 2: completion + finalize + streaming parquet sink
+        pages = out.map_batches(_complete_finalize_batch,
+                                fn_kwargs={"frontier": self.frontier,
+                                           "salt_hosts": cfg.salt_hosts},
+                                batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+        pages.write_parquet(round_dir)
+        # drop the directory again if the round produced no page rows
+        # (parity with tasks mode and the resume contract; footer-only
+        # metadata reads, no data IO)
+        if os.path.isdir(round_dir):
+            rows = sum(pq.read_metadata(os.path.join(round_dir, f)).num_rows
+                       for f in os.listdir(round_dir)
+                       if f.endswith(".parquet"))
+            if rows == 0:
+                shutil.rmtree(round_dir)
 
     def _commit_discoveries(self, parts: list[pa.Table]) -> pa.Table:
         """Deterministic round commit: candidate dedup by MIN lineage key

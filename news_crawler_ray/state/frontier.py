@@ -90,6 +90,12 @@ class Frontier:
         self.order_log: list[tuple] = []
         self.robots_rejected = 0
         self.enqueued_total = 0
+        # per-round completion idempotency guard: dataset-mode rounds
+        # complete() from retryable Ray Data tasks, so a replayed task
+        # must not double-decrement in_flight or double-requeue — but it
+        # must still receive the same verdict (exhausted or not) for its
+        # rows. Cleared at each dequeue (= round barrier for this shard).
+        self._completed: dict[tuple, str] = {}
 
     # -- config --------------------------------------------------------
     def configure_hosts(self, rows: dict) -> None:
@@ -146,6 +152,7 @@ class Frontier:
         (reference batch: 200, crawler.py:387). Hosts swept in sorted
         order for determinism."""
         out = {k: list(v) for k, v in _EMPTY_BATCH.items()}
+        self._completed.clear()
         total = 0
         for host in sorted(self.hosts):
             hs = self.hosts[host]
@@ -190,21 +197,31 @@ class Frontier:
         requeued, exhausted = 0, []
         for i in range(len(records["url"])):
             host = records["host"][i]
+            url = records["url"][i]
+            ck = (url, records["seq64"][i], records["attempts"][i])
+            prior = self._completed.get(ck)
+            if prior is not None:
+                if prior == "exhausted":   # replay the verdict, no effects
+                    exhausted.append(url)
+                continue
             hs = self._host(host)
             hs.in_flight = max(0, hs.in_flight - 1)
             if records["ok"][i]:
+                self._completed[ck] = "ok"
                 continue
             attempts = records["attempts"][i] + 1
             if attempts < hs.max_attempts:
                 tier = 0 if records["is_webnews"][i] else 1
                 hs.tiers[tier].append((records["round_added"][i],
                                        records["seq64"][i],
-                                       records["url"][i], attempts,
+                                       url, attempts,
                                        records["url_to_refer"][i]))
                 hs.dirty[tier] = True
                 requeued += 1
+                self._completed[ck] = "requeued"
             else:
-                exhausted.append(records["url"][i])
+                exhausted.append(url)
+                self._completed[ck] = "exhausted"
         return {"requeued": requeued, "exhausted": exhausted}
 
     # -- introspection -------------------------------------------------
