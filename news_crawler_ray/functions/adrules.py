@@ -13,8 +13,16 @@ directly and a compact built-in generic ruleset is included:
 - ``||host`` anchors at a domain boundary
 - ``|`` anchors start/end
 - ``^`` matches a separator (non-alphanumeric, non ``-._%``) or end
-- ``*`` wildcard; ``$options`` suffixes are stripped (option matching —
-  domain/third-party — is out of scope and documented)
+- ``*`` wildcard
+- ``$options``: ``domain=a.com|~b.com`` and ``third-party`` /
+  ``~third-party`` are evaluated against the options dict passed to
+  ``should_block(url, options)``; a rule whose options are NOT supplied
+  in the call is skipped for that call, and rules with unsupported
+  option keywords are skipped entirely — both adblockparser semantics
+  (skip_unsupported_rules). NOTE the reference's own call site passes NO
+  options (ads_extractor.py:16-19 builds an options dict and then never
+  uses it), so its effective behavior — option rules never fire — is
+  exactly what ``should_block(url)`` reproduces here.
 """
 
 from __future__ import annotations
@@ -48,6 +56,51 @@ DEFAULT_AD_RULES = [
 ]
 
 _SEP = r"[^A-Za-z0-9\-._%]"
+
+_SUPPORTED_OPTIONS = ("domain", "third-party")
+
+
+def _parse_options(opt_str: str) -> dict | None:
+    """``$domain=a|~b,third-party`` → options dict; None when the rule
+    uses an option keyword this matcher doesn't implement (the rule is
+    then skipped, adblockparser's skip_unsupported_rules)."""
+    opts: dict = {}
+    for part in opt_str.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if part.startswith("domain="):
+            doms = []
+            for d in part[len("domain="):].split("|"):
+                d = d.strip().lower()
+                if d:
+                    doms.append((d[1:], True) if d.startswith("~")
+                                else (d, False))
+            opts["domain"] = doms
+        elif part == "third-party":
+            opts["third-party"] = True
+        elif part == "~third-party":
+            opts["third-party"] = False
+        else:
+            return None   # unsupported option keyword → skip rule
+    return opts
+
+
+def _domain_applies(rule_domains: list, req_domain: str) -> bool:
+    """ABP domain-list semantics: the request domain must fall under a
+    positive entry (or the list must be negations-only) and under no
+    negated entry."""
+    req = (req_domain or "").lower()
+
+    def under(d):
+        return req == d or req.endswith("." + d)
+
+    positives = [d for d, neg in rule_domains if not neg]
+    if any(under(d) for d, neg in rule_domains if neg):
+        return False
+    if positives:
+        return any(under(d) for d in positives)
+    return True
 
 
 def _rule_to_regex(rule: str) -> str | None:
@@ -86,20 +139,63 @@ class AdRuleSet:
     def __init__(self, rules: list[str] | None = None):
         rules = DEFAULT_AD_RULES if rules is None else rules
         block, allow = [], []
+        self._block_opt: list[tuple] = []   # (compiled_rx, options)
+        self._allow_opt: list[tuple] = []
         for r in rules:
-            target = allow if r.startswith("@@") else block
-            rx = _rule_to_regex(r[2:] if r.startswith("@@") else r)
-            if rx:
-                target.append(rx)
+            is_exc = r.startswith("@@")
+            body = r[2:] if is_exc else r
+            opts: dict = {}
+            if "$" in body and not body.strip().startswith("!"):
+                body, opt_str = body.split("$", 1)
+                parsed = _parse_options(opt_str)
+                if parsed is None:
+                    continue   # unsupported option → rule skipped whole
+                opts = parsed
+            rx = _rule_to_regex(body)
+            if not rx:
+                continue
+            if opts:
+                (self._allow_opt if is_exc else self._block_opt).append(
+                    (re.compile(rx), opts))
+            else:
+                (allow if is_exc else block).append(rx)
         self._block = re.compile("|".join(block)) if block else None
         self._allow = re.compile("|".join(allow)) if allow else None
 
-    def should_block(self, url: str) -> bool:
-        if not url or self._block is None:
+    @staticmethod
+    def _opt_rule_applies(rule_opts: dict, options: dict | None) -> bool:
+        """A rule with options applies only when the call supplies every
+        option the rule needs (adblockparser: calling without an option
+        skips the rules that require it) and the values match."""
+        if options is None:
             return False
-        if not self._block.search(url):
+        for k, v in rule_opts.items():
+            if k not in options:
+                return False
+            if k == "domain":
+                if not _domain_applies(v, options["domain"]):
+                    return False
+            elif k == "third-party":
+                if bool(options["third-party"]) != v:
+                    return False
+        return True
+
+    def _opt_match(self, pairs: list, url: str, options: dict | None) -> bool:
+        return any(rx.search(url) and self._opt_rule_applies(o, options)
+                   for rx, o in pairs)
+
+    def should_block(self, url: str, options: dict | None = None) -> bool:
+        """AdblockRules.should_block-compatible. ``options`` may carry
+        ``domain`` (the page's domain) and ``third-party`` (bool)."""
+        if not url:
+            return False
+        blocked = bool(self._block is not None and self._block.search(url)) \
+            or self._opt_match(self._block_opt, url, options)
+        if not blocked:
             return False
         if self._allow is not None and self._allow.search(url):
+            return False
+        if self._opt_match(self._allow_opt, url, options):
             return False
         return True
 

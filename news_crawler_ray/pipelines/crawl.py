@@ -93,6 +93,12 @@ class CrawlConfig:
     # discovery; the reference pre-fills page metadata that extraction
     # overwrites on crawl — net rows identical for fetchable entries.
     scrape_rss: bool = False
+    # Mid-crawl feed refresh (crawler.py:434-445 _update_rss): every N
+    # rounds re-parse the known feeds; a feed is skipped when its
+    # lastBuildDate is not newer than the stored per-feed timestamp (the
+    # reference's freshness gate), and already-seen entry urls dedup via
+    # the seen set. 0 = refresh at start only.
+    rss_refresh_every: int = 0
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
     # which dominates politeness-bounded rounds (measured: tasks mode wins
@@ -334,6 +340,8 @@ class CrawlEngine:
         self.metrics: list[dict] = []
         self._seed_store = None
         self._host_shard_memo: dict[str, int] = {}
+        self._rss_last_update: dict[str, str] = {}   # feed_url → iso ts
+        self._rss_seq = 1_000_000                    # after the seeds
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         # cfg.max_attempts reaches every frontier shard at construction so
         # the requeue gate and the page-row finalize gate share one
@@ -430,21 +438,34 @@ class CrawlEngine:
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()])
 
-    def _enqueue_rss(self):
+    def _enqueue_rss(self) -> int:
         """S8: feed entries → seen-checked frontier records
-        (crawler.py:427-470; entries carry is_webnews from the url)."""
+        (crawler.py:427-470; entries carry is_webnews from the url).
+        Re-callable mid-crawl (crawler.py:434-445 ``_update_rss``): a
+        feed whose lastBuildDate is not newer than its stored per-feed
+        timestamp is skipped whole; entry urls dedup via the seen set.
+        Returns the number of admitted entries."""
         feeds_path = os.path.join(self.cfg.corpus_root, "feeds.parquet")
         if not os.path.exists(feeds_path):
-            return
+            return 0
         from ..sources.rss import parse_feed_xml
         feeds = pq.read_table(feeds_path).to_pydict()
         recs = {k: [] for k in ("url", "host", "is_webnews", "round_added",
                                 "seq64", "url_to_refer")}
         keys = []
-        seq = 1_000_000  # after the seeds
         for host, feed_url, xml in zip(feeds["host"], feeds["url"],
                                        feeds["xml"]):
-            for e in parse_feed_xml(xml)["entries"]:
+            feed = parse_feed_xml(xml)
+            updated = feed["updated"]
+            last = self._rss_last_update.get(feed_url)
+            # reference gate (crawler.py:442): parse entries only when
+            # either timestamp is unknown or the feed is strictly newer
+            if (last is not None and updated is not None
+                    and not updated.isoformat() > last):
+                continue
+            if updated is not None:
+                self._rss_last_update[feed_url] = updated.isoformat()
+            for e in feed["entries"]:
                 if not e["link"]:
                     continue
                 link = urlnorm.clean_url(e["link"], remove_arguments=False)
@@ -452,13 +473,13 @@ class CrawlEngine:
                 recs["url"].append(canon)
                 recs["host"].append(urlnorm.host_of(link))
                 recs["is_webnews"].append(urlnorm.is_news_url(link))
-                recs["round_added"].append(0)
-                recs["seq64"].append(seq)
+                recs["round_added"].append(self.round)
+                recs["seq64"].append(self._rss_seq)
                 recs["url_to_refer"].append(feed_url)
                 keys.append(urlnorm.url_key(canon))
-                seq += 1
+                self._rss_seq += 1
         if not keys:
-            return
+            return 0
         by_seen: dict[int, list[int]] = {}
         for i, key in enumerate(keys):
             by_seen.setdefault(
@@ -474,9 +495,9 @@ class CrawlEngine:
                 by_frontier.setdefault(
                     self._route_shard(recs["host"][i], recs["url"][i]),
                     []).append(i)
-        ray.get([self.frontier[s].enqueue.remote(
+        return sum(ray.get([self.frontier[s].enqueue.remote(
             {k: [v[i] for i in idxs] for k, v in recs.items()})
-            for s, idxs in by_frontier.items()])
+            for s, idxs in by_frontier.items()]))
 
     # -- round loop ----------------------------------------------------
     def run(self) -> dict:
@@ -497,6 +518,9 @@ class CrawlEngine:
             self._process_round(work)
             self._commit_round(n_work)
             self.round += 1
+            if (cfg.scrape_rss and cfg.rss_refresh_every
+                    and self.round % cfg.rss_refresh_every == 0):
+                self._enqueue_rss()   # mid-crawl feed refresh (S8)
         return self.summary()
 
     def _process_round(self, work: dict):
@@ -763,6 +787,8 @@ class CrawlEngine:
         manifest = {"round": self.round,
                     "num_seen_shards": len(self.seen),
                     "num_frontier_shards": len(self.frontier),
+                    "rss_last_update": self._rss_last_update,
+                    "rss_seq": self._rss_seq,
                     "metrics": self.metrics[-1] if self.metrics else {}}
         tmp = os.path.join(ck, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -774,6 +800,8 @@ class CrawlEngine:
         with open(os.path.join(ck, "manifest.json")) as f:
             manifest = json.load(f)
         done_round = manifest["round"]
+        self._rss_last_update = manifest.get("rss_last_update", {})
+        self._rss_seq = manifest.get("rss_seq", 1_000_000)
         refs = []
         for i, s in enumerate(self.seen):
             refs.append(s.restore.remote(os.path.join(ck, f"seen-{i}.parquet")))

@@ -83,6 +83,20 @@ def per_host_stats(pages_ds: "rd.Dataset") -> pd.DataFrame:
     return out.sort_values("host").reset_index(drop=True)
 
 
+def host_metadata(pages_ds: "rd.Dataset", whois_path: str) -> pd.DataFrame:
+    """S7: per-host crawl stats joined with whois registration metadata
+    (reference whoisinfo.py:39-104 feeds datacollector.py:47-75). The
+    whois table is per-HOST — broadcast-small at any corpus size — so
+    the join is a driver-side merge onto the aggregated stats (the
+    aggregate is the wide step; whois never shuffles)."""
+    import pyarrow.parquet as pq
+
+    stats = per_host_stats(pages_ds)
+    whois = pq.read_table(whois_path).to_pandas()
+    out = stats.merge(whois, on="host", how="left")
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def compact(pages_dir: str, out_dir: str, num_files: int = 8) -> int:
     """script1 VACUUM analogue: rewrite the pages output as ``num_files``
     right-sized Parquet files (repartition, no shuffle of rows needed)."""

@@ -729,6 +729,14 @@ def q_crawl_stats(sf_dir: str) -> pd.DataFrame:
     return per_host_stats(_flagship_pages_ds(sf_dir))
 
 
+def q_crawl_host_metadata(sf_dir: str) -> pd.DataFrame:
+    """S7: per-host stats joined with the corpus whois sidecar."""
+    from .pipelines.reports import host_metadata
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    return host_metadata(_flagship_pages_ds(sf_dir), paths.whois)
+
+
 def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
     """As-of join: for each purchase event, the most recent prior 'view'
     event time of the same user (custom operator — composition of
@@ -840,6 +848,7 @@ QUERIES = {
     "crawl_har_ads": q_har_ads,
     "rss_feed_entries": q_rss_entries,
     "crawl_host_stats": q_crawl_stats,
+    "crawl_host_metadata": q_crawl_host_metadata,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,

@@ -72,6 +72,40 @@ class TestAdRules:
         assert rs.should_block("http://bad.example/ads/x")
         assert not rs.should_block("http://good.example/ads/x")
 
+    def test_domain_option(self):
+        from news_crawler_ray.functions.adrules import AdRuleSet
+        rs = AdRuleSet(["/promo/*$domain=news.example|~safe.news.example"])
+        url = "http://cdn.example/promo/banner.js"
+        # no options passed → option rules never fire (exactly what the
+        # reference's call site does — ads_extractor.py:16-19)
+        assert not rs.should_block(url)
+        assert rs.should_block(url, {"domain": "news.example"})
+        assert rs.should_block(url, {"domain": "sub.news.example"})
+        assert not rs.should_block(url, {"domain": "safe.news.example"})
+        assert not rs.should_block(url, {"domain": "other.example"})
+
+    def test_third_party_option(self):
+        from news_crawler_ray.functions.adrules import AdRuleSet
+        rs = AdRuleSet(["||tracker.example^$third-party"])
+        url = "http://tracker.example/pixel.gif"
+        assert not rs.should_block(url)
+        assert rs.should_block(url, {"third-party": True})
+        assert not rs.should_block(url, {"third-party": False})
+
+    def test_option_exception_rule(self):
+        from news_crawler_ray.functions.adrules import AdRuleSet
+        rs = AdRuleSet(["/ads/*",
+                        "@@/ads/acceptable/*$domain=nice.example"])
+        url = "http://x.example/ads/acceptable/a.js"
+        assert rs.should_block(url)   # exception needs its option
+        assert not rs.should_block(url, {"domain": "nice.example"})
+
+    def test_unsupported_option_skips_rule(self):
+        from news_crawler_ray.functions.adrules import AdRuleSet
+        rs = AdRuleSet(["/everything/*$websocket"])
+        assert not rs.should_block("http://x.example/everything/y",
+                                   {"domain": "x.example"})
+
     def test_comments_and_elemhide_ignored(self):
         rs = AdRuleSet(["!comment", "example.com##.ad-banner"])
         assert not rs.should_block("http://example.com/anything")
@@ -151,6 +185,49 @@ class TestRss:
         eng2.shutdown()
         assert set(pages["url"]) == base
 
+    def test_rss_refresh_freshness_gate(self, ray_session, tmp_path):
+        # mid-crawl refresh (crawler.py:434-445): an unchanged feed
+        # (lastBuildDate not newer) is skipped whole; a bumped feed with
+        # a new entry admits exactly the unseen entry
+        import os
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        corpus = default_corpus("rsstest", num_hosts=2, pages_per_host=18)
+        root = str(tmp_path / "rssrefresh")
+        shutil.copytree(corpus.root, root)
+        eng = CrawlEngine(CrawlConfig(corpus_root=root,
+                                      out_dir="/tmp/ncr_test_rss_refresh",
+                                      scrape_rss=True))
+        try:
+            # unchanged feeds: the gate skips them entirely
+            assert eng._enqueue_rss() == 0
+            # bump one feed: newer lastBuildDate + one brand-new entry
+            feeds = pq.read_table(os.path.join(root, "feeds.parquet")) \
+                .to_pydict()
+            xml = feeds["xml"][0].decode()
+            xml = xml.replace("Tue, 01 Jun 2021 09:00:00 GMT",
+                              "Wed, 01 Sep 2021 09:00:00 GMT")
+            xml = xml.replace("</channel>",
+                              "<item><title>Fresh</title>"
+                              "<link>http://news-0.example/politica/2021/"
+                              "09/01/breaking-fresh-item-999.html</link>"
+                              "</item></channel>")
+            feeds["xml"][0] = xml.encode()
+            pq.write_table(pa.table({
+                "host": pa.array(feeds["host"], pa.string()),
+                "url": pa.array(feeds["url"], pa.string()),
+                "xml": pa.array(feeds["xml"], pa.binary()),
+            }), os.path.join(root, "feeds.parquet"))
+            # only the ONE new entry is admitted (old entries seen-dedup)
+            assert eng._enqueue_rss() == 1
+            # a further refresh with no new bump admits nothing
+            assert eng._enqueue_rss() == 0
+        finally:
+            eng.shutdown()
+
     def test_malformed_xml(self):
         assert parse_feed_xml(b"<not xml") == {
             "title": None, "language": None, "updated": None, "entries": []}
@@ -199,6 +276,30 @@ class TestReports:
         assert stats.iloc[0]["n_news_filtered"] <= stats.iloc[0]["n_news"]
         assert len(hosts) == 2
         assert (hosts["n_pages"] > 0).all()
+
+    def test_host_metadata_whois_join(self, ray_session):
+        # S7: per-host stats + whois sidecar; fields match the
+        # deterministic whois synthesis exactly
+        from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+        from news_crawler_ray.pipelines.reports import (host_metadata,
+                                                        per_host_stats)
+        from news_crawler_ray.sources.whois import whois_record
+        corpus = default_corpus("hartest", num_hosts=2, pages_per_host=18)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_whoismeta"))
+        eng.run()
+        pages = eng.pages_dataset()
+        out = host_metadata(pages, corpus.whois)
+        stats = per_host_stats(pages)
+        eng.shutdown()
+        assert list(out["host"]) == list(stats["host"])
+        assert (out["n_pages"].to_numpy() == stats["n_pages"].to_numpy()).all()
+        for _, row in out.iterrows():
+            w = whois_record(row["host"])
+            assert row["registrar"] == w["registrar"]
+            assert row["created_year"] == w["created_year"]
+            assert row["expires_year"] == w["expires_year"]
+            assert row["country"] == w["country"]
 
     def test_compact(self, ray_session, tmp_path):
         from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
