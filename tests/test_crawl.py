@@ -315,3 +315,29 @@ class TestAdviceR1Fixes:
         got = store.resolve_chain(
             urlnorm.canonical_url("http://news-0.example/seed/landing.html"))
         assert got == "news-1.example/economia/hub-1.html"
+
+
+class TestDatasetModeResume:
+    def test_resume_dataset_mode_equivalent(self, ray_session, corpus,
+                                            engine_result):
+        # dataset-mode rounds write multi-part round dirs via the
+        # streaming sink; the checkpoint/resume contract must hold
+        # exactly as in tasks mode
+        out = "/tmp/ncr_test_crawl_resume_ds"
+        cfg = CrawlConfig(corpus_root=corpus.root, out_dir=out,
+                          max_rounds=3, round_engine="dataset")
+        eng = CrawlEngine(cfg)
+        eng.run()
+        eng.shutdown()
+
+        eng2 = CrawlEngine(CrawlConfig(corpus_root=corpus.root, out_dir=out,
+                                       round_engine="dataset"), resume=True)
+        eng2.run()
+        pages = eng2.pages_dataset().to_pandas()
+        order = eng2.crawl_order_table().to_pandas()
+        eng2.shutdown()
+        assert set(pages["url"]) == set(engine_result["pages"]["url"])
+        pd.testing.assert_frame_equal(
+            engine_result["order"].sort_values(["host", "host_seq"])
+            .reset_index(drop=True),
+            order.sort_values(["host", "host_seq"]).reset_index(drop=True))

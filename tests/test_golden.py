@@ -86,6 +86,26 @@ class TestGolden:
         assert checked > 20
 
 
+class TestMediaGolden:
+    def test_media_metadata_matches_golden(self, ray_session):
+        from news_crawler_ray.queries import q_media_metadata
+        golden_m = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_media_metadata.parquet")
+        ).to_pandas()
+        got = q_media_metadata("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), golden_m.reset_index(drop=True))
+
+    def test_frame_sample_matches_golden(self, ray_session):
+        from news_crawler_ray.queries import q_frame_sample
+        golden_f = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_media_frames.parquet")
+        ).to_pandas()
+        got = q_frame_sample("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), golden_f.reset_index(drop=True))
+
+
 class TestFingerprintGolden:
     def test_distributed_fingerprints_match_golden(self, ray_session):
         """doc_fingerprints (winnowing) vs the committed single-process

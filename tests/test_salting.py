@@ -43,3 +43,20 @@ class TestSalting:
         a = base_pages[cols].sort_values("url").reset_index(drop=True)
         b = salt_pages[cols].sort_values("url").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSaltingDatasetMode:
+    def test_salted_dataset_mode_membership(self, ray_session):
+        # the task-side dataset commit routes enqueue/complete through
+        # _route_shard_for with salt_hosts — membership and page rows
+        # must match the unsalted tasks-mode crawl
+        corpus = default_corpus("salttest", num_hosts=3, pages_per_host=18)
+        hot = host_name(0)
+        base_pages, _ = run(corpus, "/tmp/ncr_test_salt_ds_base")
+        ds_pages, _ = run(corpus, "/tmp/ncr_test_salt_ds",
+                          salt_hosts={hot: 2}, round_engine="dataset")
+        cols = ["url", "scraped", "http_response_code", "text_art",
+                "is_webnews"]
+        a = base_pages[cols].sort_values("url").reset_index(drop=True)
+        b = ds_pages[cols].sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

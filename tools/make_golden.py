@@ -81,9 +81,26 @@ def main():
         "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.uint64()),
     }), os.path.join(GOLDEN_DIR, "golden_fingerprints.parquet"))
 
+    # golden_media: deterministic fake-decode outputs over sf0.001 —
+    # pins the multimodal plumbing queries (no SQL oracle possible)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+    from news_crawler_ray.queries import q_frame_sample, q_media_metadata
+    meta_df = q_media_metadata("/root/testdata/sf0.001")
+    frames_df = q_frame_sample("/root/testdata/sf0.001")
+    pq.write_table(pa.Table.from_pandas(meta_df, preserve_index=False),
+                   os.path.join(GOLDEN_DIR, "golden_media_metadata.parquet"))
+    pq.write_table(pa.Table.from_pandas(frames_df, preserve_index=False),
+                   os.path.join(GOLDEN_DIR, "golden_media_frames.parquet"))
+    ray.shutdown()
+
     print(f"wrote {pages.num_rows} pages, "
           f"{result['order'].num_rows} order rows, "
-          f"{len(link_urls)} links, {len(fps)} fingerprint rows "
+          f"{len(link_urls)} links, {len(fps)} fingerprint rows, "
+          f"{len(meta_df)} media rows, {len(frames_df)} frame rows "
           f"to {GOLDEN_DIR}")
 
 
