@@ -90,13 +90,17 @@ _TOKEN_HASH_MEMO: dict[str, int] = {}
 
 def _token_hash(tok: str) -> int:
     """Deterministic 64-bit token hash, memoized (vocabulary repeats
-    heavily across documents — Zipf — so the sha1 cost amortizes)."""
+    heavily across documents — Zipf — so the digest cost amortizes).
+
+    md5 (first 8 bytes, big-endian) rather than sha1 so the value is
+    reproducible inside DuckDB — ``('0x'||substr(md5(tok),1,16))::UBIGINT``
+    — which lets simhash get an exact SQL oracle."""
     h = _TOKEN_HASH_MEMO.get(tok)
     if h is None:
         if len(_TOKEN_HASH_MEMO) > 1_000_000:
             _TOKEN_HASH_MEMO.clear()
         h = _TOKEN_HASH_MEMO[tok] = int.from_bytes(
-            hashlib.sha1(tok.encode()).digest()[:8], "big")
+            hashlib.md5(tok.encode()).digest()[:8], "big")
     return h
 
 
@@ -197,7 +201,10 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                                                  "text_col": text_col,
                                                  "id_col": id_col},
                           batch_format="pyarrow",
-                          concurrency=concurrency).materialize()
+                          # autoscaling pool: a fixed-size pool can pin
+                          # every CPU and starve the downstream join's
+                          # shuffle actors on small clusters (deadlock)
+                          concurrency=(1, concurrency)).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
@@ -366,37 +373,66 @@ class SimHasher:
                          "simhash": pa.array(np.array(fps, dtype=np.uint64))})
 
 
+def _segment_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per segment for the pigeonhole LSH: ``d + 1``
+    segments guarantee any pair within Hamming distance ``d`` agrees
+    exactly on at least one segment (d bit flips cannot touch all d+1
+    disjoint segments). 64 bits are split as evenly as possible."""
+    n_seg = max_hamming + 1
+    if n_seg > 32:
+        raise ValueError("max_hamming > 31 leaves <2-bit segments")
+    base, rem = divmod(64, n_seg)
+    layout, shift = [], 0
+    for s in range(n_seg):
+        w = base + (1 if s < rem else 0)
+        layout.append((shift, w))
+        shift += w
+    return layout
+
+
 def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
                   concurrency: int = 4) -> "rd.Dataset":
-    """Near-dup pairs with Hamming distance ≤ k on 64-bit simhash, using
-    the 4-segment pigeonhole: pairs within distance 3 share at least one
-    exact 16-bit segment → ``groupby(segment, value)`` buckets, verify
-    Hamming in-bucket. Returns (doc_a, doc_b, hamming)."""
+    """EXACT near-dup pairs with Hamming distance ≤ d on 64-bit simhash,
+    via the (d+1)-segment pigeonhole (Manku et al., WWW'07): every pair
+    within distance d shares at least one exact segment →
+    ``groupby(segment, value)`` buckets, verify Hamming in-bucket. Full
+    recall for any d ≤ 31 (round 1 hardcoded 4 segments, which silently
+    dropped ~60% of d≤8 pairs). Returns (doc_a, doc_b, hamming).
+
+    Scale note: segment width is 64/(d+1) bits, so bucket count is
+    2^width per segment — at corpus sizes where n >> 2^width the buckets
+    themselves go quadratic. Keep d ≤ 3-4 (16-bit segments, the Manku
+    production setting) for 10^9+-doc corpora; large d is for modest n."""
     import pyarrow.compute as pc
+
+    layout = _segment_layout(max_hamming)
+    n_seg = len(layout)
 
     fps = ds.map_batches(SimHasher,
                          fn_constructor_kwargs={"text_col": text_col,
                                                 "id_col": id_col},
-                         batch_format="pyarrow", concurrency=concurrency)
+                         batch_format="pyarrow",
+                         # autoscaling: fixed pools deadlock the join's
+                         # shuffle actors when the pool covers all CPUs
+                         concurrency=(1, concurrency))
 
-    # pigeonhole segment explosion, vectorized per batch: 4 rows/doc,
+    # pigeonhole segment explosion, vectorized per batch: n_seg rows/doc,
     # each carrying the full 64-bit fingerprint (8 bytes — cheap to ship)
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         fp = batch["simhash"].to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        n = len(ids)
-        seg = np.repeat(np.arange(4, dtype=np.int32), n)
+        seg = np.repeat(np.arange(n_seg, dtype=np.int32), len(ids))
         vals = np.concatenate([
-            ((fp >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int32)
-            for s in range(4)])
-        return pa.table({"doc_id": pa.array(np.tile(ids, 4)),
+            ((fp >> np.uint64(sh)) & np.uint64((1 << w) - 1)).astype(np.int32)
+            for sh, w in layout])
+        return pa.table({"doc_id": pa.array(np.tile(ids, n_seg)),
                          "segment": pa.array(seg),
                          "value": pa.array(vals),
-                         "simhash": pa.array(np.tile(fp, 4))})
+                         "simhash": pa.array(np.tile(fp, n_seg))})
 
-    # 4 rows/doc × 24 B — cheap to keep resident for the two passes
+    # n_seg rows/doc × 24 B — cheap to keep resident for the two passes
     seg_ds = fps.map_batches(explode, batch_format="pyarrow").materialize()
 
     # hot-bucket pre-filter via native count (see minhash_lsh_pairs):
@@ -433,9 +469,9 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
         # segment also agrees (exact, local; no global dedup shuffle)
         if seg > 0 and mask.any():
             prior = np.zeros(len(ia), dtype=bool)
-            for ss in range(seg):
-                vals = ((fp >> np.uint64(16 * ss)) &
-                        np.uint64(0xFFFF))
+            for sh, w in layout[:seg]:
+                vals = ((fp >> np.uint64(sh)) &
+                        np.uint64((1 << w) - 1))
                 prior |= vals[ia] == vals[ib]
             mask &= ~prior
         return pd.DataFrame({

@@ -86,12 +86,17 @@ def langid(ds: "rd.Dataset", text_col: str = "text",
 
 def _winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing (Schleimer et al. 2003): rolling k-gram hashes, per
-    window keep the rightmost minimum."""
+    window keep the rightmost minimum.
+
+    k-gram hash is md5 (first 8 bytes, big-endian, masked to 61 bits) so
+    the whole operator is reproducible in DuckDB —
+    ``('0x'||substr(md5(g),1,16))::UBIGINT & ((1::UBIGINT<<61)-1)`` —
+    giving doc_fingerprints an exact SQL oracle."""
     s = (text or "").lower()
     if len(s) < k:
         return []
     hashes = [int.from_bytes(
-        hashlib.sha1(s[i:i + k].encode()).digest()[:8], "big") & ((1 << 61) - 1)
+        hashlib.md5(s[i:i + k].encode()).digest()[:8], "big") & ((1 << 61) - 1)
         for i in range(len(s) - k + 1)]
     fps = []
     last = None

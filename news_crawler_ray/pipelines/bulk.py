@@ -92,7 +92,7 @@ def extract_pipeline(pages_dir: str, concurrency: int | None = None,
             fn_constructor_kwargs={"apply_nav_pruning": apply_nav_pruning},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=concurrency or 8,
+            concurrency=(1, concurrency or 8),
             num_cpus=1,
         )
     return ds.map_batches(

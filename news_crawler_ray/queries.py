@@ -648,11 +648,48 @@ def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT d≤8 Hamming pairs via (d+1)-segment pigeonhole LSH — full
+    recall, so it gets an exact all-pairs DuckDB oracle (the simhash
+    itself is md5-token-hash based and reproducible in SQL)."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.simhash_pairs(ds, max_hamming=8).to_pandas()
     if len(out):
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        out = out.astype({"doc_a": "int64", "doc_b": "int64",
+                          "hamming": "int64"})
     return out
+
+
+# exact SQL replica of SimHasher.fingerprint (md5 token hash → per-bit
+# multiplicity-weighted sign sum) + brute-force all-pairs Hamming ≤ 8 —
+# valid as an oracle for the LSH path because (d+1)-segment pigeonhole
+# bucketing has provably full recall
+Q_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+th AS (SELECT doc_id, ('0x'||substr(md5(tok),1,16))::UBIGINT AS h, cnt FROM tc),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)::HUGEINT
+                  ELSE 0 END) AS f
+  FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id, coalesce(fp.f, 0)::UBIGINT AS simhash
+  FROM documents d LEFT JOIN fp USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY doc_a, doc_b
+"""
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
@@ -681,6 +718,45 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# exact SQL replica of winnowing (Schleimer et al. 2003): md5 char-5-gram
+# hashes masked to 61 bits, window-4 rightmost-minimum selection,
+# consecutive-position dedup (selected positions are non-decreasing, so
+# DISTINCT positions ≡ the sequential dedup in _winnow_fingerprints)
+Q_FPS_SQL = r"""
+WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+grams AS (
+  SELECT doc_id, g.i AS i,
+         ('0x'||substr(md5(substr(s, g.i, 5)),1,16))::UBIGINT
+           & ((1::UBIGINT<<61)-1) AS h
+  FROM d, LATERAL (SELECT unnest(range(1, length(s)-5+2)) AS i) g
+  WHERE length(s) >= 5),
+wins AS (
+  SELECT doc_id, w.w AS w
+  FROM d, LATERAL (
+    SELECT unnest(range(0, greatest(1, length(s)-5+1-4+1))) AS w) w
+  WHERE length(s) >= 5),
+members AS (
+  SELECT w.doc_id, w.w, g.i, g.h
+  FROM wins w JOIN grams g ON g.doc_id = w.doc_id
+   AND g.i - 1 BETWEEN w.w AND w.w + 3),
+win_min AS (SELECT doc_id, w, min(h) AS mh FROM members GROUP BY doc_id, w),
+sel AS (
+  SELECT m.doc_id, m.w, max(m.i) AS sel_pos
+  FROM members m JOIN win_min x
+    ON x.doc_id = m.doc_id AND x.w = m.w AND m.h = x.mh
+  GROUP BY m.doc_id, m.w),
+fp_pos AS (SELECT DISTINCT doc_id, sel_pos FROM sel),
+agg AS (
+  SELECT f.doc_id, count(*) AS n_fingerprints, min(g.h) AS min_fp
+  FROM fp_pos f JOIN grams g ON g.doc_id = f.doc_id AND g.i = f.sel_pos
+  GROUP BY f.doc_id)
+SELECT d0.doc_id,
+       coalesce(a.n_fingerprints, 0)::BIGINT AS n_fingerprints,
+       coalesce(a.min_fp, 0)::UBIGINT AS min_fp
+FROM documents d0 LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
 
 
 def _flagship_out_dir(tag: str) -> str:
@@ -806,7 +882,7 @@ def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
     out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2).to_pandas()
+                            batch_size=32, concurrency=(1, 2)).to_pandas()
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
@@ -875,4 +951,6 @@ ORACLES = {
     "q_embedding_neardup_exact": Q_EMB_EXACT_SQL,
     "q_whois_host_metadata": Q_WHOIS_SQL,
     "doc_langid": _langid_sql(),
+    "simhash_pairs": Q_SIMHASH_SQL,
+    "doc_fingerprints": Q_FPS_SQL,
 }

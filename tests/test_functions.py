@@ -134,22 +134,18 @@ def _ref_minhash_pairs(texts, *, num_perm=128, bands=32, shingle_k=3,
 
 
 def _ref_simhash_pairs(texts, *, max_hamming=3):
-    """Independent reference for 4-segment pigeonhole SimHash pairing."""
+    """Independent reference: EXACT all-pairs Hamming ≤ d over the
+    fingerprints. The (d+1)-segment pigeonhole gives the distributed
+    path full recall, so it must equal the brute-force answer."""
     fps = {i: dd.SimHasher.fingerprint(t) for i, t in enumerate(texts)}
-    buckets = {}
-    for i, fp in fps.items():
-        for s in range(4):
-            buckets.setdefault((s, (fp >> (16 * s)) & 0xFFFF), []).append(i)
     pairs = {}
-    for docs in buckets.values():
-        docs = sorted(set(docs))
-        for x in range(len(docs)):
-            for y in range(x + 1, len(docs)):
-                a, b = docs[x], docs[y]
-                if (a, b) not in pairs:
-                    d = bin(fps[a] ^ fps[b]).count("1")
-                    if d <= max_hamming:
-                        pairs[(a, b)] = d
+    ids = sorted(fps)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= max_hamming:
+                pairs[(a, b)] = d
     return pairs
 
 
