@@ -616,3 +616,190 @@ def embedding_neardup_pairs(ds: "rd.Dataset", *, threshold: float = 0.95,
 
     return buckets.groupby(["table", "bucket"]).map_groups(
         verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (no sketch)
+# ---------------------------------------------------------------------------
+
+def _gram_rows(batch: pa.Table, *, k: int, text_col: str,
+               id_col: str) -> pa.Table:
+    """Per doc: DISTINCT word-k-gram shingles as md5 hashes of the
+    space-joined gram string, masked to 61 bits so they survive the
+    join shuffle's pandas blocks as int64 (SQL identity:
+    ``('0x'||substr(md5(g),1,16))::UBIGINT & ((1::UBIGINT<<61)-1)``)."""
+    ids_out: list[int] = []
+    hs_out: list[int] = []
+    for did, text in zip(batch[id_col].to_pylist(),
+                         batch[text_col].to_pylist()):
+        toks = (text or "").lower().split()
+        if len(toks) < k:
+            continue
+        seen = {
+            int.from_bytes(hashlib.md5(
+                " ".join(toks[i:i + k]).encode()).digest()[:8], "big")
+            & _MERSENNE
+            for i in range(len(toks) - k + 1)}
+        ids_out.extend([did] * len(seen))
+        hs_out.extend(seen)
+    return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                     "h": pa.array(np.array(hs_out, dtype=np.int64))})
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _light_join_aggregators(cpus_per_partition: float = 0.1):
+    """Scoped CPU sizing for join/shuffle aggregator actors. Ray's
+    default reserves min(1, CPUs/2/num_partitions) per partition, so two
+    CONCURRENT joins on a small CPU budget (e.g. the 4-CPU test session)
+    reserve every core for aggregators and starve the map tasks feeding
+    them — a structural deadlock. 0.1 CPU/partition keeps multi-join
+    DAGs schedulable; aggregators are concat/IO-bound so the
+    oversubscription is harmless."""
+    ctx = rd.DataContext.get_current()
+    prev_j = ctx.join_operator_actor_num_cpus_per_partition_override
+    prev_s = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    ctx.join_operator_actor_num_cpus_per_partition_override = \
+        cpus_per_partition
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+        cpus_per_partition
+    try:
+        yield
+    finally:
+        ctx.join_operator_actor_num_cpus_per_partition_override = prev_j
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
+            prev_s
+
+
+def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
+                        thr_num: int = 2, thr_den: int = 5,
+                        max_df: int = 64, text_col: str = "text",
+                        id_col: str = "doc_id") -> "rd.Dataset":
+    """EXACT word-k-gram Jaccard pairs — the precise version of what
+    MinHash-LSH approximates — with a document-frequency cap.
+
+    Semantics: Jaccard over each doc's distinct shingle set AFTER
+    dropping shingles shared by more than ``max_df`` docs (the standard
+    hot-shingle cap: boilerplate grams shared corpus-wide would make
+    candidate generation quadratic; the SQL oracle applies the identical
+    cap, so the gate is still exact). The threshold is the exact rational
+    ``thr_num/thr_den`` — kept as integers so the keep/drop decision is
+    integer arithmetic in both engines (no float rounding at the
+    boundary). Emitted ``jac_micro = floor(1e6 · |A∩B| / |A∪B|)``.
+
+    Distributed shape (all-native, no driver materialization):
+    distinct-shingle explosion (map_batches) → ``groupby(h).count`` df →
+    inner-join df≤cap back (per-doc sizes via ``groupby(doc)``) →
+    inner-join 2≤df≤cap → per-shingle pair emission (map_groups over
+    non-singleton buckets only) → ``groupby(pair).count`` = |A∩B| →
+    two joins against sizes → integer threshold filter. At 100 TB the
+    pair emission is the standard candidate bottleneck: df≤cap bounds
+    each bucket at cap²/2 pairs."""
+    sh = ds.select_columns([id_col, text_col]).map_batches(
+        _gram_rows, fn_kwargs={"k": k, "text_col": text_col,
+                               "id_col": id_col},
+        batch_format="pyarrow").materialize()
+
+    def df_filter(t: pa.Table, *, lo: int) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["count()"], lo),
+                    pc.less_equal(t["count()"], max_df))
+        t = t.filter(m)
+        return pa.table({"h": t["h"]})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": pd.Series(ids[ia], dtype="int64"),
+                             "doc_b": pd.Series(ids[ib], dtype="int64")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        isz = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = t["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = t["sz_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = sa + sb - isz
+        keep = isz * thr_den >= union * thr_num
+        return pa.table({
+            "doc_a": pa.array(
+                t["doc_a"].to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64)),
+            "doc_b": pa.array(
+                t["doc_b"].to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64)),
+            "inter_sz": pa.array(isz[keep]),
+            "union_sz": pa.array(union[keep]),
+            "jac_micro": pa.array(isz[keep] * 1_000_000 // union[keep]),
+        })
+
+    # Every .materialize() below is a deliberate stage barrier: the fused
+    # lazy plan would run its four join/shuffle stages CONCURRENTLY, and
+    # Ray reserves aggregator-actor CPUs per shuffle — on a small CPU
+    # budget the reservations add up past the cluster size and the plan
+    # deadlocks (reproduced at num_cpus=4). Sequenced, each shuffle gets
+    # the whole cluster; the intermediates are id-level tables (tiny
+    # relative to the corpus) and spill to the object store if needed.
+    def _empty_result() -> "rd.Dataset":
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter_sz": pa.array([], pa.int64()),
+            "union_sz": pa.array([], pa.int64()),
+            "jac_micro": pa.array([], pa.int64())}))
+
+    if sh.count() == 0:
+        # empty corpus (or no doc reaches k tokens): blocks carry no
+        # schema, which the join key resolution rejects — short-circuit
+        # with a typed empty result instead
+        return _empty_result()
+
+    # NOTE on the repartition() calls below: aggregates emit one block
+    # per hash partition, and partitions that received no groups emit
+    # EMPTY blocks carrying no schema at all. pyarrow's join then fails
+    # key resolution ("No match for FieldRef") on any such block — and a
+    # map_batches can't repair them because Ray short-circuits empty
+    # blocks past map UDFs. repartition() rebuilds blocks from a typed
+    # concatenation, so every block (even empty slices) carries the
+    # schema. The repartitioned tables are id-level (pairs/sizes), tiny
+    # next to the corpus.
+    with _light_join_aggregators():
+        dfreq = sh.groupby("h").count().materialize()
+
+        hot = dfreq.map_batches(df_filter, fn_kwargs={"lo": 2},
+                                batch_format="pyarrow").materialize()
+        if hot.count() == 0:
+            # no shingle shared by ≥2 docs → no candidate pairs; an
+            # empty join side would also lose its schema (same failure
+            # as the empty-corpus case)
+            return _empty_result()
+
+        kept = sh.join(
+            dfreq.map_batches(df_filter, fn_kwargs={"lo": 1},
+                              batch_format="pyarrow"),
+            join_type="inner", num_partitions=8, on=("h",))
+        sizes = kept.groupby("doc_id").count() \
+            .repartition(4).materialize()
+
+        shared = sh.join(hot, join_type="inner", num_partitions=8,
+                         on=("h",)).materialize()
+
+        inter = shared.groupby("h").map_groups(
+            emit_pairs, batch_format="pandas").groupby(
+            ["doc_a", "doc_b"]).count().repartition(4).materialize()
+
+        sz_a = sizes.map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"],
+                                "sz_a": t["count()"]}),
+            batch_format="pyarrow")
+        sz_b = sizes.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"],
+                                "sz_b": t["count()"]}),
+            batch_format="pyarrow")
+        half = inter.join(sz_a, join_type="inner", num_partitions=8,
+                          on=("doc_a",)).repartition(4).materialize()
+        return half.join(sz_b, join_type="inner", num_partitions=8,
+                         on=("doc_b",)) \
+            .map_batches(finish, batch_format="pyarrow").materialize()

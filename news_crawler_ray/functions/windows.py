@@ -1,0 +1,153 @@
+"""Windowed / relational operators the reference lacks, built Ray-Data
+first: salted-bucket rolling windows, broadcast range join, exact
+distributed quantiles, deterministic hash sampling, exact distinct
+counts. Every operator here has an exact DuckDB oracle in queries.py —
+integer arithmetic at decision boundaries so float rounding can never
+flip a row between the engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def rolling_window_sum(ds: "rd.Dataset", *, key_col: str, order_cols: list[str],
+                       value_col: str, window: int = 4,
+                       num_buckets: int = 32) -> "rd.Dataset":
+    """Per-key sliding window (``ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW``) sum + count over an integer value column.
+
+    Scale shape: keys are salted into ``num_buckets`` buckets
+    (``key % num_buckets``) and the shuffle is one ``groupby(bucket)`` —
+    each group then holds MANY keys and the per-key windows run as one
+    vectorized pandas groupby-rolling pass. This amortizes Ray's
+    per-group ``map_groups`` overhead (~0.5-1 ms/group), which would
+    dominate if we grouped by the raw key: 10^6 users → 10^6 groups vs
+    32 buckets. Window state never crosses keys, so bucket-locality of
+    the KEY is the only partitioning requirement."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket",
+                               pa.array(key % num_buckets, pa.int32()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        grp = g.groupby(key_col)[value_col]
+        win_sum = grp.rolling(window=window, min_periods=1).sum() \
+            .reset_index(level=0, drop=True)
+        win_n = grp.rolling(window=window, min_periods=1).count() \
+            .reset_index(level=0, drop=True)
+        out = g[[c for c in g.columns
+                 if c not in ("bucket", value_col)]].copy()
+        out["win_sum"] = win_sum.astype("int64")
+        out["win_n"] = win_n.astype("int64")
+        return out
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(roll, batch_format="pandas")
+
+
+def range_band_join(ds: "rd.Dataset", *, value_col: str,
+                    edges: list[float], labels: list[str],
+                    agg_col: str) -> "rd.Dataset":
+    """Broadcast range join: assign each row to the band whose
+    ``[edges[i], edges[i+1])`` half-open interval contains ``value_col``,
+    then aggregate per band (count + milli-int sum of ``agg_col``).
+
+    The band table is the classic small side of a range join — it ships
+    inside the task closure (a dozen floats), so there is NO shuffle at
+    all until the final tiny ``groupby(band)`` over pre-aggregated
+    per-batch partials. Rows outside [edges[0], edges[-1]) are dropped
+    (inner-join semantics, same as the SQL BETWEEN oracle)."""
+    inner = np.asarray(edges[1:-1], dtype=np.float64)
+    lo, hi = float(edges[0]), float(edges[-1])
+    lab = np.asarray(labels)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = (v >= lo) & (v < hi)
+        v = v[keep]
+        a = t[agg_col].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
+        idx = np.digitize(v, inner, right=False)
+        milli = np.rint(a * 1000).astype(np.int64)
+        df = pd.DataFrame({"band": lab[idx], "n": 1, "s": milli})
+        g = df.groupby("band", as_index=False).agg(n=("n", "sum"),
+                                                   s=("s", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("n", alias_name="n_rows"),
+                                   Sum("s", alias_name="sum_milli"))
+
+
+def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
+                    qs: list[float]) -> pd.DataFrame:
+    """Exact rank-based quantiles of a LOW-CARDINALITY column via a
+    distributed value-count histogram: ``groupby(value).count()`` is the
+    only shuffle and moves one row per DISTINCT value; the driver folds
+    the (tiny) histogram into ranks. Quantile definition: element at
+    0-based index ``floor(q·(n-1))`` of the sorted multiset — replicated
+    verbatim by the SQL oracle via row_number().
+
+    For high-cardinality/continuous columns this histogram is no longer
+    small; the scale path is a t-digest-style mergeable sketch, at which
+    point the result is approximate and leaves the oracle gate."""
+    hist = ds.groupby(value_col).count().to_pandas() \
+        .sort_values(value_col).reset_index(drop=True)
+    counts = hist["count()"].to_numpy(dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    vals = []
+    for q in qs:
+        idx = int(np.floor(q * (n - 1)))
+        vals.append(float(hist[value_col][int(np.searchsorted(cum, idx,
+                                                              side="right"))]))
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "val": pd.Series(vals, dtype="float64")})
+
+
+def hash_sample(ds: "rd.Dataset", *, id_col: str, pct: int = 10,
+                mod: int = 100) -> "rd.Dataset":
+    """Deterministic hash-threshold sampling: keep rows where
+    ``md5(str(id))[:4] % mod < pct`` — stable across runs, machines and
+    engines (the SQL oracle computes the identical predicate), and
+    embarrassingly parallel (pure per-batch filter, no shuffle, no RNG
+    state). The standard way to carve reproducible held-out slices from
+    a 100-TB corpus without materializing an id list."""
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") % mod < pct for i in ids),
+            dtype=bool, count=len(ids))
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def distinct_count(ds: "rd.Dataset", *, col: str,
+                   tokenize: bool = False) -> int:
+    """EXACT distinct count (the oracle twin of the HLL sketch in
+    sketches.py): per-batch local dedup → ``groupby(value).count()``
+    (one shuffle of the deduped values) → the grouped dataset's row
+    count. No driver materialization of the value set."""
+
+    def local_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        if tokenize:
+            seen: set[str] = set()
+            for t in batch[col].fillna(""):
+                seen.update(t.split())
+            return pd.DataFrame({"v": sorted(seen)})
+        return pd.DataFrame({"v": batch[col].drop_duplicates()})
+
+    return ds.map_batches(local_distinct, batch_format="pandas") \
+        .groupby("v").count().count()

@@ -23,6 +23,7 @@ from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import similarity as sim
 from .functions import textops as to
+from .functions import windows as wn
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -887,6 +888,168 @@ def q_frame_sample(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Windowed / relational / sampling operators (functions/windows.py) and
+# exact n-gram Jaccard — every one oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT word-3-gram Jaccard pairs ≥ 2/5 with df≤64 hot-shingle cap —
+    the precise operator MinHash-LSH approximates; fully distributed."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.ngram_jaccard_pairs(ds, k=3, thr_num=2, thr_den=5,
+                                 max_df=64).to_pandas()
+    out = out.astype({c: "int64" for c in out.columns})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_NGRAM_JACCARD_SQL = r"""
+WITH toklist AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         (('0x'||substr(md5(array_to_string(l[g.i:g.i+2], ' ')),1,16))::UBIGINT
+           & ((1::UBIGINT<<61)-1))::BIGINT AS h
+  FROM toklist, LATERAL (SELECT unnest(range(1, len(l)-3+2)) AS i) g
+  WHERE len(l) >= 3),
+df AS (SELECT h, count(*) AS df FROM grams GROUP BY h),
+capped AS (SELECT g.doc_id, g.h FROM grams g JOIN df USING (h)
+           WHERE df.df <= 64),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isz
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT i.doc_a, i.doc_b,
+       i.isz::BIGINT AS inter_sz,
+       (sa.sz + sb.sz - i.isz)::BIGINT AS union_sz,
+       (i.isz * 1000000) // (sa.sz + sb.sz - i.isz) AS jac_micro
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.isz * 5 >= (sa.sz + sb.sz - i.isz) * 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_rolling_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user sliding-window (4 rows) sum+count over event values —
+    salted-bucket distributed windowing (functions/windows.py)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["value"])
+        return t.append_column(
+            "value_centi", pa.array(np.rint(v * 100).astype(np.int64)))
+
+    out = wn.rolling_window_sum(
+        ds.map_batches(to_centi, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value_centi", window=4).to_pandas()
+    out = out[["event_id", "user_id", "win_sum", "win_n"]] \
+        .rename(columns={"win_sum": "win_sum_centi"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ROLLING_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(value_centi) OVER w AS BIGINT) AS win_sum_centi,
+       CAST(count(*) OVER w AS BIGINT) AS win_n
+FROM (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS value_centi
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+_BAND_EDGES = [900.0, 920.0, 940.0, 960.0, 980.0, 1000.0]
+_BAND_LABELS = ["B0", "B1", "B2", "B3", "B4"]
+
+
+def q_price_band_join(sf_dir: str) -> pd.DataFrame:
+    """Range join of parts onto half-open price bands (broadcast small
+    side, zero shuffle before the 5-row groupby)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_retailprice"])
+    out = wn.range_band_join(ds, value_col="p_retailprice",
+                             edges=_BAND_EDGES, labels=_BAND_LABELS,
+                             agg_col="p_retailprice").to_pandas()
+    out = out.rename(columns={"n_rows": "n_parts",
+                              "sum_milli": "sum_retail_milli"})
+    out = out.astype({"n_parts": "int64", "sum_retail_milli": "int64"})
+    return out.sort_values("band").reset_index(drop=True)
+
+
+Q_BAND_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('B0', 900.0, 920.0), ('B1', 920.0, 940.0), ('B2', 940.0, 960.0),
+  ('B3', 960.0, 980.0), ('B4', 980.0, 1000.0))
+SELECT b.band,
+       count(*)::BIGINT AS n_parts,
+       sum(CAST(round(p.p_retailprice * 1000) AS BIGINT))::BIGINT
+         AS sum_retail_milli
+FROM part p JOIN bands b
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
+def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact rank quantiles of l_quantity via the distributed value-count
+    histogram (one shuffle, one row per distinct value)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+    return wn.exact_quantiles(ds, value_col="l_quantity",
+                              qs=[0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+Q_QUANTILES_SQL = """
+WITH o AS (SELECT l_quantity AS val,
+                  row_number() OVER (ORDER BY l_quantity) - 1 AS rn
+           FROM lineitem),
+n AS (SELECT count(*) AS n FROM lineitem),
+qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT qs.q AS q, o.val AS val
+FROM qs, n
+JOIN o ON o.rn = CAST(floor(qs.q * (n.n - 1)) AS BIGINT)
+ORDER BY q
+"""
+
+
+def q_doc_hash_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 10% md5-threshold sample of documents."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = wn.hash_sample(ds, id_col="doc_id", pct=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_HASH_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::UBIGINT % 100 < 10
+ORDER BY doc_id
+"""
+
+
+def q_distinct_tokens_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct-token count (oracle twin of approx_distinct_tokens;
+    a test pins the HLL estimate's relative error against this)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    n = wn.distinct_count(ds, col="text", tokenize=True)
+    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
+
+
+Q_DISTINCT_SQL = r"""
+SELECT count(DISTINCT token)::BIGINT AS n_distinct FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents) t
+"""
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -911,6 +1074,12 @@ QUERIES = {
     "q_asof_purchase_view": q_asof_purchase_view,
     "q_embedding_neardup_exact": q_embedding_neardup_exact,
     "q_whois_host_metadata": q_whois_host_metadata,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_rolling_events": q_rolling_events,
+    "q_price_band_join": q_price_band_join,
+    "q_quantity_quantiles": q_quantity_quantiles,
+    "q_doc_hash_sample": q_doc_hash_sample,
+    "q_distinct_tokens_exact": q_distinct_tokens_exact,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -953,4 +1122,10 @@ ORACLES = {
     "doc_langid": _langid_sql(),
     "simhash_pairs": Q_SIMHASH_SQL,
     "doc_fingerprints": Q_FPS_SQL,
+    "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+    "q_rolling_events": Q_ROLLING_SQL,
+    "q_price_band_join": Q_BAND_JOIN_SQL,
+    "q_quantity_quantiles": Q_QUANTILES_SQL,
+    "q_doc_hash_sample": Q_HASH_SAMPLE_SQL,
+    "q_distinct_tokens_exact": Q_DISTINCT_SQL,
 }

@@ -1,0 +1,175 @@
+"""Windowed/relational operators (functions/windows.py) and exact
+n-gram Jaccard: each pinned against an independent in-process
+brute-force reference (the driver additionally gates them against
+DuckDB oracles at sf0.01)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from news_crawler_ray.functions import dedup as dd
+from news_crawler_ray.functions import windows as wn
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 25, size=n).astype(np.int64),
+        "ts": np.cumsum(rng.randint(1, 9, size=n)).astype(np.int64),
+        "value_centi": rng.randint(-500, 5000, size=n).astype(np.int64),
+    })
+
+
+class TestRollingWindow:
+    def test_matches_pandas_per_key(self, ray_session, events_df):
+        out = wn.rolling_window_sum(
+            rd.from_pandas(events_df), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            window=4, num_buckets=8).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        ref = events_df.sort_values(["user_id", "ts", "event_id"]).copy()
+        grp = ref.groupby("user_id")["value_centi"]
+        ref["win_sum"] = grp.rolling(4, min_periods=1).sum() \
+            .reset_index(level=0, drop=True).astype("int64")
+        ref["win_n"] = grp.rolling(4, min_periods=1).count() \
+            .reset_index(level=0, drop=True).astype("int64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        for c in ("win_sum", "win_n"):
+            assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+
+    def test_window_never_crosses_keys(self, ray_session):
+        df = pd.DataFrame({"event_id": [0, 1, 2, 3],
+                           "user_id": [1, 1, 2, 2],
+                           "ts": [10, 20, 10, 20],
+                           "value_centi": [100, 100, 7, 7]})
+        out = wn.rolling_window_sum(
+            rd.from_pandas(df), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            window=4, num_buckets=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["win_sum"].tolist() == [100, 200, 7, 14]
+
+
+class TestRangeBandJoin:
+    def test_band_edges_half_open(self, ray_session):
+        # values exactly on edges: lo inclusive, hi exclusive; outside dropped
+        df = pd.DataFrame({"v": [899.99, 900.0, 919.99, 920.0, 999.9, 1000.0]})
+        out = wn.range_band_join(
+            rd.from_pandas(df), value_col="v",
+            edges=[900.0, 920.0, 940.0, 960.0, 980.0, 1000.0],
+            labels=["B0", "B1", "B2", "B3", "B4"],
+            agg_col="v").to_pandas().sort_values("band")
+        got = dict(zip(out["band"], out["n_rows"]))
+        assert got == {"B0": 2, "B1": 1, "B4": 1}
+
+    def test_sum_is_milli_exact(self, ray_session):
+        df = pd.DataFrame({"v": [910.5, 911.25]})
+        out = wn.range_band_join(
+            rd.from_pandas(df), value_col="v", edges=[900.0, 1000.0],
+            labels=["all"], agg_col="v").to_pandas()
+        assert out["sum_milli"].iloc[0] == 910500 + 911250
+
+
+class TestExactQuantiles:
+    def test_matches_numpy_rank_definition(self, ray_session):
+        rng = np.random.RandomState(3)
+        vals = rng.randint(1, 51, size=5000).astype(np.float64)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+        out = wn.exact_quantiles(ds, value_col="x", qs=qs)
+        srt = np.sort(vals)
+        for q, got in zip(out["q"], out["val"]):
+            assert got == srt[int(np.floor(q * (len(vals) - 1)))]
+
+
+class TestHashSample:
+    def test_deterministic_and_matches_predicate(self, ray_session):
+        ids = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+        out1 = wn.hash_sample(rd.from_pandas(ids), id_col="doc_id",
+                              pct=10).to_pandas()
+        out2 = wn.hash_sample(rd.from_pandas(ids), id_col="doc_id",
+                              pct=10).to_pandas()
+        assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+        expect = [i for i in range(1000)
+                  if int.from_bytes(hashlib.md5(str(i).encode())
+                                    .digest()[:4], "big") % 100 < 10]
+        assert sorted(out1["doc_id"]) == expect
+        # ~10% with hash-uniform slack
+        assert 60 <= len(out1) <= 140
+
+
+class TestDistinctCount:
+    def test_exact_over_tokenized_text(self, ray_session):
+        texts = ["a b c", "b c d", "", "d e"]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+        assert wn.distinct_count(ds, col="text", tokenize=True) == 5
+
+    def test_hll_estimate_within_error(self, ray_session):
+        """The HLL sketch (approx_distinct_tokens) must sit within its
+        p=12 error envelope of this exact count."""
+        from news_crawler_ray.functions.sketches import approx_distinct_tokens
+        rng = np.random.RandomState(5)
+        texts = [" ".join(f"tok{rng.randint(0, 4000)}" for _ in range(40))
+                 for _ in range(300)]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+        exact = wn.distinct_count(ds, col="text", tokenize=True)
+        est = approx_distinct_tokens(ds)
+        assert abs(est - exact) / exact < 0.05   # 3σ for p=12 is ~4.9%
+
+
+def _brute_jaccard_pairs(texts, *, k=3, thr=(2, 5), max_df=64):
+    """Brute-force df-capped k-gram Jaccard over raw shingle STRINGS
+    (no hashing at all) — independent of the md5 identity the
+    distributed path uses."""
+    shingles = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        shingles.append({" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1)}
+                        if len(toks) >= k else set())
+    df: dict[str, int] = {}
+    for s in shingles:
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    capped = [{g for g in s if df[g] <= max_df} for s in shingles]
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(capped[a] & capped[b])
+            union = len(capped[a] | capped[b])
+            if union and inter * thr[1] >= union * thr[0]:
+                out[(a, b)] = (inter, union, inter * 1_000_000 // union)
+    return out
+
+
+class TestNgramJaccard:
+    def test_matches_bruteforce(self, ray_session):
+        rng = np.random.RandomState(13)
+        vocab = [f"w{i}" for i in range(150)]
+        texts = []
+        for _ in range(15):
+            base = " ".join(rng.choice(vocab, size=40))
+            texts.append(base)
+            toks = base.split()
+            for j in rng.choice(len(toks), size=4, replace=False):
+                toks[j] = str(rng.choice(vocab))
+            texts.append(" ".join(toks))          # near dup
+            texts.append(" ".join(rng.choice(vocab, size=40)))  # filler
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}))
+        out = dd.ngram_jaccard_pairs(ds, k=3, thr_num=2, thr_den=5,
+                                     max_df=64).to_pandas()
+        got = {(int(r.doc_a), int(r.doc_b)):
+               (int(r.inter_sz), int(r.union_sz), int(r.jac_micro))
+               for r in out.itertuples()}
+        assert got == _brute_jaccard_pairs(texts)
+        assert len(got) >= 10   # the planted near-dups collide
