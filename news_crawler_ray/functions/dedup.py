@@ -444,8 +444,13 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          "value": t["value"].cast(pa.int32())})
 
     hot = counts.map_batches(hot_keys, batch_format="pyarrow")
+    # repartition after the join: the groupby's sort inherits the join's
+    # block count (8), which would cap the downstream verify at 8 tasks
+    # and leave 3/4 of a 32-core box idle during the O(bucket²) verify.
+    # (Raising the join's own num_partitions instead makes it SLOWER —
+    # hash-shuffle aggregator overhead grows with partition count.)
     colliding = seg_ds.join(hot, join_type="inner", num_partitions=8,
-                            on=("segment", "value"))
+                            on=("segment", "value")).repartition(32)
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
