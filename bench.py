@@ -74,7 +74,8 @@ def run_bench() -> dict:
     for name in ("q1_pricing_summary", "q3_top_orders", "q_events_hourly",
                  "q_events_sessions", "q_dedup_exact", "q_token_stats",
                  "q_quality", "q_ann_topk", "minhash_lsh_pairs",
-                 "simhash_pairs", "embedding_neardup"):
+                 "simhash_pairs", "embedding_neardup", "q_ngram_jaccard",
+                 "q_rolling_events", "q_quantity_quantiles"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

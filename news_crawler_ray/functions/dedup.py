@@ -723,7 +723,7 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
                              "doc_b": pd.Series(ids[ib], dtype="int64")})
 
     def finish(t: pa.Table) -> pa.Table:
-        isz = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        isz = t["isz"].to_numpy(zero_copy_only=False).astype(np.int64)
         sa = t["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         sb = t["sz_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         union = sa + sb - isz
@@ -789,11 +789,26 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
             .repartition(4).materialize()
 
         shared = sh.join(hot, join_type="inner", num_partitions=8,
-                         on=("h",)).materialize()
+                         on=("h",)).repartition(32).materialize()
+
+        # intersection counting: a pair-keyed groupby().count() here
+        # would create one group per CANDIDATE PAIR (~1.3M at sf0.1) and
+        # Ray's sort-based aggregate collapses at that group count
+        # (minutes). Grouping by doc_a instead gives ≤ n_docs groups,
+        # each a few hundred rows, counted vectorized via value_counts.
+        # Skew note: a hub doc's group is bounded by sz·max_df rows.
+        def count_by_b(g: pd.DataFrame) -> pd.DataFrame:
+            vc = g["doc_b"].value_counts()
+            return pd.DataFrame({
+                "doc_a": np.full(len(vc), int(g["doc_a"].iloc[0]),
+                                 dtype=np.int64),
+                "doc_b": vc.index.to_numpy(dtype=np.int64),
+                "isz": vc.to_numpy(dtype=np.int64)})
 
         inter = shared.groupby("h").map_groups(
             emit_pairs, batch_format="pandas").groupby(
-            ["doc_a", "doc_b"]).count().repartition(4).materialize()
+            "doc_a").map_groups(count_by_b, batch_format="pandas") \
+            .repartition(4).materialize()
 
         sz_a = sizes.map_batches(
             lambda t: pa.table({"doc_a": t["doc_id"],
