@@ -13,6 +13,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -1049,6 +1050,89 @@ SELECT count(DISTINCT token)::BIGINT AS n_distinct FROM (
 """
 
 
+def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
+    """Native distributed ANTI join: customers with no order on/after
+    1997-06-01 (the date filter keeps the result non-trivial — every
+    customer has SOME order in this corpus). The order-key side is
+    filtered and deduped per batch before the shuffle, so the exchange
+    moves one row per distinct recent custkey, not per order."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
+    okeys = rd.read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table(
+            {"o_custkey": pc.unique(t.filter(pc.greater_equal(
+                t["o_orderdate"], cutoff))["o_custkey"])}),
+            batch_format="pyarrow")
+    from .functions.dedup import _light_join_aggregators
+    with _light_join_aggregators():
+        out = cust.join(okeys, join_type="left_anti", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",)) \
+            .to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_mktsegment": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True) \
+        .astype({"c_custkey": "int64"})
+
+
+Q_NO_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+ORDER BY c_custkey
+"""
+
+
+def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (k=3 orders by value per market segment):
+    per-batch partial top-k (each batch emits at most k rows per
+    segment) → tiny groupby(segment) final top-k. The shuffle moves
+    k·n_batches rows, never the order table."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(seg_ref)
+        batch = batch.assign(c_mktsegment=batch["o_custkey"].map(m))
+        batch = batch.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True])
+        return batch.groupby("c_mktsegment", as_index=False).head(3)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        return pd.DataFrame({
+            "c_mktsegment": g["c_mktsegment"].to_numpy(),
+            "o_orderkey": g["o_orderkey"].to_numpy(dtype=np.int64),
+            "o_total_milli": np.floor(
+                g["o_totalprice"].to_numpy() * 1000).astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64)})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("c_mktsegment").map_groups(final, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
+Q_TOP_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, o_total_milli, rank FROM (
+  SELECT c.c_mktsegment, o.o_orderkey,
+         CAST(floor(o.o_totalprice * 1000) AS BIGINT) AS o_total_milli,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey)
+           AS rank
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) t
+WHERE rank <= 3 ORDER BY c_mktsegment, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1080,6 +1164,8 @@ QUERIES = {
     "q_quantity_quantiles": q_quantity_quantiles,
     "q_doc_hash_sample": q_doc_hash_sample,
     "q_distinct_tokens_exact": q_distinct_tokens_exact,
+    "q_customers_no_orders": q_customers_no_orders,
+    "q_top_orders_per_segment": q_top_orders_per_segment,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1128,4 +1214,6 @@ ORACLES = {
     "q_quantity_quantiles": Q_QUANTILES_SQL,
     "q_doc_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_distinct_tokens_exact": Q_DISTINCT_SQL,
+    "q_customers_no_orders": Q_NO_ORDERS_SQL,
+    "q_top_orders_per_segment": Q_TOP_PER_SEGMENT_SQL,
 }

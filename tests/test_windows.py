@@ -173,3 +173,45 @@ class TestNgramJaccard:
                for r in out.itertuples()}
         assert got == _brute_jaccard_pairs(texts)
         assert len(got) >= 10   # the planted near-dups collide
+
+
+class TestRelationalOps:
+    """Anti join + grouped top-k driven at the query surface against
+    pandas brute force on sf0.001."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_anti_join_matches_pandas(self, ray_session):
+        from news_crawler_ray.queries import q_customers_no_orders
+        got = q_customers_no_orders(self.SF)
+        cust = pd.read_parquet(f"{self.SF}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        orders = pd.read_parquet(f"{self.SF}/orders.parquet",
+                                 columns=["o_custkey", "o_orderdate"])
+        recent = set(orders.loc[
+            orders.o_orderdate >= pd.Timestamp("1997-06-01"), "o_custkey"])
+        ref = cust[~cust.c_custkey.isin(recent)] \
+            .sort_values("c_custkey").reset_index(drop=True)
+        assert got["c_custkey"].tolist() == ref["c_custkey"].tolist()
+        assert got["c_mktsegment"].tolist() == ref["c_mktsegment"].tolist()
+
+    def test_grouped_topk_matches_pandas(self, ray_session):
+        from news_crawler_ray.queries import q_top_orders_per_segment
+        got = q_top_orders_per_segment(self.SF)
+        cust = pd.read_parquet(f"{self.SF}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        orders = pd.read_parquet(f"{self.SF}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice"])
+        m = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        m = m.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        top = m.groupby("c_mktsegment").head(3)
+        ref = []
+        for seg, g in top.groupby("c_mktsegment"):
+            for rank, r in enumerate(g.itertuples(), start=1):
+                ref.append((seg, int(r.o_orderkey),
+                            int(np.floor(r.o_totalprice * 1000)), rank))
+        gotl = list(map(tuple, got[["c_mktsegment", "o_orderkey",
+                                    "o_total_milli", "rank"]].values))
+        assert gotl == ref
