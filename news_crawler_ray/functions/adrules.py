@@ -248,6 +248,6 @@ def har_tables(pages_ds, rules: list[str] | None = None,
                                                    batch_format="pandas")
     classified = distinct.map_batches(
         AdClassifier, fn_constructor_kwargs={"rules": rules},
-        batch_format="pyarrow", concurrency=(1, concurrency),
+        batch_format="pyarrow", concurrency=concurrency,
         num_cpus=0.5)   # light stage; leave CPUs for the task operators
     return classified, assoc

@@ -120,4 +120,4 @@ def media_metadata(ds: "rd.Dataset", batch_size: int = 32,
     """documents → media payloads → decode-stub metadata."""
     return media_dataset_from_documents(ds).map_batches(
         MediaDecodeStage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=(1, concurrency))
+        batch_size=batch_size, concurrency=concurrency)

@@ -92,7 +92,11 @@ def extract_pipeline(pages_dir: str, concurrency: int | None = None,
             fn_constructor_kwargs={"apply_nav_pruning": apply_nav_pruning},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, concurrency or 8),
+            # fixed pool: no shuffle/join downstream, so the small-
+            # cluster aggregator deadlock (see dedup.py) cannot occur,
+            # and an autoscaling pool's ramp-from-1 costs ~20-30% of a
+            # short run's throughput
+            concurrency=concurrency or 8,
             num_cpus=1,
         )
     return ds.map_batches(

@@ -884,7 +884,7 @@ def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
     out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=(1, 2)).to_pandas()
+                            batch_size=32, concurrency=2).to_pandas()
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
