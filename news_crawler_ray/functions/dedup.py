@@ -330,6 +330,107 @@ def dedup_groups(pairs_df: pd.DataFrame, all_ids=None) -> pd.DataFrame:
                          "keep": [i == r for i, r in zip(ids, reps)]})
 
 
+def dedup_groups_distributed(pairs: "rd.Dataset",
+                             max_iters: int = 50) -> "rd.Dataset":
+    """Distributed connected components over a near-dup pair Dataset via
+    min-label propagation — the scale path :func:`dedup_groups`'s
+    docstring promises: no driver materialization of the pair set.
+
+    Each round every node takes the minimum label among itself and its
+    neighbors (edges exploded both directions in ``map_batches``, one
+    ``groupby(node).min`` shuffle per round); convergence needs
+    O(component diameter) rounds, and near-dup clusters are shallow (a
+    hub-and-spokes of copies, diameter ≤ ~3). Fixpoint is detected by a
+    single-row count of changed labels per round. Converged labels equal
+    union-find's min-id representative exactly (same semantics), which
+    the tests pin on random graphs.
+
+    Returns (doc_id, cluster_rep) for every doc that appears in a pair;
+    docs with no pair are their own singleton cluster by definition and
+    are not emitted (the caller unions them in, exactly like
+    ``dedup_groups(all_ids=...)``)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "nbr": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        explode, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_rep": pa.array([], pa.int64())}))
+
+    # labels start as each node's own id: min over (node, nbr) of nbr
+    # and node — i.e. the first propagation round folds initialization
+    # and step 1 together.
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "label": t["node"]})
+
+    def relabel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.Series([int(g["node"].iloc[0])], dtype="int64"),
+            "label": pd.Series([int(g["label"].min())], dtype="int64")})
+
+    labels = edges.map_batches(seed, batch_format="pyarrow") \
+        .groupby("node").map_groups(relabel, batch_format="pandas") \
+        .materialize()
+
+    for _ in range(max_iters):
+        # ship each node's label to its neighbors: edges ⋈ labels on the
+        # NEIGHBOR side, then take min(own label, incoming labels)
+        with _light_join_aggregators():
+            incoming = edges.join(
+                labels.map_batches(
+                    lambda t: pa.table({"nbr": t["node"],
+                                        "nbr_label": t["label"]}),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=8,
+                on=("nbr",)).map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "label": t["nbr_label"]}),
+                batch_format="pyarrow")
+            # partial per-batch min (vectorized) shrinks the shuffle to
+            # ≤ one row per (node, batch) before the per-group relabel
+            def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+                return df.groupby("node", as_index=False)["label"].min()
+
+            new_labels = labels.union(incoming) \
+                .map_batches(partial_min, batch_format="pandas") \
+                .groupby("node").map_groups(relabel,
+                                            batch_format="pandas") \
+                .repartition(4).materialize()
+
+        # fixpoint check: any label changed this round?
+        with _light_join_aggregators():
+            joined = new_labels.join(
+                labels.map_batches(
+                    lambda t: pa.table({"node": t["node"],
+                                        "old_label": t["label"]}),
+                    batch_format="pyarrow"),
+                join_type="inner", num_partitions=8, on=("node",))
+            changed = joined.map_batches(
+                lambda t: pa.table({"n": pa.array([int(np.sum(
+                    t["label"].to_numpy(zero_copy_only=False) !=
+                    t["old_label"].to_numpy(zero_copy_only=False)))],
+                    pa.int64())}),
+                batch_format="pyarrow").sum("n")
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters — raise it)")
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "cluster_rep": t["label"]}),
+        batch_format="pyarrow")
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact word-k-gram Jaccard (verification kernel for LSH pairs)."""
     sa, sb = _shingles(text_a, k), _shingles(text_b, k)

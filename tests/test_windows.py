@@ -215,3 +215,44 @@ class TestRelationalOps:
         gotl = list(map(tuple, got[["c_mktsegment", "o_orderkey",
                                     "o_total_milli", "rank"]].values))
         assert gotl == ref
+
+
+class TestDistributedComponents:
+    """dedup_groups_distributed (min-label propagation) must equal the
+    driver union-find on arbitrary pair graphs."""
+
+    def _check(self, ray_session, pairs):
+        pdf = pd.DataFrame({"doc_a": [a for a, _ in pairs],
+                            "doc_b": [b for _, b in pairs]})
+        ref = dd.dedup_groups(pdf)
+        ref = ref[ref.doc_id.isin(
+            set(pdf.doc_a) | set(pdf.doc_b))]  # only docs in pairs
+        got = dd.dedup_groups_distributed(
+            rd.from_pandas(pdf.astype("int64"))).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        ref = ref.sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["cluster_rep"].tolist() == ref["cluster_rep"].tolist()
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        # dense-ish graph: shallow components, converges in 2-3 rounds
+        rng = np.random.RandomState(21)
+        pairs = set()
+        for _ in range(60):
+            a, b = rng.randint(0, 40, size=2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        self._check(ray_session, sorted(pairs))
+
+    def test_chain(self, ray_session):
+        # path graph: diameter = length; exercises multi-round
+        # propagation (label must walk the whole chain)
+        chain = [(i, i + 1) for i in range(5)]
+        self._check(ray_session, chain)
+
+    def test_empty_pairs(self, ray_session):
+        empty = rd.from_pandas(pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}))
+        out = dd.dedup_groups_distributed(empty).to_pandas()
+        assert len(out) == 0
