@@ -247,9 +247,12 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     # join signatures to the colliding doc ids only (VERDICT r1 item 1's
     # prescribed alternative): the full-width signature shuffle is
     # limited to docs that actually collide somewhere
+    # repartition: the downstream verify's map_groups parallelism is
+    # capped by this join's block count (same effect as in simhash_pairs)
     with_sigs = colliding.join(
         sigs.map_batches(sig_blob, batch_format="pyarrow"),
-        join_type="inner", num_partitions=8, on=("doc_id",))
+        join_type="inner", num_partitions=8, on=("doc_id",)) \
+        .repartition(32)
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
