@@ -1,0 +1,93 @@
+"""Property tests: the DuckDB oracle SQL re-derives the Python kernels
+for arbitrary (bounded-alphabet) inputs, not just the fixture corpus.
+
+Alphabet note: parity is defined over ASCII printable + the whitespace
+chars RE2 and Python agree on. RE2's ``\\s`` (DuckDB regex) is exactly
+``[\\t\\n\\f\\r ]``; Python's ``str.split()`` additionally treats
+``\\x0b`` (vertical tab), U+001C-001F and unicode spaces as separators
+— hypothesis found the ``\\x0b`` divergence on its first minimized
+example. The synthetic corpora never contain those, and the oracle
+contract documents tokenization as ``\\s+``-splitting over this
+alphabet. No Ray needed: these exercise the pure kernels the
+distributed stages wrap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from news_crawler_ray.functions.dedup import SimHasher
+from news_crawler_ray.functions.textops import _winnow_fingerprints
+
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789 \t\n\r\x0c.,;:!?'\"-_()[]/@#$%&*+=<>~`^|\\{}"
+)
+
+_SIM_FP_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(?), '\s+'),
+                            x -> x <> '')) AS tok),
+tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+th AS (SELECT ('0x'||substr(md5(tok),1,16))::UBIGINT AS h, cnt FROM tc),
+bits AS (
+  SELECT b.b AS bit,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS b) b GROUP BY b.b)
+SELECT coalesce(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)::HUGEINT
+                         ELSE 0 END), 0)::UBIGINT
+FROM bits
+"""
+
+_WINNOW_SQL = r"""
+WITH d AS (SELECT lower(?) AS s),
+grams AS (
+  SELECT g.i AS i,
+         ('0x'||substr(md5(substr(s, g.i, 5)),1,16))::UBIGINT
+           & ((1::UBIGINT<<61)-1) AS h
+  FROM d, LATERAL (SELECT unnest(range(1, length(s)-5+2)) AS i) g
+  WHERE length(s) >= 5),
+wins AS (
+  SELECT w.w AS w
+  FROM d, LATERAL (
+    SELECT unnest(range(0, greatest(1, length(s)-5+1-4+1))) AS w) w
+  WHERE length(s) >= 5),
+members AS (
+  SELECT w.w, g.i, g.h FROM wins w
+  JOIN grams g ON g.i - 1 BETWEEN w.w AND w.w + 3),
+win_min AS (SELECT w, min(h) AS mh FROM members GROUP BY w),
+sel AS (
+  SELECT m.w, max(m.i) AS sel_pos FROM members m
+  JOIN win_min x ON x.w = m.w AND m.h = x.mh GROUP BY m.w),
+fp_pos AS (SELECT DISTINCT sel_pos FROM sel)
+SELECT coalesce(count(*), 0)::BIGINT,
+       coalesce(min(g.h), 0)::UBIGINT
+FROM fp_pos f JOIN grams g ON g.i = f.sel_pos
+"""
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+class TestSimhashSqlParity:
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=_ALPHABET, max_size=300))
+    def test_fingerprint_matches_sql(self, text):
+        con = duckdb.connect()
+        sql_fp = con.execute(_SIM_FP_SQL, [text]).fetchone()[0]
+        assert int(sql_fp) == SimHasher.fingerprint(text)
+
+
+class TestWinnowSqlParity:
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=_ALPHABET, max_size=200))
+    def test_fingerprints_match_sql(self, text):
+        con = duckdb.connect()
+        n_sql, min_sql = con.execute(_WINNOW_SQL, [text]).fetchone()
+        fps = _winnow_fingerprints(text)
+        assert int(n_sql or 0) == len(fps)
+        assert int(min_sql or 0) == (min(fps) if fps else 0)
