@@ -30,7 +30,12 @@ def rolling_window_sum(ds: "rd.Dataset", *, key_col: str, order_cols: list[str],
     per-group ``map_groups`` overhead (~0.5-1 ms/group), which would
     dominate if we grouped by the raw key: 10^6 users → 10^6 groups vs
     32 buckets. Window state never crosses keys, so bucket-locality of
-    the KEY is the only partitioning requirement."""
+    the KEY is the only partitioning requirement.
+
+    Scale sizing: ONE bucket is processed by ONE task and must fit its
+    heap — pick ``num_buckets ≈ total_rows·row_width / target_partition
+    _bytes`` (e.g. ~512 MB per bucket), not the CPU count; the default
+    32 is for fixture-scale data."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -112,6 +117,30 @@ def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
                                                               side="right"))]))
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                          "val": pd.Series(vals, dtype="float64")})
+
+
+def grouped_quantiles(ds: "rd.Dataset", *, key_col: str, value_col: str,
+                      qs: list[float]) -> pd.DataFrame:
+    """Exact per-key rank quantiles via a (key, value) count histogram —
+    one ``groupby([key, value]).count()`` shuffle moving one row per
+    DISTINCT (key, value); the driver folds n_keys·n_values rows (small
+    by the same low-cardinality contract as :func:`exact_quantiles`).
+    Same index rule: element at 0-based ``floor(q·(n_k-1))`` within each
+    key's sorted multiset."""
+    hist = ds.groupby([key_col, value_col]).count().to_pandas() \
+        .sort_values([key_col, value_col]).reset_index(drop=True)
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        counts = g["count()"].to_numpy(dtype=np.int64)
+        vals_sorted = g[value_col].to_numpy()
+        n = int(counts.sum())
+        cum = np.cumsum(counts)
+        for q in qs:
+            idx = int(np.floor(q * (n - 1)))
+            rows.append((key, q, float(
+                vals_sorted[int(np.searchsorted(cum, idx, side="right"))])))
+    return pd.DataFrame(rows, columns=[key_col, "q", "val"]) \
+        .astype({"q": "float64", "val": "float64"})
 
 
 def hash_sample(ds: "rd.Dataset", *, id_col: str, pct: int = 10,

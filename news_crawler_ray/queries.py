@@ -1020,6 +1020,32 @@ ORDER BY q
 """
 
 
+def q_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag exact quantiles of l_quantity (grouped value-count
+    histogram, one row per distinct (flag, qty) over the shuffle)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity"])
+    return wn.grouped_quantiles(ds, key_col="l_returnflag",
+                                value_col="l_quantity",
+                                qs=[0.25, 0.5, 0.9]) \
+        .sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+
+
+Q_GROUPED_QUANTILES_SQL = """
+WITH o AS (SELECT l_returnflag, l_quantity AS val,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity) - 1 AS rn
+           FROM lineitem),
+n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+qs(q) AS (VALUES (0.25), (0.5), (0.9))
+SELECT n.l_returnflag AS l_returnflag, qs.q AS q, o.val AS val
+FROM qs, n
+JOIN o ON o.l_returnflag = n.l_returnflag
+      AND o.rn = CAST(floor(qs.q * (n.n - 1)) AS BIGINT)
+ORDER BY n.l_returnflag, q
+"""
+
+
 def q_doc_hash_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 10% md5-threshold sample of documents."""
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
@@ -1166,6 +1192,7 @@ QUERIES = {
     "q_distinct_tokens_exact": q_distinct_tokens_exact,
     "q_customers_no_orders": q_customers_no_orders,
     "q_top_orders_per_segment": q_top_orders_per_segment,
+    "q_grouped_quantiles": q_grouped_quantiles,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1216,4 +1243,5 @@ ORACLES = {
     "q_distinct_tokens_exact": Q_DISTINCT_SQL,
     "q_customers_no_orders": Q_NO_ORDERS_SQL,
     "q_top_orders_per_segment": Q_TOP_PER_SEGMENT_SQL,
+    "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
 }

@@ -256,3 +256,20 @@ class TestDistributedComponents:
              "doc_b": pd.Series([], dtype="int64")}))
         out = dd.dedup_groups_distributed(empty).to_pandas()
         assert len(out) == 0
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy_per_key(self, ray_session):
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], size=3000),
+                           "v": rng.randint(1, 40, size=3000)
+                           .astype(np.float64)})
+        qs = [0.25, 0.5, 0.9]
+        out = wn.grouped_quantiles(rd.from_pandas(df), key_col="k",
+                                   value_col="v", qs=qs)
+        for key, g in df.groupby("k"):
+            srt = np.sort(g["v"].to_numpy())
+            for q in qs:
+                want = srt[int(np.floor(q * (len(srt) - 1)))]
+                got = out[(out.k == key) & (out.q == q)]["val"].iloc[0]
+                assert got == want, (key, q)
