@@ -97,6 +97,76 @@ class FrameSampleStage:
                          "frame_hash": pa.array(hashes, pa.string())})
 
 
+class ResizeStage:
+    """Actor-pool stage: binary payload → resized binary payload +
+    output dims — the binary→binary shape (unlike decode, the payload
+    stays in flight, so ``batch_size × concurrency × payload`` must fit
+    the worker heap; callers keep batch_size small). Real resampling is
+    stubbed (no PIL); the fake transform is deterministic: output bytes
+    are a sha1-keyed digest stream proportional to the target area, so
+    size/layout behavior is realistic."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32,
+                 real_decode: bool = False):
+        if real_decode and not _HAS_PIL:
+            raise NotImplementedError(
+                "real image resize needs PIL, absent here; use "
+                "real_decode=False for the deterministic fake")
+        self.target_w = target_w
+        self.target_h = target_h
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        n = max(1, (self.target_w * self.target_h) // 20)
+        seed = hashlib.sha1((payload or b"") +
+                            bytes([self.target_w % 256,
+                                   self.target_h % 256])).digest()
+        reps = (n // len(seed)) + 1
+        return (seed * reps)[:n]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        resized = [self._fake_resize(p)
+                   for p in batch["payload"].to_pylist()]
+        n = len(resized)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(resized, pa.binary()),
+            "media_type": batch["media_type"],
+            "mime": batch["mime"],
+            "width": pa.array([self.target_w] * n, pa.int32()),
+            "height": pa.array([self.target_h] * n, pa.int32()),
+        })
+
+
+class FeatureExtractStage:
+    """Actor-pool stage: binary payload → embedding column
+    (``list<float>``) — the layout that feeds the similarity-search
+    operators. Real feature extraction (a vision model) is stubbed; the
+    fake embedding is a sha1-seeded unit vector, deterministic per
+    payload, so downstream ANN plumbing is exercised with stable
+    values. In a real deployment the model loads ONCE per actor here
+    (the reason this is a class, not a function)."""
+
+    def __init__(self, dim: int = 16):
+        self.dim = dim
+
+    def _fake_embed(self, payload: bytes) -> list[float]:
+        raw = b""
+        seed = hashlib.sha1(payload or b"").digest()
+        while len(raw) < self.dim:
+            raw += seed
+            seed = hashlib.sha1(seed).digest()
+        vec = [((b / 255.0) * 2.0 - 1.0) for b in raw[:self.dim]]
+        norm = sum(v * v for v in vec) ** 0.5 or 1.0
+        return [round(v / norm, 6) for v in vec]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = [self._fake_embed(p) for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "embedding": pa.array(embs, pa.list_(pa.float64())),
+        })
+
+
 def media_dataset_from_documents(ds: "rd.Dataset") -> "rd.Dataset":
     """Adapter: wrap documents.text bytes as a synthetic media table
     (exercises the binary-column plumbing against real testdata)."""

@@ -880,6 +880,44 @@ def q_media_metadata(sf_dir: str) -> pd.DataFrame:
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_resize(sf_dir: str) -> pd.DataFrame:
+    """Resize plumbing (binary→binary stage): summary columns only —
+    the resized payload itself stays distributed; the driver sees its
+    length and digest."""
+    import hashlib as _hl
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = mm.media_dataset_from_documents(ds)
+    resized = media.map_batches(mm.ResizeStage, batch_format="pyarrow",
+                                batch_size=32, concurrency=2,
+                                fn_constructor_kwargs={"target_w": 48,
+                                                       "target_h": 32})
+
+    def summarize(t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": t["width"], "height": t["height"],
+            "out_len": pa.array([len(p) for p in payloads], pa.int64()),
+            "out_sha1": pa.array(
+                [_hl.sha1(p).hexdigest()[:16] for p in payloads],
+                pa.string())})
+
+    out = resized.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Feature-extract plumbing: payload → deterministic unit embedding
+    (list<float>) — the column layout the ANN operators consume."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    media = mm.media_dataset_from_documents(ds)
+    out = media.map_batches(mm.FeatureExtractStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2).to_pandas()
+    out["embedding"] = out["embedding"].map(
+        lambda v: ",".join(f"{x:.6f}" for x in v))
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
@@ -1210,6 +1248,8 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
+    "media_resize": q_media_resize,
+    "media_features": q_media_features,
 }
 
 ORACLES = {

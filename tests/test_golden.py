@@ -105,6 +105,24 @@ class TestMediaGolden:
         pd.testing.assert_frame_equal(
             got.reset_index(drop=True), golden_f.reset_index(drop=True))
 
+    def test_media_resize_matches_golden(self, ray_session):
+        from news_crawler_ray.queries import q_media_resize
+        golden_r = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_media_resize.parquet")
+        ).to_pandas()
+        got = q_media_resize("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), golden_r.reset_index(drop=True))
+
+    def test_media_features_matches_golden(self, ray_session):
+        from news_crawler_ray.queries import q_media_features
+        golden_e = pq.read_table(
+            os.path.join(GOLDEN_DIR, "golden_media_features.parquet")
+        ).to_pandas()
+        got = q_media_features("/root/testdata/sf0.001")
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), golden_e.reset_index(drop=True))
+
 
 class TestFingerprintGolden:
     def test_distributed_fingerprints_match_golden(self, ray_session):

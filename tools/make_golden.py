@@ -88,9 +88,16 @@ def main():
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  logging_level="ERROR")
-    from news_crawler_ray.queries import q_frame_sample, q_media_metadata
+    from news_crawler_ray.queries import (q_frame_sample, q_media_features,
+                                          q_media_metadata, q_media_resize)
     meta_df = q_media_metadata("/root/testdata/sf0.001")
     frames_df = q_frame_sample("/root/testdata/sf0.001")
+    resize_df = q_media_resize("/root/testdata/sf0.001")
+    feats_df = q_media_features("/root/testdata/sf0.001")
+    pq.write_table(pa.Table.from_pandas(resize_df, preserve_index=False),
+                   os.path.join(GOLDEN_DIR, "golden_media_resize.parquet"))
+    pq.write_table(pa.Table.from_pandas(feats_df, preserve_index=False),
+                   os.path.join(GOLDEN_DIR, "golden_media_features.parquet"))
     pq.write_table(pa.Table.from_pandas(meta_df, preserve_index=False),
                    os.path.join(GOLDEN_DIR, "golden_media_metadata.parquet"))
     pq.write_table(pa.Table.from_pandas(frames_df, preserve_index=False),
