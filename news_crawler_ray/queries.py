@@ -1150,6 +1150,39 @@ ORDER BY c_custkey
 """
 
 
+def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
+    """Native distributed SEMI join: customers with at least one order
+    over 450k (filter + batch-dedup on the probe side before the
+    shuffle, mirroring the anti-join shape)."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    okeys = rd.read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table(
+            {"o_custkey": pc.unique(t.filter(pc.greater(
+                t["o_totalprice"], pa.scalar(450000.0)))["o_custkey"])}),
+            batch_format="pyarrow")
+    from .functions.dedup import _light_join_aggregators
+    with _light_join_aggregators():
+        out = cust.join(okeys, join_type="left_semi", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",)) \
+            .to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_mktsegment": pd.Series([], dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True) \
+        .astype({"c_custkey": "int64"})
+
+
+Q_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 450000.0)
+ORDER BY c_custkey
+"""
+
+
 def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Grouped top-k (k=3 orders by value per market segment):
     per-batch partial top-k (each batch emits at most k rows per
@@ -1229,6 +1262,7 @@ QUERIES = {
     "q_doc_hash_sample": q_doc_hash_sample,
     "q_distinct_tokens_exact": q_distinct_tokens_exact,
     "q_customers_no_orders": q_customers_no_orders,
+    "q_customers_big_orders": q_customers_big_orders,
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_grouped_quantiles": q_grouped_quantiles,
     # rows-only
@@ -1282,6 +1316,7 @@ ORACLES = {
     "q_doc_hash_sample": Q_HASH_SAMPLE_SQL,
     "q_distinct_tokens_exact": Q_DISTINCT_SQL,
     "q_customers_no_orders": Q_NO_ORDERS_SQL,
+    "q_customers_big_orders": Q_BIG_ORDERS_SQL,
     "q_top_orders_per_segment": Q_TOP_PER_SEGMENT_SQL,
     "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
 }
