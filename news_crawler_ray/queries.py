@@ -1230,6 +1230,97 @@ WHERE rank <= 3 ORDER BY c_mktsegment, rank
 """
 
 
+def q_lineitem_top_by_price(sf_dir: str) -> pd.DataFrame:
+    """Native distributed global sort (Ray's Sort AllToAll) + limit:
+    top-20 lineitems by extended price with a full deterministic
+    tie-break. The one API-surface op no other query exercised."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+    out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False]).limit(20).to_pandas()
+    out["price_milli"] = np.floor(
+        out["l_extendedprice"] * 1000).astype("int64")
+    return out[["l_orderkey", "l_linenumber", "price_milli"]] \
+        .astype({"l_orderkey": "int64", "l_linenumber": "int64"})
+
+
+Q_TOP_PRICE_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(floor(l_extendedprice * 1000) AS BIGINT) AS price_milli
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+def _jsonl_documents(sf_dir: str) -> str:
+    """Export documents.parquet to a cached JSONL directory (source-
+    format coverage: the query below reads the SAME rows via
+    ``read_json`` and must match the parquet-backed SQL oracle)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/ncr_jsonl_docs_{tag}"
+    done = out_dir + ".done"   # marker OUTSIDE the dir: readers glob it
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rd.read_parquet(_t(sf_dir, "documents"),
+                        columns=["doc_id", "text"]).write_json(out_dir)
+        open(done, "w").close()
+    return out_dir
+
+
+def q_token_stats_jsonl(sf_dir: str) -> pd.DataFrame:
+    """Token stats computed from a JSONL export of the documents table
+    (``Dataset.write_json`` → ``read_json`` round-trip) — checked
+    against the SAME DuckDB oracle as the parquet-sourced q_token_stats,
+    so the JSONL source path is oracle-gated end-to-end."""
+    ds = rd.read_json(_jsonl_documents(sf_dir))
+    return to.token_counts(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _csv_nation(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/ncr_csv_nation_{tag}"
+    done = out_dir + ".done"   # marker OUTSIDE the dir: readers glob it
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rd.read_parquet(_t(sf_dir, "nation")).write_csv(out_dir)
+        open(done, "w").close()
+    return out_dir
+
+
+def q_nations_per_region_csv(sf_dir: str) -> pd.DataFrame:
+    """Nations per region read from a CSV export of the nation table
+    (``write_csv`` → ``read_csv``), joined to region via broadcast —
+    CSV source coverage under the parquet-backed oracle."""
+    reg = pd.read_parquet(_t(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(reg.r_regionkey, reg.r_name))
+    ds = rd.read_csv(_csv_nation(sf_dir))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(r_name=batch["n_regionkey"].map(rmap))
+        return batch.groupby("r_name", as_index=False).agg(
+            n_nations=("n_nationkey", "size"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("r_name").aggregate(Sum("n_nations",
+                                         alias_name="n_nations")) \
+        .to_pandas()
+    out["n_nations"] = out["n_nations"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+Q_NATIONS_CSV_SQL = """
+SELECT r.r_name, count(*)::BIGINT AS n_nations
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -1265,6 +1356,9 @@ QUERIES = {
     "q_customers_big_orders": q_customers_big_orders,
     "q_top_orders_per_segment": q_top_orders_per_segment,
     "q_grouped_quantiles": q_grouped_quantiles,
+    "q_lineitem_top_by_price": q_lineitem_top_by_price,
+    "q_token_stats_jsonl": q_token_stats_jsonl,
+    "q_nations_per_region_csv": q_nations_per_region_csv,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1319,4 +1413,7 @@ ORACLES = {
     "q_customers_big_orders": Q_BIG_ORDERS_SQL,
     "q_top_orders_per_segment": Q_TOP_PER_SEGMENT_SQL,
     "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
+    "q_lineitem_top_by_price": Q_TOP_PRICE_SQL,
+    "q_token_stats_jsonl": Q_TOKEN_SQL,
+    "q_nations_per_region_csv": Q_NATIONS_CSV_SQL,
 }
