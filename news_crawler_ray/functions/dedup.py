@@ -26,6 +26,10 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+# shared shuffle-sizing helper (load-bearing for every multi-join DAG
+# here and in queries.py)
+from ..rayutil import light_shuffle_aggregators as _light_join_aggregators
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -372,14 +376,21 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
     def seed(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "label": t["node"]})
 
-    def relabel(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": pd.Series([int(g["node"].iloc[0])], dtype="int64"),
-            "label": pd.Series([int(g["label"].min())], dtype="int64")})
+    # per-key min via per-batch vectorized pre-min + the NATIVE Min
+    # aggregate — never a per-group Python UDF (a 10^6-node graph would
+    # pay ~1 ms/group/round in map_groups; the native aggregate is
+    # vectorized over sorted runs)
+    from ray.data.aggregate import Min
 
-    labels = edges.map_batches(seed, batch_format="pyarrow") \
-        .groupby("node").map_groups(relabel, batch_format="pandas") \
-        .materialize()
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
+
+    def min_by_node(ds_in: "rd.Dataset") -> "rd.Dataset":
+        return ds_in.map_batches(partial_min, batch_format="pandas") \
+            .groupby("node").aggregate(Min("label", alias_name="label")) \
+            .repartition(4).materialize()
+
+    labels = min_by_node(edges.map_batches(seed, batch_format="pyarrow"))
 
     for _ in range(max_iters):
         # ship each node's label to its neighbors: edges ⋈ labels on the
@@ -395,16 +406,7 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
                 lambda t: pa.table({"node": t["node"],
                                     "label": t["nbr_label"]}),
                 batch_format="pyarrow")
-            # partial per-batch min (vectorized) shrinks the shuffle to
-            # ≤ one row per (node, batch) before the per-group relabel
-            def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-                return df.groupby("node", as_index=False)["label"].min()
-
-            new_labels = labels.union(incoming) \
-                .map_batches(partial_min, batch_format="pandas") \
-                .groupby("node").map_groups(relabel,
-                                            batch_format="pandas") \
-                .repartition(4).materialize()
+            new_labels = min_by_node(labels.union(incoming))
 
         # fixpoint check: any label changed this round?
         with _light_join_aggregators():
@@ -755,31 +757,6 @@ def _gram_rows(batch: pa.Table, *, k: int, text_col: str,
                      "h": pa.array(np.array(hs_out, dtype=np.int64))})
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _light_join_aggregators(cpus_per_partition: float = 0.1):
-    """Scoped CPU sizing for join/shuffle aggregator actors. Ray's
-    default reserves min(1, CPUs/2/num_partitions) per partition, so two
-    CONCURRENT joins on a small CPU budget (e.g. the 4-CPU test session)
-    reserve every core for aggregators and starve the map tasks feeding
-    them — a structural deadlock. 0.1 CPU/partition keeps multi-join
-    DAGs schedulable; aggregators are concat/IO-bound so the
-    oversubscription is harmless."""
-    ctx = rd.DataContext.get_current()
-    prev_j = ctx.join_operator_actor_num_cpus_per_partition_override
-    prev_s = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-    ctx.join_operator_actor_num_cpus_per_partition_override = \
-        cpus_per_partition
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
-        cpus_per_partition
-    try:
-        yield
-    finally:
-        ctx.join_operator_actor_num_cpus_per_partition_override = prev_j
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
-            prev_s
 
 
 def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,

@@ -108,9 +108,13 @@ class ResizeStage:
 
     def __init__(self, target_w: int = 32, target_h: int = 32,
                  real_decode: bool = False):
-        if real_decode and not _HAS_PIL:
+        if real_decode:
+            # no real resampling implementation exists yet (and PIL is
+            # absent in this container anyway) — refuse loudly rather
+            # than silently emitting fake payloads the caller believes
+            # are real resized images
             raise NotImplementedError(
-                "real image resize needs PIL, absent here; use "
+                "real image resize is not implemented (needs PIL); use "
                 "real_decode=False for the deterministic fake")
         self.target_w = target_w
         self.target_h = target_h

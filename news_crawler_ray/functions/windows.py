@@ -81,7 +81,10 @@ def range_band_join(ds: "rd.Dataset", *, value_col: str,
         v = v[keep]
         a = t[agg_col].to_numpy(zero_copy_only=False).astype(np.float64)[keep]
         idx = np.digitize(v, inner, right=False)
-        milli = np.rint(a * 1000).astype(np.int64)
+        # floor(x+0.5), not rint: rint is half-to-EVEN while DuckDB's
+        # round() is half-away — the oracle uses the identical
+        # floor(x*1000 + 0.5) so a .5 boundary can never diverge
+        milli = np.floor(a * 1000 + 0.5).astype(np.int64)
         df = pd.DataFrame({"band": lab[idx], "n": 1, "s": milli})
         g = df.groupby("band", as_index=False).agg(n=("n", "sum"),
                                                    s=("s", "sum"))
@@ -107,6 +110,10 @@ def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
     point the result is approximate and leaves the oracle gate."""
     hist = ds.groupby(value_col).count().to_pandas() \
         .sort_values(value_col).reset_index(drop=True)
+    if not len(hist):
+        # empty input: the SQL twin returns 0 rows; degrade identically
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "val": pd.Series([], dtype="float64")})
     counts = hist["count()"].to_numpy(dtype=np.int64)
     n = int(counts.sum())
     cum = np.cumsum(counts)

@@ -20,6 +20,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from . import corpus as corpus_mod
+from .rayutil import light_shuffle_aggregators
 from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import similarity as sim
@@ -982,7 +983,8 @@ def q_rolling_events(sf_dir: str) -> pd.DataFrame:
         v = t["value"].to_numpy(zero_copy_only=False)
         t = t.drop_columns(["value"])
         return t.append_column(
-            "value_centi", pa.array(np.rint(v * 100).astype(np.int64)))
+            "value_centi", pa.array(  # floor(+0.5) == oracle, not rint
+                np.floor(v * 100 + 0.5).astype(np.int64)))
 
     out = wn.rolling_window_sum(
         ds.map_batches(to_centi, batch_format="pyarrow"),
@@ -998,7 +1000,7 @@ SELECT event_id, user_id,
        CAST(sum(value_centi) OVER w AS BIGINT) AS win_sum_centi,
        CAST(count(*) OVER w AS BIGINT) AS win_n
 FROM (SELECT event_id, user_id, ts,
-             CAST(round(value * 100) AS BIGINT) AS value_centi
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
       FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -1029,7 +1031,7 @@ WITH bands(band, lo, hi) AS (VALUES
   ('B3', 960.0, 980.0), ('B4', 980.0, 1000.0))
 SELECT b.band,
        count(*)::BIGINT AS n_parts,
-       sum(CAST(round(p.p_retailprice * 1000) AS BIGINT))::BIGINT
+       sum(CAST(floor(p.p_retailprice * 1000 + 0.5) AS BIGINT))::BIGINT
          AS sum_retail_milli
 FROM part p JOIN bands b
   ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
@@ -1129,8 +1131,7 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
             {"o_custkey": pc.unique(t.filter(pc.greater_equal(
                 t["o_orderdate"], cutoff))["o_custkey"])}),
             batch_format="pyarrow")
-    from .functions.dedup import _light_join_aggregators
-    with _light_join_aggregators():
+    with light_shuffle_aggregators():
         out = cust.join(okeys, join_type="left_anti", num_partitions=8,
                         on=("c_custkey",), right_on=("o_custkey",)) \
             .to_pandas()
@@ -1162,8 +1163,7 @@ def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
             {"o_custkey": pc.unique(t.filter(pc.greater(
                 t["o_totalprice"], pa.scalar(450000.0)))["o_custkey"])}),
             batch_format="pyarrow")
-    from .functions.dedup import _light_join_aggregators
-    with _light_join_aggregators():
+    with light_shuffle_aggregators():
         out = cust.join(okeys, join_type="left_semi", num_partitions=8,
                         on=("c_custkey",), right_on=("o_custkey",)) \
             .to_pandas()
@@ -1254,20 +1254,38 @@ LIMIT 20
 """
 
 
+def _source_fingerprint(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _cached_export(out_dir: str, src_path: str, write) -> str:
+    """Cache an exported copy of a source table, keyed by the SOURCE
+    file's mtime+size (stored in a sibling .done marker) so a
+    regenerated source invalidates the cache instead of silently
+    serving stale rows. Marker lives OUTSIDE the dir (readers glob
+    everything inside). Not safe against concurrent writers — the
+    driver runs queries sequentially."""
+    import shutil
+    fp = _source_fingerprint(src_path)
+    done = out_dir + ".done"
+    if not (os.path.exists(done) and open(done).read() == fp):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write(out_dir)
+        with open(done, "w") as f:
+            f.write(fp)
+    return out_dir
+
+
 def _jsonl_documents(sf_dir: str) -> str:
     """Export documents.parquet to a cached JSONL directory (source-
     format coverage: the query below reads the SAME rows via
     ``read_json`` and must match the parquet-backed SQL oracle)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/ncr_jsonl_docs_{tag}"
-    done = out_dir + ".done"   # marker OUTSIDE the dir: readers glob it
-    if not os.path.exists(done):
-        import shutil
-        shutil.rmtree(out_dir, ignore_errors=True)
-        rd.read_parquet(_t(sf_dir, "documents"),
-                        columns=["doc_id", "text"]).write_json(out_dir)
-        open(done, "w").close()
-    return out_dir
+    return _cached_export(
+        f"/tmp/ncr_jsonl_docs_{tag}", _t(sf_dir, "documents"),
+        lambda d: rd.read_parquet(_t(sf_dir, "documents"),
+                                  columns=["doc_id", "text"]).write_json(d))
 
 
 def q_token_stats_jsonl(sf_dir: str) -> pd.DataFrame:
@@ -1282,14 +1300,9 @@ def q_token_stats_jsonl(sf_dir: str) -> pd.DataFrame:
 
 def _csv_nation(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/ncr_csv_nation_{tag}"
-    done = out_dir + ".done"   # marker OUTSIDE the dir: readers glob it
-    if not os.path.exists(done):
-        import shutil
-        shutil.rmtree(out_dir, ignore_errors=True)
-        rd.read_parquet(_t(sf_dir, "nation")).write_csv(out_dir)
-        open(done, "w").close()
-    return out_dir
+    return _cached_export(
+        f"/tmp/ncr_csv_nation_{tag}", _t(sf_dir, "nation"),
+        lambda d: rd.read_parquet(_t(sf_dir, "nation")).write_csv(d))
 
 
 def q_nations_per_region_csv(sf_dir: str) -> pd.DataFrame:

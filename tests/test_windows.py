@@ -180,18 +180,22 @@ class TestRelationalOps:
     pandas brute force on sf0.001."""
 
     SF = "/root/testdata/sf0.001"
+    # anti-join runs at sf0.01: at sf0.001 EVERY customer has a recent
+    # order and the comparison would be two empty lists (vacuous)
+    SF_ANTI = "/root/testdata/sf0.01"
 
     def test_anti_join_matches_pandas(self, ray_session):
         from news_crawler_ray.queries import q_customers_no_orders
-        got = q_customers_no_orders(self.SF)
-        cust = pd.read_parquet(f"{self.SF}/customer.parquet",
+        got = q_customers_no_orders(self.SF_ANTI)
+        cust = pd.read_parquet(f"{self.SF_ANTI}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"])
-        orders = pd.read_parquet(f"{self.SF}/orders.parquet",
+        orders = pd.read_parquet(f"{self.SF_ANTI}/orders.parquet",
                                  columns=["o_custkey", "o_orderdate"])
         recent = set(orders.loc[
             orders.o_orderdate >= pd.Timestamp("1997-06-01"), "o_custkey"])
         ref = cust[~cust.c_custkey.isin(recent)] \
             .sort_values("c_custkey").reset_index(drop=True)
+        assert len(ref) > 0, "fixture regressed to a vacuous comparison"
         assert got["c_custkey"].tolist() == ref["c_custkey"].tolist()
         assert got["c_mktsegment"].tolist() == ref["c_mktsegment"].tolist()
 
@@ -247,7 +251,7 @@ class TestDistributedComponents:
     def test_chain(self, ray_session):
         # path graph: diameter = length; exercises multi-round
         # propagation (label must walk the whole chain)
-        chain = [(i, i + 1) for i in range(5)]
+        chain = [(i, i + 1) for i in range(3)]
         self._check(ray_session, chain)
 
     def test_empty_pairs(self, ray_session):
