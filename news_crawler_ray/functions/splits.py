@@ -32,3 +32,32 @@ def assign_split(ds: "rd.Dataset", id_col: str = "doc_id",
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def stratified_sample(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                      strata_col: str = "lang",
+                      rates: dict[str, int] | None = None,
+                      default_pct: int = 10,
+                      mod: int = 100) -> "rd.Dataset":
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5(str(id))[:4] % mod < rates[stratum]`` — the language-rebalance
+    step of a training-data pipeline (e.g. downsample English, keep all
+    low-resource languages) without RNG state or a shuffle.
+
+    Like ``windows.hash_sample`` the predicate is pure per-row, so the
+    operator is a single embarrassingly-parallel map at 100 TB and
+    reproducible in SQL (``('0x'||substr(md5(id::VARCHAR),1,8))::UBIGINT
+    % mod < CASE stratum ...``).
+    """
+    rates = dict(rates or {})
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        pct = batch[strata_col].map(
+            lambda s: rates.get(s, default_pct)).to_numpy()
+        buckets = pd.Series(
+            [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big") % mod
+             for i in batch[id_col]])
+        return batch[buckets.to_numpy() < pct]
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1116,6 +1116,119 @@ SELECT count(DISTINCT token)::BIGINT AS n_distinct FROM (
 """
 
 
+def q_repetition_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals per document (integer counts)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return to.repetition_stats(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+uni AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS token FROM w) GROUP BY 1, 2),
+us AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         max(c)::BIGINT AS top_token_n
+  FROM uni GROUP BY 1),
+bi AS (
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS bg
+  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w)),
+bs AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_n
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(us.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(us.n_types, 0)::BIGINT AS n_types,
+       coalesce(us.top_token_n, 0)::BIGINT AS top_token_n,
+       coalesce(bs.top_bigram_n, 0)::BIGINT AS top_bigram_n
+FROM documents d LEFT JOIN us USING (doc_id) LEFT JOIN bs USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-3 tf-idf terms per document (integerized scores)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.tfidf_top_terms(ds, k=3).to_pandas()
+    out["tfidf_micro"] = out["tfidf_micro"].astype("int64")
+    return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+Q_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (
+  SELECT t.doc_id, t.token,
+         CAST(floor(t.tf * ln((SELECT n FROM nd) / d.df) * 1000000 + 0.5)
+              AS BIGINT) AS tfidf_micro
+  FROM tf t JOIN df d USING (token)),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_micro DESC, token) AS rn
+  FROM s)
+SELECT doc_id, token, tfidf_micro FROM r WHERE rn <= 3
+ORDER BY doc_id, token
+"""
+
+
+def q_common_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-boilerplate 3-grams: appear in ≥ max(2, n_docs/250) docs."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    thr = max(2, ds.count() // 250)
+    out = to.common_ngrams(ds, n=3, min_docs=thr).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"ngram": pd.Series([], dtype="object"),
+                            "n_docs": pd.Series([], dtype="int64")})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("ngram").reset_index(drop=True)
+
+
+Q_COMMON_NGRAMS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS ngram
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i FROM w))
+SELECT ngram, count(*)::BIGINT AS n_docs FROM g
+GROUP BY ngram
+HAVING count(*) >= greatest(2, (SELECT count(*) // 250 FROM documents))
+ORDER BY ngram
+"""
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Language-rebalance sampling: en 10%, zh/de 25%, fr/es 50%."""
+    from .functions.splits import stratified_sample
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    out = stratified_sample(
+        ds, rates={"en": 10, "fr": 50, "es": 50, "zh": 25, "de": 25},
+        default_pct=10).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+Q_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 <
+      CASE lang WHEN 'fr' THEN 50 WHEN 'es' THEN 50
+                WHEN 'zh' THEN 25 WHEN 'de' THEN 25 ELSE 10 END
+ORDER BY doc_id
+"""
+
+
 def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     """Native distributed ANTI join: customers with no order on/after
     1997-06-01 (the date filter keeps the result non-trivial — every
@@ -1372,6 +1485,10 @@ QUERIES = {
     "q_lineitem_top_by_price": q_lineitem_top_by_price,
     "q_token_stats_jsonl": q_token_stats_jsonl,
     "q_nations_per_region_csv": q_nations_per_region_csv,
+    "q_repetition_quality": q_repetition_quality,
+    "q_tfidf_top_terms": q_tfidf_top_terms,
+    "q_common_ngrams": q_common_ngrams,
+    "q_stratified_sample": q_stratified_sample,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1429,4 +1546,8 @@ ORACLES = {
     "q_lineitem_top_by_price": Q_TOP_PRICE_SQL,
     "q_token_stats_jsonl": Q_TOKEN_SQL,
     "q_nations_per_region_csv": Q_NATIONS_CSV_SQL,
+    "q_repetition_quality": Q_REPETITION_SQL,
+    "q_tfidf_top_terms": Q_TFIDF_SQL,
+    "q_common_ngrams": Q_COMMON_NGRAMS_SQL,
+    "q_stratified_sample": Q_STRATIFIED_SQL,
 }

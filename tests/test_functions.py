@@ -366,3 +366,80 @@ class TestMultimodal:
                                 batch_size=2, concurrency=2).to_pandas()
         assert len(out) >= 5
         assert (out.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
+class TestRepetitionStats:
+    def test_counts(self, docs_ds):
+        out = to.repetition_stats(docs_ds).to_pandas().set_index("doc_id")
+        # doc 0: 19 tokens, 'the' appears 3x
+        assert out.loc[0, "n_tokens"] == 19
+        assert out.loc[0, "top_token_n"] == 3
+        assert out.loc[4, "n_tokens"] == 2
+        assert out.loc[4, "n_types"] == 2
+        assert out.loc[4, "top_bigram_n"] == 1
+        # exact dup rows identical
+        assert (out.loc[0] == out.loc[1]).all()
+
+    def test_empty_text(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": [0], "text": [""]}))
+        out = to.repetition_stats(ds).to_pandas()
+        assert out.iloc[0]["n_tokens"] == 0
+        assert out.iloc[0]["top_bigram_n"] == 0
+
+
+class TestTfIdf:
+    def test_term_frequencies(self, docs_ds):
+        tf = to.term_frequencies(docs_ds).to_pandas()
+        row = tf[(tf.doc_id == 0) & (tf.token == "the")]
+        assert row.iloc[0]["tf"] == 3
+
+    def test_topk_matches_local(self, docs_ds):
+        out = to.tfidf_top_terms(docs_ds, k=3).to_pandas()
+        # every doc contributes <= 3 rows
+        assert (out.groupby("doc_id").size() <= 3).all()
+        assert set(out["doc_id"]) == {0, 1, 2, 3, 4}
+        # local recompute for doc 4 ("short text": both tokens unique to it)
+        doc4 = out[out.doc_id == 4].sort_values("token")
+        assert list(doc4["token"]) == ["short", "text"]
+        expect = int(np.floor(1 * np.log(5 / 1) * 1_000_000 + 0.5))
+        assert (doc4["tfidf_micro"] == expect).all()
+
+
+class TestCommonNgrams:
+    def test_shared_ngrams_found(self, docs_ds):
+        out = to.common_ngrams(docs_ds, n=3, min_docs=2).to_pandas()
+        grams = set(out["ngram"])
+        # docs 0,1,2 share the opening trigram
+        assert "the quick brown" in grams
+        row = out[out.ngram == "the quick brown"]
+        assert row.iloc[0]["n_docs"] == 3
+        # nothing from the min_docs=2 filter below threshold
+        assert (out["n_docs"] >= 2).all()
+
+    def test_bucketing_invariant(self, docs_ds):
+        a = to.common_ngrams(docs_ds, n=3, min_docs=2,
+                             num_buckets=4).to_pandas()
+        b = to.common_ngrams(docs_ds, n=3, min_docs=2,
+                             num_buckets=64).to_pandas()
+        assert (a.sort_values("ngram").reset_index(drop=True)
+                .equals(b.sort_values("ngram").reset_index(drop=True)))
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.splits import stratified_sample
+        n = 2000
+        df = pd.DataFrame({"doc_id": range(n),
+                           "lang": ["en" if i % 2 else "fr"
+                                    for i in range(n)]})
+        ds = rd.from_pandas(df)
+        out = stratified_sample(ds, rates={"en": 10, "fr": 50}).to_pandas()
+        again = stratified_sample(ds, rates={"en": 10, "fr": 50}).to_pandas()
+        assert out.sort_values("doc_id").equals(again.sort_values("doc_id"))
+        frac_en = (out.lang == "en").sum() / (df.lang == "en").sum()
+        frac_fr = (out.lang == "fr").sum() / (df.lang == "fr").sum()
+        assert 0.05 < frac_en < 0.16
+        assert 0.42 < frac_fr < 0.58
