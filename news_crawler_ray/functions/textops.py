@@ -241,6 +241,42 @@ def common_ngrams(ds: "rd.Dataset", *, n: int = 3, min_docs: int = 2,
         .groupby("bucket").map_groups(reduce_bucket, batch_format="pandas")
 
 
+def chunk_documents(ds: "rd.Dataset", *, chunk_size: int = 64,
+                    stride: int = 48, text_col: str = "text",
+                    id_col: str = "doc_id") -> "rd.Dataset":
+    """(doc_id, chunk_idx, n_tokens, chunk_text): fixed-stride token
+    windows with ``chunk_size - stride`` tokens of overlap — the
+    context-window chunking step of LLM training-data prep.
+
+    flat_map shape: each input row fans out to ceil(n/stride) rows
+    inside the batch UDF, so the expansion streams block-by-block with
+    backpressure — the fan-out never accumulates on the driver, and at
+    100 TB the output is just a wider stream into the next stage.
+    Empty documents emit no chunks. Deterministic and exactly
+    SQL-reproducible (DuckDB ``range(0, len(words), stride)`` + list
+    slicing mirrors Python's ``range``/slice semantics).
+    """
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, ns, texts = [], [], [], []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            words = text.split()
+            for start in range(0, len(words), stride):
+                chunk = words[start:start + chunk_size]
+                ids.append(did)
+                idxs.append(start // stride)
+                ns.append(len(chunk))
+                texts.append(" ".join(chunk))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "n_tokens": pd.Series(ns, dtype="int64"),
+            "chunk_text": texts})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")
+
+
 def _winnow_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing (Schleimer et al. 2003): rolling k-gram hashes, per
     window keep the rightmost minimum.

@@ -1229,6 +1229,117 @@ ORDER BY doc_id
 """
 
 
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """LLM context-window chunking: 64-token chunks at stride 48."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.chunk_documents(ds, chunk_size=64, stride=48).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+Q_DOC_CHUNKS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+s AS (SELECT doc_id, words, unnest(range(0, len(words), 48)) AS i FROM w)
+SELECT doc_id, (i // 48)::BIGINT AS chunk_idx,
+       least(64, len(words) - i)::BIGINT AS n_tokens,
+       array_to_string(words[i + 1 : i + 64], ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (ASIA revenue where customer and supplier share a
+    nation): the one big⋈big edge (lineitem⋈date-filtered orders) is a
+    native distributed hash join; nation/region/customer/supplier are
+    broadcast lookups (``ray.put`` once, probed per batch). At larger
+    customer cardinality the customer map moves to the same native-join
+    path — the threshold is worker heap, not correctness."""
+    nat = pd.read_parquet(_t(sf_dir, "nation"))
+    reg = pd.read_parquet(_t(sf_dir, "region"))
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia.r_name == "ASIA"]
+    nname = dict(zip(asia.n_nationkey, asia.n_name))
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    c2n = {k: v for k, v in zip(cust.c_custkey, cust.c_nationkey)
+           if v in nname}
+    sup = pd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    s2n = {k: v for k, v in zip(sup.s_suppkey, sup.s_nationkey)
+           if v in nname}
+    c2n_ref, s2n_ref = ray.put(c2n), ray.put(s2n)
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+
+    def order_side(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(c2n_ref)
+        batch = batch[(batch["o_orderdate"] >= lo) &
+                      (batch["o_orderdate"] < hi)]
+        nk = batch["o_custkey"].map(m)
+        batch = batch.assign(cust_nk=nk)[nk.notna().to_numpy()]
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
+            "cust_nk": batch["cust_nk"].to_numpy(dtype=np.int64)})
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_side, batch_format="pandas") \
+        .repartition(8)
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    with light_shuffle_aggregators():
+        joined = line.join(orders, join_type="inner", num_partitions=8,
+                           on=("l_orderkey",),
+                           right_on=("o_orderkey",)).materialize()
+    joined = joined.repartition(32)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(s2n_ref)
+        sn = batch["l_suppkey"].map(m)
+        batch = batch[(sn == batch["cust_nk"]).to_numpy()]
+        if not len(batch):
+            return pd.DataFrame({
+                "n_name": pd.Series([], dtype="object"),
+                "revenue_milli": pd.Series([], dtype="int64")})
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            n_name=batch["cust_nk"].map(nname),
+            revenue_milli=np.floor(rev * 1000).astype("int64"))
+        return batch.groupby("n_name", as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
+        .to_pandas()
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out.sort_values(["revenue_milli", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+Q_LOCAL_SUPPLIER_SQL = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue_milli DESC, n.n_name
+"""
+
+
 def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     """Native distributed ANTI join: customers with no order on/after
     1997-06-01 (the date filter keeps the result non-trivial — every
@@ -1489,6 +1600,8 @@ QUERIES = {
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_common_ngrams": q_common_ngrams,
     "q_stratified_sample": q_stratified_sample,
+    "q_doc_chunks": q_doc_chunks,
+    "q_local_supplier_volume": q_local_supplier_volume,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1550,4 +1663,6 @@ ORACLES = {
     "q_tfidf_top_terms": Q_TFIDF_SQL,
     "q_common_ngrams": Q_COMMON_NGRAMS_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
+    "q_doc_chunks": Q_DOC_CHUNKS_SQL,
+    "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,
 }

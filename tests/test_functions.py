@@ -443,3 +443,30 @@ class TestStratifiedSample:
         frac_fr = (out.lang == "fr").sum() / (df.lang == "fr").sum()
         assert 0.05 < frac_en < 0.16
         assert 0.42 < frac_fr < 0.58
+
+
+class TestChunking:
+    def test_stride_and_overlap(self, ray_session):
+        import ray.data as rd
+        words = " ".join(str(i) for i in range(10))
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [0, 1], "text": [words, ""]}))
+        out = to.chunk_documents(ds, chunk_size=4, stride=3).to_pandas() \
+            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        # empty doc emits nothing; 10 tokens at stride 3 -> starts 0,3,6,9
+        assert set(out["doc_id"]) == {0}
+        assert list(out["chunk_idx"]) == [0, 1, 2, 3]
+        assert list(out["n_tokens"]) == [4, 4, 4, 1]
+        assert out.loc[0, "chunk_text"] == "0 1 2 3"
+        assert out.loc[1, "chunk_text"] == "3 4 5 6"   # 1-token overlap
+        assert out.loc[3, "chunk_text"] == "9"
+
+    def test_coverage(self, docs_ds):
+        out = to.chunk_documents(docs_ds, chunk_size=8,
+                                 stride=8).to_pandas()
+        # no-overlap chunks reassemble the originals exactly
+        joined = out.sort_values(["doc_id", "chunk_idx"]) \
+            .groupby("doc_id")["chunk_text"].apply(" ".join)
+        orig = docs_ds.to_pandas().set_index("doc_id")["text"]
+        for did, text in orig.items():
+            assert joined[did] == " ".join(text.split())
