@@ -241,6 +241,56 @@ def common_ngrams(ds: "rd.Dataset", *, n: int = 3, min_docs: int = 2,
         .groupby("bucket").map_groups(reduce_bucket, batch_format="pandas")
 
 
+def eval_ngram_set(eval_ds: "rd.Dataset", *, n: int = 4,
+                   text_col: str = "text") -> set[str]:
+    """Distinct token n-grams of a (small) eval/benchmark dataset,
+    collected to the driver. Benchmark suites are MBs while the train
+    corpus is TBs, so driver-collecting THIS side is the broadcast-small
+    pattern, not a scale bug — the per-batch distinct pass bounds what
+    crosses the wire to unique n-grams per batch."""
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        out: set[str] = set()
+        for text in batch[text_col].fillna(""):
+            words = text.split()
+            out.update(" ".join(words[i:i + n])
+                       for i in range(len(words) - n + 1))
+        return pd.DataFrame({"ngram": sorted(out)})
+
+    rows = eval_ds.select_columns([text_col]).map_batches(
+        grams, batch_format="pandas").to_pandas()
+    return set(rows["ngram"])
+
+
+def decontaminate(ds: "rd.Dataset", eval_ngrams: set[str], *, n: int = 4,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> "rd.Dataset":
+    """(doc_id, n_hits): train documents sharing ≥1 distinct token
+    n-gram with the eval set — benchmark decontamination (the
+    train/test-overlap scrub every LLM data pipeline runs; cf. Brown et
+    al. 2020 §C). The eval n-gram set is ``ray.put`` once and probed
+    per batch: zero shuffle, one object-store copy per node,
+    embarrassingly parallel over the 100-TB side."""
+    import ray as _ray
+    ref = _ray.put(frozenset(eval_ngrams))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        eg = _ray.get(ref)
+        ids, hits = [], []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            words = text.split()
+            found = {" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)} & eg
+            if found:
+                ids.append(did)
+                hits.append(len(found))
+        return pd.DataFrame({"doc_id": ids,
+                             "n_hits": pd.Series(hits, dtype="int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")
+
+
 def chunk_documents(ds: "rd.Dataset", *, chunk_size: int = 64,
                     stride: int = 48, text_col: str = "text",
                     id_col: str = "doc_id") -> "rd.Dataset":

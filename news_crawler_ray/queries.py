@@ -1249,6 +1249,44 @@ FROM s ORDER BY doc_id, chunk_idx
 """
 
 
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: train docs (split != test under the
+    standard md5 split) sharing ≥1 distinct 4-gram with the held-out
+    test split, with the distinct-hit count."""
+    from .functions.splits import assign_split
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    split = assign_split(ds)
+    eval_grams = to.eval_ngram_set(
+        split.filter(lambda r: r["split"] == "test"), n=4)
+    train = split.filter(lambda r: r["split"] != "test")
+    out = to.decontaminate(train, eval_grams, n=4).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_hits": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+Q_DECONTAMINATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10 = 9 AS is_eval,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, is_eval,
+         words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                 || ' ' || words[i + 3] AS ngram
+  FROM (SELECT doc_id, is_eval, words,
+               unnest(range(1, len(words) - 2)) AS i FROM w)),
+eg AS (SELECT DISTINCT ngram FROM g WHERE is_eval)
+SELECT g.doc_id, count(DISTINCT g.ngram)::BIGINT AS n_hits
+FROM g JOIN eg USING (ngram) WHERE NOT g.is_eval
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape (ASIA revenue where customer and supplier share a
     nation): the one big⋈big edge (lineitem⋈date-filtered orders) is a
@@ -1602,6 +1640,7 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
+    "q_decontaminate": q_decontaminate,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1665,4 +1704,5 @@ ORACLES = {
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,
+    "q_decontaminate": Q_DECONTAMINATE_SQL,
 }

@@ -470,3 +470,26 @@ class TestChunking:
         orig = docs_ds.to_pandas().set_index("doc_id")["text"]
         for did, text in orig.items():
             assert joined[did] == " ".join(text.split())
+
+
+class TestDecontamination:
+    def test_overlap_flagged(self, ray_session):
+        import ray.data as rd
+        eval_ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [100],
+            "text": ["alpha beta gamma delta epsilon"]}))
+        train = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["prefix alpha beta gamma delta suffix",   # 1 shared 4-gram
+                     "beta gamma delta epsilon tail words",    # 1 shared
+                     "no shared sequence at all here"]}))
+        grams = to.eval_ngram_set(eval_ds, n=4)
+        assert "alpha beta gamma delta" in grams and len(grams) == 2
+        out = to.decontaminate(train, grams, n=4).to_pandas() \
+            .set_index("doc_id")
+        assert set(out.index) == {0, 1}
+        assert out.loc[0, "n_hits"] == 1
+
+    def test_empty_eval_set(self, docs_ds):
+        out = to.decontaminate(docs_ds, set(), n=4).to_pandas()
+        assert len(out) == 0
