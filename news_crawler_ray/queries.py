@@ -1256,9 +1256,15 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     from .functions.splits import assign_split
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     split = assign_split(ds)
+
+    def keep(where: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[(b["split"] == "test") == where]
+        return f
+
     eval_grams = to.eval_ngram_set(
-        split.filter(lambda r: r["split"] == "test"), n=4)
-    train = split.filter(lambda r: r["split"] != "test")
+        split.map_batches(keep(True), batch_format="pandas"), n=4)
+    train = split.map_batches(keep(False), batch_format="pandas")
     out = to.decontaminate(train, eval_grams, n=4).to_pandas()
     if not len(out):
         out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
