@@ -263,32 +263,43 @@ def eval_ngram_set(eval_ds: "rd.Dataset", *, n: int = 4,
 
 
 def decontaminate(ds: "rd.Dataset", eval_ngrams: set[str], *, n: int = 4,
-                  text_col: str = "text",
-                  id_col: str = "doc_id") -> "rd.Dataset":
-    """(doc_id, n_hits): train documents sharing ≥1 distinct token
-    n-gram with the eval set — benchmark decontamination (the
-    train/test-overlap scrub every LLM data pipeline runs; cf. Brown et
-    al. 2020 §C). The eval n-gram set is ``ray.put`` once and probed
-    per batch: zero shuffle, one object-store copy per node,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  keep_clean: bool = False) -> "rd.Dataset":
+    """Benchmark decontamination (the train/test-overlap scrub every LLM
+    data pipeline runs; cf. Brown et al. 2020 §C). Default emits
+    (doc_id, n_hits) for train documents sharing ≥1 distinct token
+    n-gram with the eval set; ``keep_clean=True`` instead passes the
+    UNcontaminated rows through with all their columns (the filter form
+    used mid-pipeline). The eval n-gram set is ``ray.put`` once and
+    probed per batch: zero shuffle, one object-store copy per node,
     embarrassingly parallel over the 100-TB side."""
     import ray as _ray
     ref = _ray.put(frozenset(eval_ngrams))
 
-    def f(batch: pd.DataFrame) -> pd.DataFrame:
+    def hit_counts(batch: pd.DataFrame) -> np.ndarray:
         eg = _ray.get(ref)
-        ids, hits = [], []
-        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+        out = []
+        for text in batch[text_col].fillna(""):
             words = text.split()
-            found = {" ".join(words[i:i + n])
-                     for i in range(len(words) - n + 1)} & eg
-            if found:
-                ids.append(did)
-                hits.append(len(found))
-        return pd.DataFrame({"doc_id": ids,
-                             "n_hits": pd.Series(hits, dtype="int64")})
+            grams = {" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)}
+            out.append(len(grams & eg))
+        return np.array(out, dtype=np.int64)
 
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        hits = hit_counts(batch)
+        m = hits > 0
+        return pd.DataFrame({
+            "doc_id": batch[id_col].to_numpy()[m],
+            "n_hits": pd.Series(hits[m], dtype="int64")})
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[hit_counts(batch) == 0]
+
+    if keep_clean:
+        return ds.map_batches(clean, batch_format="pandas")
     return ds.select_columns([id_col, text_col]).map_batches(
-        f, batch_format="pandas")
+        flag, batch_format="pandas")
 
 
 def chunk_documents(ds: "rd.Dataset", *, chunk_size: int = 64,

@@ -1,0 +1,123 @@
+"""End-to-end training-corpus preparation: the flagship composition of
+the corpus-quality suite into one streaming pipeline —
+
+    quality gate → exact dedup → split → decontaminate → chunk
+
+Every stage is deterministic and exact, so the WHOLE pipeline is
+verifiable against a single DuckDB oracle (queries.Q_CORPUS_PREP_SQL) —
+the composite inherits the per-operator correctness gates instead of
+trusting them.
+
+Scale shape (100 TB):
+- quality gate: pure per-batch map, embarrassingly parallel.
+- exact dedup: vectorized md5 → native groupby(text_hash) keeps only
+  (hash, id) pairs in the shuffle; survivors rejoin their text via a
+  native distributed semi join on doc_id (the text never shuffles).
+- split: pure function of doc_id (md5), recomputable anywhere — no
+  join needed to carry it.
+- decontamination: eval-split 4-grams are MBs vs the corpus's TBs, so
+  they broadcast (`ray.put` once per node); the scrub is a per-batch
+  filter, zero shuffle.
+- chunking: per-batch flat_map fan-out, streams with backpressure.
+
+The only exchanges in the whole pipeline are the dedup groupby and the
+survivor semi join, both keyed on doc-level ids — the document text
+crosses the wire zero times.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions import dedup as dd
+from ..functions import textops as to
+from ..functions.splits import assign_split
+from ..rayutil import light_shuffle_aggregators
+
+
+def _quality_gate(batch: pd.DataFrame, *, min_tokens: int,
+                  max_top_frac_num: int,
+                  max_top_frac_den: int) -> pd.DataFrame:
+    """Keep docs with ≥ min_tokens tokens whose most frequent token is
+    at most num/den of the doc (Gopher-style repetition cut). The
+    threshold is a rational compared in integer arithmetic so the SQL
+    oracle decides identically at the boundary."""
+    keep = []
+    for text in batch["text"].fillna(""):
+        words = text.split()
+        n = len(words)
+        if n < min_tokens:
+            keep.append(False)
+            continue
+        top = max(Counter(words).values())
+        keep.append(top * max_top_frac_den <= n * max_top_frac_num)
+    return batch[np.array(keep, dtype=bool)]
+
+
+def _split_of(ids: "pd.Series", train: int = 8, val: int = 1) -> list[str]:
+    out = []
+    for i in ids:
+        b = int(hashlib.md5(f"split-v1{i}".encode()).hexdigest()[:8],
+                16) % 10
+        out.append("train" if b < train else
+                   "val" if b < train + val else "test")
+    return out
+
+
+def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
+                max_top_frac: tuple[int, int] = (3, 10),
+                decontam_n: int = 4, chunk_size: int = 64,
+                stride: int = 48) -> "rd.Dataset":
+    """(doc_id, split, chunk_idx, n_tokens, chunk_text): the prepared
+    corpus. ``docs`` needs (doc_id, text)."""
+    num, den = max_top_frac
+    q = docs.map_batches(
+        _quality_gate, batch_format="pandas",
+        fn_kwargs={"min_tokens": min_tokens, "max_top_frac_num": num,
+                   "max_top_frac_den": den})
+
+    # exact dedup: survivors = min doc_id per distinct text. The kept-id
+    # table is (hash, id)-sized; the semi join brings the TEXT of the
+    # survivors forward without ever shuffling it.
+    kept = dd.exact_dedup(q).select_columns(["doc_id"]).repartition(8)
+    with light_shuffle_aggregators():
+        q = q.join(kept, join_type="left_semi", num_partitions=8,
+                   on=("doc_id",)).materialize()
+    q = q.repartition(32)
+
+    split = assign_split(q)
+
+    # Arrow-side filters: typed empty blocks (a pandas empty block with
+    # object columns trips Ray's size estimator into log noise)
+    def is_test(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.equal(t["split"], "test"))
+
+    def not_test(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.not_equal(t["split"], "test"))
+
+    test_docs = split.map_batches(is_test, batch_format="pyarrow")
+    eval_grams = to.eval_ngram_set(test_docs, n=decontam_n)
+    clean = to.decontaminate(
+        split.map_batches(not_test, batch_format="pyarrow"),
+        eval_grams, n=decontam_n, keep_clean=True)
+    final_docs = clean.union(test_docs)
+
+    chunks = to.chunk_documents(final_docs, chunk_size=chunk_size,
+                                stride=stride)
+
+    def add_split(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["split"] = _split_of(b["doc_id"])
+        return b[["doc_id", "split", "chunk_idx", "n_tokens",
+                  "chunk_text"]]
+
+    return chunks.map_batches(add_split, batch_format="pandas")

@@ -1293,6 +1293,58 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """Flagship training-corpus prep composition: quality gate → exact
+    dedup → split → decontaminate → chunk, verified end-to-end by ONE
+    SQL oracle (every stage is deterministic and exact)."""
+    from .pipelines.corpus_prep import corpus_prep
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = corpus_prep(ds).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+Q_CORPUS_PREP_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+uni AS (
+  SELECT doc_id, token, count(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS token FROM w) GROUP BY 1, 2),
+st AS (SELECT doc_id, sum(c) AS n, max(c) AS top FROM uni GROUP BY 1),
+q AS (
+  SELECT w.* FROM w JOIN st USING (doc_id)
+  WHERE st.n >= 30 AND st.top * 10 <= st.n * 3),
+d AS (
+  SELECT * FROM q
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+s AS (
+  SELECT d.*,
+         CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10 AS b
+  FROM d),
+g AS (
+  SELECT DISTINCT doc_id, b = 9 AS is_eval,
+         words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                 || ' ' || words[i + 3] AS ngram
+  FROM (SELECT doc_id, b, words,
+               unnest(range(1, len(words) - 2)) AS i FROM s)),
+eg AS (SELECT DISTINCT ngram FROM g WHERE is_eval),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN eg USING (ngram)
+        WHERE NOT g.is_eval),
+f AS (SELECT * FROM s WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+c AS (SELECT doc_id, b, words, unnest(range(0, len(words), 48)) AS i FROM f)
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       (i // 48)::BIGINT AS chunk_idx,
+       least(64, len(words) - i)::BIGINT AS n_tokens,
+       array_to_string(words[i + 1 : i + 64], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape (ASIA revenue where customer and supplier share a
     nation): the one big⋈big edge (lineitem⋈date-filtered orders) is a
@@ -1647,6 +1699,7 @@ QUERIES = {
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_decontaminate": q_decontaminate,
+    "q_corpus_prep": q_corpus_prep,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1711,4 +1764,5 @@ ORACLES = {
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_corpus_prep": Q_CORPUS_PREP_SQL,
 }

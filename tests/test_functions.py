@@ -493,3 +493,29 @@ class TestDecontamination:
     def test_empty_eval_set(self, docs_ds):
         out = to.decontaminate(docs_ds, set(), n=4).to_pandas()
         assert len(out) == 0
+
+
+class TestCorpusPrep:
+    def test_pipeline_stages_compose(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.pipelines.corpus_prep import corpus_prep
+        rng = np.random.RandomState(3)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = {}
+        texts[0] = " ".join(rng.choice(vocab, size=40))      # passes
+        texts[1] = texts[0]                                  # exact dup -> dropped
+        texts[2] = "tiny doc"                                # too short -> dropped
+        texts[3] = "rep " * 40                               # 100% top token -> dropped
+        texts[4] = " ".join(rng.choice(vocab, size=40))      # passes
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        out = corpus_prep(ds, min_tokens=30).to_pandas()
+        assert set(out["doc_id"]) <= {0, 4}
+        assert 0 in set(out["doc_id"])          # min-id dup survivor
+        assert set(out.columns) == {"doc_id", "split", "chunk_idx",
+                                    "n_tokens", "chunk_text"}
+        # split column matches the hash split of the ids
+        from news_crawler_ray.pipelines.corpus_prep import _split_of
+        for _, r in out.iterrows():
+            assert r["split"] == _split_of(pd.Series([r["doc_id"]]))[0]
