@@ -1293,6 +1293,48 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def q_adaptive_quality(sf_dir: str) -> pd.DataFrame:
+    """Adaptive (data-dependent) quality floor: corpus p10 of the
+    token count becomes the keep threshold, then one broadcast-scalar
+    filter pass. Two passes over an id-level (doc_id, n_tokens) table
+    (materialized once — it is ids+ints, tiny next to the text); the
+    quantile's only shuffle is the value-count histogram."""
+
+    def tok(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pd.Series(
+                [len(t.split()) for t in batch["text"].fillna("")],
+                dtype="int64")})
+
+    counts = rd.read_parquet(_t(sf_dir, "documents"),
+                             columns=["doc_id", "text"]) \
+        .map_batches(tok, batch_format="pandas").materialize()
+    thr = float(wn.exact_quantiles(counts, value_col="n_tokens",
+                                   qs=[0.1])["val"].iloc[0])
+    out = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n_tokens"],
+                                      pa.scalar(int(thr)))),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_tokens": "int64"})
+
+
+Q_ADAPTIVE_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+o AS (SELECT n_tokens AS v, row_number() OVER (ORDER BY n_tokens) - 1 AS rn
+      FROM t),
+c AS (SELECT count(*) AS n FROM t),
+thr AS (SELECT v FROM o, c WHERE rn = CAST(floor(0.1 * (n - 1)) AS BIGINT))
+SELECT doc_id, n_tokens FROM t WHERE n_tokens > (SELECT v FROM thr)
+ORDER BY doc_id
+"""
+
+
 def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
     """Flagship training-corpus prep composition: quality gate → exact
     dedup → split → decontaminate → chunk, verified end-to-end by ONE
@@ -1700,6 +1742,7 @@ QUERIES = {
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_decontaminate": q_decontaminate,
     "q_corpus_prep": q_corpus_prep,
+    "q_adaptive_quality": q_adaptive_quality,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1765,4 +1808,5 @@ ORACLES = {
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_corpus_prep": Q_CORPUS_PREP_SQL,
+    "q_adaptive_quality": Q_ADAPTIVE_QUALITY_SQL,
 }
