@@ -10,9 +10,29 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 
 import ray.data as rd
+
+
+def md5_bucket(key: str, mod: int) -> int:
+    """THE engine bucket predicate — first 4 md5 bytes as a big-endian
+    int, mod ``mod``. Single source of truth for every hash-bucket
+    decision (splits, sampling); SQL-reproducible as
+    ``('0x'||substr(md5(key),1,8))::UBIGINT % mod``."""
+    return int.from_bytes(hashlib.md5(key.encode()).digest()[:4],
+                          "big") % mod
+
+
+def split_label(i, *, salt: str = "split-v1", train: int = 8,
+                val: int = 1) -> str:
+    """Split of one id under the standard md5 bucket rule — shared by
+    ``assign_split`` and any stage that recomputes a row's split from
+    its id (the label can never diverge from the assignment)."""
+    b = md5_bucket(f"{salt}{i}", 10)
+    return ("train" if b < train else
+            "val" if b < train + val else "test")
 
 
 def assign_split(ds: "rd.Dataset", id_col: str = "doc_id",
@@ -22,13 +42,9 @@ def assign_split(ds: "rd.Dataset", id_col: str = "doc_id",
     buckets are train, next ``val`` are val, rest test."""
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        buckets = [
-            int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) % 10
-            for i in batch[id_col]]
         batch = batch.copy()
-        batch["split"] = ["train" if b < train else
-                          "val" if b < train + val else "test"
-                          for b in buckets]
+        batch["split"] = [split_label(i, salt=salt, train=train, val=val)
+                          for i in batch[id_col]]
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
@@ -54,10 +70,8 @@ def stratified_sample(ds: "rd.Dataset", *, id_col: str = "doc_id",
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         pct = batch[strata_col].map(
             lambda s: rates.get(s, default_pct)).to_numpy()
-        buckets = pd.Series(
-            [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
-                            "big") % mod
-             for i in batch[id_col]])
-        return batch[buckets.to_numpy() < pct]
+        buckets = np.array([md5_bucket(str(i), mod)
+                            for i in batch[id_col]])
+        return batch[buckets < pct]
 
     return ds.map_batches(f, batch_format="pandas")

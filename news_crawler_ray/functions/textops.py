@@ -162,7 +162,11 @@ def tfidf_top_terms(ds: "rd.Dataset", *, text_col: str = "text",
     differs well below 1e-6 absolute at these magnitudes.
     """
     n_docs = float(ds.count())
-    tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
+    # materialize: tf feeds BOTH the df groupby subtree and the join's
+    # left input — Ray Data has no common-subexpression elimination, so
+    # an unpinned tf would tokenize the whole corpus twice
+    tf = term_frequencies(ds, text_col=text_col,
+                          id_col=id_col).materialize()
     # repartition: aggregate partitions with no groups emit schema-less
     # empty blocks that break the join's FieldRef resolution
     df = tf.groupby("token").aggregate(Count(alias_name="df")) \
@@ -274,10 +278,12 @@ def decontaminate(ds: "rd.Dataset", eval_ngrams: set[str], *, n: int = 4,
     probed per batch: zero shuffle, one object-store copy per node,
     embarrassingly parallel over the 100-TB side."""
     import ray as _ray
+
+    from ..rayutil import cached_object
     ref = _ray.put(frozenset(eval_ngrams))
 
     def hit_counts(batch: pd.DataFrame) -> np.ndarray:
-        eg = _ray.get(ref)
+        eg = cached_object(ref)
         out = []
         for text in batch[text_col].fillna(""):
             words = text.split()

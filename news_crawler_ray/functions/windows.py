@@ -159,12 +159,12 @@ def hash_sample(ds: "rd.Dataset", *, id_col: str, pct: int = 10,
     state). The standard way to carve reproducible held-out slices from
     a 100-TB corpus without materializing an id list."""
 
+    from .splits import md5_bucket
+
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
-        keep = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
-                            "big") % mod < pct for i in ids),
-            dtype=bool, count=len(ids))
+        keep = np.fromiter((md5_bucket(str(i), mod) < pct for i in ids),
+                           dtype=bool, count=len(ids))
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")

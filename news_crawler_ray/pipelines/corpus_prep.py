@@ -10,26 +10,27 @@ trusting them.
 
 Scale shape (100 TB):
 - quality gate: pure per-batch map, embarrassingly parallel.
-- exact dedup: vectorized md5 → native groupby(text_hash) keeps only
-  (hash, id) pairs in the shuffle; survivors rejoin their text via a
-  native distributed semi join on doc_id (the text never shuffles).
+- exact dedup: vectorized md5 → native groupby(text_hash) moves only
+  (hash, id) pairs; survivors rejoin their text via a native
+  distributed semi join on doc_id.
 - split: pure function of doc_id (md5), recomputable anywhere — no
   join needed to carry it.
 - decontamination: eval-split 4-grams are MBs vs the corpus's TBs, so
-  they broadcast (`ray.put` once per node); the scrub is a per-batch
-  filter, zero shuffle.
+  they broadcast (`ray.put` once per node, deserialized once per
+  worker); the scrub is a per-batch filter, zero shuffle.
 - chunking: per-batch flat_map fan-out, streams with backpressure.
 
-The only exchanges in the whole pipeline are the dedup groupby and the
-survivor semi join, both keyed on doc-level ids — the document text
-crosses the wire zero times.
+Exchange budget: exactly ONE full-width exchange ships document text —
+the survivor semi join hash-partitions the gated corpus's (doc_id,
+text) rows once. Everything else that shuffles (the dedup groupby) is
+id-level. To remove even that single text exchange, hash-partition the
+corpus by content hash at ingest and dedup each partition in place —
+at the cost of pinning the pipeline to that layout.
 """
 
 from __future__ import annotations
 
 from collections import Counter
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -40,7 +41,7 @@ import ray.data as rd
 
 from ..functions import dedup as dd
 from ..functions import textops as to
-from ..functions.splits import assign_split
+from ..functions.splits import assign_split, split_label
 from ..rayutil import light_shuffle_aggregators
 
 
@@ -63,31 +64,28 @@ def _quality_gate(batch: pd.DataFrame, *, min_tokens: int,
     return batch[np.array(keep, dtype=bool)]
 
 
-def _split_of(ids: "pd.Series", train: int = 8, val: int = 1) -> list[str]:
-    out = []
-    for i in ids:
-        b = int(hashlib.md5(f"split-v1{i}".encode()).hexdigest()[:8],
-                16) % 10
-        out.append("train" if b < train else
-                   "val" if b < train + val else "test")
-    return out
-
-
 def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
                 max_top_frac: tuple[int, int] = (3, 10),
                 decontam_n: int = 4, chunk_size: int = 64,
                 stride: int = 48) -> "rd.Dataset":
     """(doc_id, split, chunk_idx, n_tokens, chunk_text): the prepared
-    corpus. ``docs`` needs (doc_id, text)."""
+    corpus. ``docs`` needs (doc_id, text).
+
+    The ``materialize()`` calls are deliberate: Ray Data has no
+    common-subexpression elimination, so a Dataset consumed by two
+    downstream plans re-executes its whole lineage per consumer. The
+    gated corpus feeds both the dedup subtree and the join's probe
+    side; the test split feeds both the eval-ngram collection and the
+    final union — each is pinned once instead of recomputed."""
     num, den = max_top_frac
     q = docs.map_batches(
         _quality_gate, batch_format="pandas",
         fn_kwargs={"min_tokens": min_tokens, "max_top_frac_num": num,
-                   "max_top_frac_den": den})
+                   "max_top_frac_den": den}).materialize()
 
     # exact dedup: survivors = min doc_id per distinct text. The kept-id
-    # table is (hash, id)-sized; the semi join brings the TEXT of the
-    # survivors forward without ever shuffling it.
+    # table is (hash, id)-sized; the semi join re-attaches the
+    # survivors' text in the pipeline's single full-width text exchange.
     kept = dd.exact_dedup(q).select_columns(["doc_id"]).repartition(8)
     with light_shuffle_aggregators():
         q = q.join(kept, join_type="left_semi", num_partitions=8,
@@ -104,7 +102,8 @@ def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
     def not_test(t: "pa.Table") -> "pa.Table":
         return t.filter(pc.not_equal(t["split"], "test"))
 
-    test_docs = split.map_batches(is_test, batch_format="pyarrow")
+    test_docs = split.map_batches(is_test,
+                                  batch_format="pyarrow").materialize()
     eval_grams = to.eval_ngram_set(test_docs, n=decontam_n)
     clean = to.decontaminate(
         split.map_batches(not_test, batch_format="pyarrow"),
@@ -116,7 +115,7 @@ def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
 
     def add_split(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["split"] = _split_of(b["doc_id"])
+        b["split"] = [split_label(i) for i in b["doc_id"]]
         return b[["doc_id", "split", "chunk_idx", "n_tokens",
                   "chunk_text"]]
 

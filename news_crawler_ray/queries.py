@@ -20,7 +20,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from . import corpus as corpus_mod
-from .rayutil import light_shuffle_aggregators
+from .rayutil import cached_object, light_shuffle_aggregators
 from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import similarity as sim
@@ -113,7 +113,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                                   "l_discount", "l_shipdate"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(odate_ref)
+        od = cached_object(odate_ref)
         batch = batch[batch["l_shipdate"] > pd.Timestamp("1995-03-15")]
         batch = batch[batch["l_orderkey"].isin(od.keys())]
         if not len(batch):
@@ -165,7 +165,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
                          columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(s2n_ref)
+        m = cached_object(s2n_ref)
         rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
         batch = batch.assign(
             n_name=batch["l_suppkey"].map(m),
@@ -433,7 +433,7 @@ def q_segment_order_stats(sf_dir: str) -> pd.DataFrame:
                          columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(seg_ref)
+        m = cached_object(seg_ref)
         batch = batch.assign(
             c_mktsegment=batch["o_custkey"].map(m),
             total_milli=np.floor(batch["o_totalprice"] * 1000).astype("int64"))
@@ -1412,7 +1412,7 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
 
     def order_side(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(c2n_ref)
+        m = cached_object(c2n_ref)
         batch = batch[(batch["o_orderdate"] >= lo) &
                       (batch["o_orderdate"] < hi)]
         nk = batch["o_custkey"].map(m)
@@ -1436,7 +1436,7 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     joined = joined.repartition(32)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(s2n_ref)
+        m = cached_object(s2n_ref)
         sn = batch["l_suppkey"].map(m)
         batch = batch[(sn == batch["cust_nk"]).to_numpy()]
         if not len(batch):
@@ -1557,7 +1557,7 @@ def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(seg_ref)
+        m = cached_object(seg_ref)
         batch = batch.assign(c_mktsegment=batch["o_custkey"].map(m))
         batch = batch.sort_values(
             ["c_mktsegment", "o_totalprice", "o_orderkey"],

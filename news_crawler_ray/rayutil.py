@@ -32,3 +32,22 @@ def light_shuffle_aggregators(cpus_per_partition: float = 0.1):
         ctx.join_operator_actor_num_cpus_per_partition_override = prev_j
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = \
             prev_s
+
+
+_OBJ_CACHE: dict[str, object] = {}
+
+
+def cached_object(ref):
+    """``ray.get`` with a per-worker-process deserialization cache.
+    Plasma memory-maps the serialized bytes zero-copy, but non-Arrow
+    payloads (dicts, frozensets) are UNPICKLED on every ``ray.get`` —
+    a per-batch cost when a broadcast ref is probed inside a
+    ``map_batches`` UDF. Keyed by ref hex; entries live for the worker
+    process's lifetime (broadcast sides are few and small relative to
+    the worker heap)."""
+    import ray
+
+    key = ref.hex()
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = ray.get(ref)
+    return _OBJ_CACHE[key]

@@ -516,6 +516,6 @@ class TestCorpusPrep:
         assert set(out.columns) == {"doc_id", "split", "chunk_idx",
                                     "n_tokens", "chunk_text"}
         # split column matches the hash split of the ids
-        from news_crawler_ray.pipelines.corpus_prep import _split_of
+        from news_crawler_ray.functions.splits import split_label
         for _, r in out.iterrows():
-            assert r["split"] == _split_of(pd.Series([r["doc_id"]]))[0]
+            assert r["split"] == split_label(r["doc_id"])
