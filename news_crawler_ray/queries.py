@@ -1293,6 +1293,73 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (wide aggregation): events per day × event_type as
+    columns. Conditional partial counts per batch → one groupby(day)
+    over pre-aggregated rows; the pivot itself is free because the
+    column set is the (small, known) type domain — the shuffle moves
+    one row per (day, batch), never per event."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["ts"].dt.floor("D")
+        out = pd.DataFrame({"day": day.unique()}).set_index("day")
+        for et in _EVENT_TYPES:
+            out["n_" + et] = day[batch["event_type"] == et] \
+                .value_counts().reindex(out.index).fillna(0).astype("int64")
+        return out.reset_index()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("day").aggregate(
+            *[Sum("n_" + et, alias_name="n_" + et)
+              for et in _EVENT_TYPES]).to_pandas()
+    for et in _EVENT_TYPES:
+        agg["n_" + et] = agg["n_" + et].astype("int64")
+    return agg.sort_values("day").reset_index(drop=True)
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width binned histogram of o_totalprice (bin = 25k):
+    per-batch bincount partials → groupby(bin) sum. The classic
+    distribution profile at 100 TB — one int row per (bin, batch)
+    crosses the wire."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    width = 25_000
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bins = (batch["o_totalprice"].to_numpy() // width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"bin_lo": u * width,
+                             "n": pd.Series(c, dtype="int64")})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bin_lo").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["bin_lo"] = out["bin_lo"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin_lo").reset_index(drop=True)
+
+
+Q_PRICE_HISTOGRAM_SQL = """
+SELECT (CAST(floor(o_totalprice / 25000) AS BIGINT) * 25000) AS bin_lo,
+       count(*) AS n
+FROM orders GROUP BY 1 ORDER BY bin_lo
+"""
+
+
 def q_adaptive_quality(sf_dir: str) -> pd.DataFrame:
     """Adaptive (data-dependent) quality floor: corpus p10 of the
     token count becomes the keep threshold, then one broadcast-scalar
@@ -1743,6 +1810,8 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_corpus_prep": q_corpus_prep,
     "q_adaptive_quality": q_adaptive_quality,
+    "q_events_pivot": q_events_pivot,
+    "q_price_histogram": q_price_histogram,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1809,4 +1878,6 @@ ORACLES = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_corpus_prep": Q_CORPUS_PREP_SQL,
     "q_adaptive_quality": Q_ADAPTIVE_QUALITY_SQL,
+    "q_events_pivot": Q_EVENTS_PIVOT_SQL,
+    "q_price_histogram": Q_PRICE_HISTOGRAM_SQL,
 }
