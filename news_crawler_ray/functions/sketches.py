@@ -104,3 +104,53 @@ def approx_distinct_tokens(ds: "rd.Dataset", text_col: str = "text",
     for blob in parts["sketch"]:
         merged.merge(HyperLogLog.deserialize(blob))
     return merged.estimate()
+
+
+def _mg_trim(counts: dict, k: int) -> dict:
+    """Misra-Gries reduction to ≤ k counters: subtract the (k+1)-th
+    largest count from every counter and drop non-positives. Each trim
+    lowers every surviving count by at most the subtracted threshold,
+    and the sum of all thresholds applied anywhere is ≤ N/(k+1) — the
+    classic frequent-items guarantee."""
+    if len(counts) <= k:
+        return dict(counts)
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+    thr = int(vals[len(vals) - k - 1])
+    return {t: c - thr for t, c in counts.items() if c > thr}
+
+
+def heavy_hitters(ds: "rd.Dataset", *, k: int = 256,
+                  text_col: str = "text") -> pd.DataFrame:
+    """Approximate frequent tokens via mergeable Misra-Gries summaries
+    (Misra & Gries 1982; mergeability per Agarwal et al. 2012):
+    per-batch exact counts trimmed to ≤ k counters inside
+    ``map_batches`` → native ``groupby(item).sum`` over ≤ k rows per
+    batch (the shuffle carries k rows per batch, never one per token)
+    → one final driver trim of the ≤ k·n_batches merged counters.
+
+    Returns (item, n_min): LOWER-BOUND counts; any token whose true
+    frequency exceeds N/(k+1) is guaranteed present. The exact twin is
+    ``q_top_tokens`` (full groupby), which pins this sketch's accuracy
+    in tests."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in batch[text_col].fillna(""):
+            counts.update(t.split())
+        trimmed = _mg_trim(counts, k)
+        return pd.DataFrame({
+            "item": list(trimmed),
+            "n": pd.Series(list(trimmed.values()), dtype="int64")})
+
+    merged = ds.select_columns([text_col]) \
+        .map_batches(summarize, batch_format="pandas") \
+        .groupby("item").aggregate(Sum("n", alias_name="n")).to_pandas()
+    final = _mg_trim(dict(zip(merged["item"], merged["n"])), k)
+    out = pd.DataFrame({
+        "item": list(final),
+        "n_min": pd.Series(list(final.values()), dtype="int64")})
+    return out.sort_values(["n_min", "item"],
+                           ascending=[False, True]).reset_index(drop=True)

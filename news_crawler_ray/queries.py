@@ -875,6 +875,14 @@ def q_approx_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_tokens": [round(est)]})
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries frequent tokens (top 20 of a k=512 summary);
+    approximate lower-bound counts — exact twin `q_top_tokens`."""
+    from .functions.sketches import heavy_hitters
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return heavy_hitters(ds, k=512).head(20).reset_index(drop=True)
+
+
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
@@ -1360,6 +1368,57 @@ FROM orders GROUP BY 1 ORDER BY bin_lo
 """
 
 
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (multi-level aggregation): revenue at (returnflag,
+    linestatus), per-returnflag subtotal, and grand total in one pass.
+    One partial-aggregated shuffle at the FINEST level; the coarser
+    levels fold from the finest grouped result (a few rows) — never a
+    second scan of the fact table. NULL-marker columns use '(all)'
+    (driver hashing needs non-null keys)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            revenue_milli=np.floor(rev * 1000).astype("int64"))
+        return batch.groupby(["l_returnflag", "l_linestatus"],
+                             as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum"),
+            n=("revenue_milli", "size"))
+
+    fine = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("revenue_milli", alias_name="revenue_milli"),
+            Sum("n", alias_name="n")).to_pandas()
+    sub = fine.groupby("l_returnflag", as_index=False).agg(
+        revenue_milli=("revenue_milli", "sum"), n=("n", "sum"))
+    sub["l_linestatus"] = "(all)"
+    total = pd.DataFrame({
+        "l_returnflag": ["(all)"], "l_linestatus": ["(all)"],
+        "revenue_milli": [fine["revenue_milli"].sum()],
+        "n": [fine["n"].sum()]})
+    out = pd.concat([fine, sub, total], ignore_index=True)
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue_milli", "n"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+Q_REVENUE_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+       coalesce(l_linestatus, '(all)') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_adaptive_quality(sf_dir: str) -> pd.DataFrame:
     """Adaptive (data-dependent) quality floor: corpus p10 of the
     token count becomes the keep threshold, then one broadcast-scalar
@@ -1812,6 +1871,7 @@ QUERIES = {
     "q_adaptive_quality": q_adaptive_quality,
     "q_events_pivot": q_events_pivot,
     "q_price_histogram": q_price_histogram,
+    "q_revenue_rollup": q_revenue_rollup,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1827,6 +1887,7 @@ QUERIES = {
     "crawl_host_stats": q_crawl_stats,
     "crawl_host_metadata": q_crawl_host_metadata,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "approx_heavy_hitters": q_heavy_hitters,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
@@ -1880,4 +1941,5 @@ ORACLES = {
     "q_adaptive_quality": Q_ADAPTIVE_QUALITY_SQL,
     "q_events_pivot": Q_EVENTS_PIVOT_SQL,
     "q_price_histogram": Q_PRICE_HISTOGRAM_SQL,
+    "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
 }

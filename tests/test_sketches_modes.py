@@ -40,6 +40,40 @@ class TestHLL:
         assert abs(est - 2002) / 2002 < 0.1
 
 
+class TestHeavyHitters:
+    def test_guarantee_and_exact_top(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.sketches import heavy_hitters
+        rng = np.random.RandomState(7)
+        # zipf-ish: token f{i} appears ~2000/(i+1) times, shuffled
+        toks = []
+        for i in range(200):
+            toks += [f"f{i}"] * (2000 // (i + 1))
+        rng.shuffle(toks)
+        docs = [" ".join(toks[i:i + 50]) for i in range(0, len(toks), 50)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+        out = heavy_hitters(ds, k=256)
+        exact = pd.Series(toks).value_counts()
+        # guarantee: every token with true count > N/(k+1) is present
+        thr = len(toks) / 257
+        must_have = set(exact[exact > thr].index)
+        assert must_have <= set(out["item"])
+        # lower bound property, and the true top-10 leads the summary
+        est = dict(zip(out["item"], out["n_min"]))
+        for t, c in exact.head(10).items():
+            assert est[t] <= c
+        assert list(out["item"].head(10)) == list(exact.head(10).index)
+
+    def test_trim_bound(self):
+        from news_crawler_ray.functions.sketches import _mg_trim
+        counts = {f"t{i}": i + 1 for i in range(100)}
+        trimmed = _mg_trim(counts, 10)
+        assert len(trimmed) <= 10
+        for t, c in trimmed.items():
+            assert 0 < c <= counts[t]
+
+
 class TestValidBody:
     def test_article_meta_long(self):
         assert is_valid_body("t", "w " * 301, True)
