@@ -1368,6 +1368,68 @@ FROM orders GROUP BY 1 ORDER BY bin_lo
 """
 
 
+def q_bloom_filtered_orders(sf_dir: str) -> pd.DataFrame:
+    """Bloom-pruned join: order stats for high-balance customers. The
+    rich-customer keys build a distributed Bloom filter (OR-merged
+    partials, broadcast once) that prunes orders batches BEFORE the
+    shuffle; survivors verify exactly via the native semi join, so
+    false positives cost shuffle rows, never correctness — the result
+    matches the plain SQL join. At 10^9 keys the bloom is ~1.2 GB
+    broadcast where a key set would be tens of GB."""
+    from .functions.sketches import BloomFilter, build_bloom
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(lambda t: pa.table(
+            {"c_custkey": t.filter(pc.greater(
+                t["c_acctbal"], pa.scalar(7000.0)))["c_custkey"]}),
+            batch_format="pyarrow").materialize()
+    n_keys = max(cust.count(), 1)
+    bloom_ref = ray.put(build_bloom(cust, key_col="c_custkey",
+                                    m_bits=10 * n_keys))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b: BloomFilter = cached_object(bloom_ref)
+        keep = b.might_contain(t["o_custkey"].to_numpy())
+        return t.filter(pa.array(keep))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"]) \
+        .map_batches(prefilter, batch_format="pyarrow")
+    with light_shuffle_aggregators():
+        verified = orders.join(cust.repartition(8), join_type="left_semi",
+                               num_partitions=8, on=("o_custkey",),
+                               right_on=("c_custkey",)).materialize()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(total_milli=np.floor(
+            batch["o_totalprice"] * 1000).astype("int64"))
+        return batch.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("total_milli", "size"),
+            total_milli=("total_milli", "sum"))
+
+    out = verified.repartition(8) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderstatus").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_milli", alias_name="total_milli")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_milli"] = out["total_milli"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+Q_BLOOM_ORDERS_SQL = """
+SELECT o.o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+           AS total_milli
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 7000
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
 def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     """ROLLUP (multi-level aggregation): revenue at (returnflag,
     linestatus), per-returnflag subtotal, and grand total in one pass.
@@ -1872,6 +1934,7 @@ QUERIES = {
     "q_events_pivot": q_events_pivot,
     "q_price_histogram": q_price_histogram,
     "q_revenue_rollup": q_revenue_rollup,
+    "q_bloom_filtered_orders": q_bloom_filtered_orders,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -1942,4 +2005,5 @@ ORACLES = {
     "q_events_pivot": Q_EVENTS_PIVOT_SQL,
     "q_price_histogram": Q_PRICE_HISTOGRAM_SQL,
     "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
+    "q_bloom_filtered_orders": Q_BLOOM_ORDERS_SQL,
 }

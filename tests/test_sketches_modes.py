@@ -74,6 +74,49 @@ class TestHeavyHitters:
             assert 0 < c <= counts[t]
 
 
+class TestBloomFilter:
+    def test_no_false_negatives(self):
+        from news_crawler_ray.functions.sketches import BloomFilter
+        b = BloomFilter(m_bits=10_000, k=7)
+        keys = np.arange(0, 1000, dtype=np.int64)
+        b.add(keys)
+        assert b.might_contain(keys).all()
+
+    def test_false_positive_rate(self):
+        from news_crawler_ray.functions.sketches import BloomFilter
+        b = BloomFilter(m_bits=10_000, k=7)   # 10 bits/key -> ~1% fp
+        b.add(np.arange(0, 1000, dtype=np.int64))
+        absent = np.arange(10_000, 30_000, dtype=np.int64)
+        fp = b.might_contain(absent).mean()
+        assert fp < 0.03
+
+    def test_merge_is_union(self):
+        from news_crawler_ray.functions.sketches import BloomFilter
+        a = BloomFilter(4096, 5)
+        c = BloomFilter(4096, 5)
+        a.add(np.array([1, 2, 3]))
+        c.add(np.array([100, 200]))
+        a.merge(c)
+        assert a.might_contain(np.array([1, 2, 3, 100, 200])).all()
+
+    def test_serialize_roundtrip(self):
+        from news_crawler_ray.functions.sketches import BloomFilter
+        b = BloomFilter(2048, 3)
+        b.add(np.array([42, 43]))
+        b2 = BloomFilter.deserialize(b.serialize())
+        assert (b2.bits == b.bits).all() and b2.m == b.m and b2.k == b.k
+
+    def test_distributed_build(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.sketches import build_bloom
+        ds = rd.from_pandas(pd.DataFrame({"key": range(5000)}))
+        b = build_bloom(ds, key_col="key", m_bits=50_000)
+        assert b.might_contain(np.arange(5000)).all()
+        assert b.might_contain(
+            np.arange(100_000, 120_000)).mean() < 0.03
+
+
 class TestValidBody:
     def test_article_meta_long(self):
         assert is_valid_body("t", "w " * 301, True)
