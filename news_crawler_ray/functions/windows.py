@@ -106,8 +106,10 @@ def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
     verbatim by the SQL oracle via row_number().
 
     For high-cardinality/continuous columns this histogram is no longer
-    small; the scale path is a t-digest-style mergeable sketch, at which
-    point the result is approximate and leaves the oracle gate."""
+    small; the scale path is ``sketches.approx_quantiles`` (mergeable
+    t-digest), at which point the result is approximate and leaves the
+    oracle gate — its rank error is pinned against this function in
+    tests/test_sketches_modes.py."""
     hist = ds.groupby(value_col).count().to_pandas() \
         .sort_values(value_col).reset_index(drop=True)
     if not len(hist):

@@ -883,6 +883,19 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     return heavy_hitters(ds, k=512).head(20).reset_index(drop=True)
 
 
+def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
+    """t-digest approximate quantiles of l_extendedprice — a CONTINUOUS
+    high-cardinality column, where exact_quantiles' value-count histogram
+    stops being small. One ~3 KB digest per batch crosses the wire; rank
+    error is pinned vs the exact histogram in tests/test_sketches_modes.py
+    (exact oracle-checked twin: q_quantity_quantiles)."""
+    from .functions.sketches import approx_quantiles
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_extendedprice"])
+    return approx_quantiles(ds, value_col="l_extendedprice",
+                            qs=[0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
@@ -1951,6 +1964,7 @@ QUERIES = {
     "crawl_host_metadata": q_crawl_host_metadata,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "approx_heavy_hitters": q_heavy_hitters,
+    "approx_price_quantiles": q_approx_quantiles,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,

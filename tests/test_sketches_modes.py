@@ -117,6 +117,73 @@ class TestBloomFilter:
             np.arange(100_000, 120_000)).mean() < 0.03
 
 
+class TestTDigest:
+    def test_accuracy_lognormal(self):
+        from news_crawler_ray.functions.sketches import TDigest
+        rng = np.random.RandomState(11)
+        vals = rng.lognormal(mean=3.0, sigma=1.2, size=50_000)
+        d = TDigest(delta=200)
+        for chunk in np.array_split(vals, 17):
+            d.add_values(chunk)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = d.quantile(q)
+            # rank error: where does the estimate actually fall?
+            rank = (vals < est).mean()
+            assert abs(rank - q) < 0.01, (q, rank)
+
+    def test_merge_matches_single(self):
+        from news_crawler_ray.functions.sketches import TDigest
+        rng = np.random.RandomState(3)
+        a_vals = rng.normal(0, 1, 20_000)
+        b_vals = rng.normal(5, 2, 20_000)
+        a, b = TDigest(200), TDigest(200)
+        a.add_values(a_vals)
+        b.add_values(b_vals)
+        a.merge(b)
+        allv = np.concatenate([a_vals, b_vals])
+        for q in (0.1, 0.5, 0.9):
+            rank = (allv < a.quantile(q)).mean()
+            assert abs(rank - q) < 0.015
+
+    def test_size_bounded(self):
+        from news_crawler_ray.functions.sketches import TDigest
+        d = TDigest(delta=100)
+        rng = np.random.RandomState(5)
+        for _ in range(20):
+            d.add_values(rng.uniform(0, 1e9, 10_000))
+        # centroid count stays O(delta), independent of n
+        assert len(d.means) < 300
+
+    def test_serialize_roundtrip(self):
+        from news_crawler_ray.functions.sketches import TDigest
+        d = TDigest(150)
+        d.add_values(np.arange(1000, dtype=np.float64))
+        d2 = TDigest.deserialize(d.serialize())
+        assert d2.delta == 150
+        assert np.array_equal(d2.means, d.means)
+        assert np.array_equal(d2.weights, d.weights)
+        assert d2.quantile(0.5) == d.quantile(0.5)
+
+    def test_distributed_vs_exact(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions import windows as wn
+        from news_crawler_ray.functions.sketches import approx_quantiles
+        rng = np.random.RandomState(9)
+        vals = rng.gamma(2.0, 300.0, 30_000)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+        qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+        approx = approx_quantiles(ds, value_col="v", qs=qs)
+        exact = wn.exact_quantiles(ds, value_col="v", qs=qs)
+        for q, est in zip(approx["q"], approx["val"]):
+            rank = (vals < est).mean()
+            assert abs(rank - q) < 0.01, (q, rank)
+        # estimates track the exact histogram quantiles closely
+        rel = np.abs(approx["val"].to_numpy() - exact["val"].to_numpy()) \
+            / np.abs(exact["val"].to_numpy())
+        assert (rel < 0.05).all()
+
+
 class TestValidBody:
     def test_article_meta_long(self):
         assert is_valid_body("t", "w " * 301, True)
