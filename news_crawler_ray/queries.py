@@ -695,6 +695,124 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- exact SQL replica of MinHash + banded LSH (dedup.py:134–299) ------
+#
+# Reproducible because every hash in the chain is deterministic and
+# SQL-expressible: md5 token hashes, positional-multiplier shingle mix
+# (numpy uint64 WRAP-AROUND multiplies, replicated below via 32-bit-half
+# decomposition in HUGEINT), and (a·x+b) mod 2^64 mod (2^61−1) signature
+# permutations with the 128 (a,b) params embedded as literals. Bucket
+# membership is segment EQUALITY (the engine's sha1 band hash is just an
+# equality surrogate), so the sha1 itself need not be replicated.
+
+_MERSENNE61 = (1 << 61) - 1
+_U64 = "18446744073709551616"   # 2^64 as a HUGEINT literal
+
+
+def _sql_mulmod64(a_expr: str, b_expr: str) -> str:
+    """SQL expression for (a*b) mod 2^64 — numpy uint64 wraparound
+    semantics — via 32-bit halves (each partial product stays under the
+    UBIGINT overflow check; the final sum is done in HUGEINT)."""
+    m = "4294967295"
+    al = f"(({a_expr}) & {m})"
+    ah = f"(({a_expr}) >> 32)"
+    bl = f"(({b_expr}) & {m})"
+    bh = f"(({b_expr}) >> 32)"
+    cross = f"(((({al} * {bh}) & {m}) + (({ah} * {bl}) & {m})) & {m})"
+    return (f"((({al} * {bl})::HUGEINT + {cross}::HUGEINT * 4294967296)"
+            f" % {_U64})::UBIGINT")
+
+
+def _minhash_ctes() -> str:
+    """Shared CTE chain: documents → shingle set → 128-perm signatures →
+    32-band segments → colliding candidate pairs (doc_a < doc_b)."""
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xC2B2AE3D27D4EB4F + 2
+    c3 = 0xC2B2AE3D27D4EB4F + 4
+    a, b = dd._perm_params(128)
+    perm_vals = ",\n    ".join(
+        f"({j}, {int(a[j])}::UBIGINT, {int(b[j])}::UBIGINT)"
+        for j in range(128))
+    sh = (f"(xor(xor({_sql_mulmod64('h', str(c1))}, "
+          f"{_sql_mulmod64('h1', str(c2))}), "
+          f"{_sql_mulmod64('h2', str(c3))}) & {_MERSENNE61})")
+    sig = (f"((({_sql_mulmod64('pp.a', 's.sh')})::HUGEINT + pp.b)"
+           f" % {_U64} % {_MERSENNE61})::UBIGINT")
+    return rf"""toklist AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+tok_pos AS (
+  SELECT doc_id, i.i AS i,
+         ('0x'||substr(md5(toks[i.i + 1]),1,16))::UBIGINT AS h
+  FROM toklist, LATERAL (SELECT unnest(range(len(toks))) AS i) i),
+pos3 AS (
+  SELECT doc_id, h,
+         lead(h,1) OVER w AS h1, lead(h,2) OVER w AS h2
+  FROM tok_pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+shingles AS (
+  SELECT DISTINCT doc_id, {sh} AS sh
+  FROM pos3 WHERE h2 IS NOT NULL),
+perms(perm, a, b) AS (VALUES
+    {perm_vals}),
+sigs AS (
+  SELECT d.doc_id, pp.perm,
+         coalesce(min({sig}), {_MERSENNE61}::UBIGINT) AS sig
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN perms pp
+  LEFT JOIN shingles s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id, pp.perm),
+sigl AS (
+  SELECT doc_id, list(sig ORDER BY perm) AS sig
+  FROM sigs GROUP BY doc_id),
+bandseg AS (
+  SELECT doc_id, b.b AS band, sig[b.b*4+1 : b.b*4+4] AS seg
+  FROM sigl, (SELECT unnest(range(32)) AS b) b),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandseg x JOIN bandseg y
+    ON x.band = y.band AND x.seg = y.seg AND x.doc_id < y.doc_id)"""
+
+
+_MINHASH_PAIR_SELECT = """
+SELECT c.doc_a, c.doc_b,
+       length(list_filter(range(1,129), j -> sa.sig[j] = sb.sig[j])) / 128.0
+         AS similarity
+FROM cand c
+JOIN sigl sa ON sa.doc_id = c.doc_a
+JOIN sigl sb ON sb.doc_id = c.doc_b
+WHERE length(list_filter(range(1,129), j -> sa.sig[j] = sb.sig[j])) / 128.0
+        >= 0.4"""
+
+
+def _minhash_sql() -> str:
+    """Oracle for ``minhash_lsh_pairs``: the similarity (signature
+    agreement fraction) is a dyadic rational (k/128), exact in float64
+    on both engines — no rounding needed for the value-hash gate."""
+    return ("WITH " + _minhash_ctes() + _MINHASH_PAIR_SELECT
+            + "\nORDER BY doc_a, doc_b")
+
+
+def _minhash_keep_sql() -> str:
+    """Oracle for ``minhash_dedup_keep``: LSH pairs → connected
+    components via recursive transitive closure (tiny pair graph) →
+    min-id representative — the same cluster semantics as the engine's
+    union-find (dedup.py:302–338, min-root merging)."""
+    return ("WITH RECURSIVE " + _minhash_ctes() + ",\npairs AS ("
+            + _MINHASH_PAIR_SELECT + """),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc = e.v),
+rep AS (SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc)
+SELECT d.doc_id, rep.cluster_rep, (rep.cluster_rep = d.doc_id) AS keep
+FROM documents d JOIN rep ON rep.doc = d.doc_id
+ORDER BY doc_id""")
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
@@ -881,6 +999,23 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     from .functions.sketches import heavy_hitters
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
     return heavy_hitters(ds, k=512).head(20).reset_index(drop=True)
+
+
+# Misra-Gries is EXACT whenever the true distinct-key count is ≤ k (no
+# counter ever decrements), and the fixture vocabulary (31 tokens) is far
+# below k=512 — so the sketch degenerates to exact counts here and a
+# plain group-by oracle is valid. Tokenization matches heavy_hitters'
+# str.split(): NO lowercasing, whitespace runs collapsed.
+Q_HEAVY_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS item
+  FROM documents WHERE text IS NOT NULL)
+SELECT item, count(*)::BIGINT AS n_min
+FROM toks GROUP BY item
+ORDER BY n_min DESC, item
+LIMIT 20
+"""
 
 
 def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
@@ -1993,6 +2128,9 @@ ORACLES = {
     "q_whois_host_metadata": Q_WHOIS_SQL,
     "doc_langid": _langid_sql(),
     "simhash_pairs": Q_SIMHASH_SQL,
+    "minhash_lsh_pairs": _minhash_sql(),
+    "minhash_dedup_keep": _minhash_keep_sql(),
+    "approx_heavy_hitters": Q_HEAVY_SQL,
     "doc_fingerprints": Q_FPS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_rolling_events": Q_ROLLING_SQL,

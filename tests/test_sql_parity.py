@@ -91,3 +91,54 @@ class TestWinnowSqlParity:
         fps = _winnow_fingerprints(text)
         assert int(n_sql or 0) == len(fps)
         assert int(min_sql or 0) == (min(fps) if fps else 0)
+
+
+def _minhash_sig_sql() -> str:
+    """Single-document replica of queries._minhash_ctes(): text → shingle
+    set → 128 signature values (one row per perm). Exercises the
+    numpy-uint64 wraparound-multiply replication (_sql_mulmod64)."""
+    from news_crawler_ray.functions.dedup import _perm_params
+    from news_crawler_ray.queries import _MERSENNE61, _U64, _sql_mulmod64
+
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xC2B2AE3D27D4EB4F + 2
+    c3 = 0xC2B2AE3D27D4EB4F + 4
+    a, b = _perm_params(128)
+    perm_vals = ", ".join(
+        f"({j}, {int(a[j])}::UBIGINT, {int(b[j])}::UBIGINT)"
+        for j in range(128))
+    sh = (f"(xor(xor({_sql_mulmod64('h', str(c1))}, "
+          f"{_sql_mulmod64('h1', str(c2))}), "
+          f"{_sql_mulmod64('h2', str(c3))}) & {_MERSENNE61})")
+    sig = (f"((({_sql_mulmod64('pp.a', 's.sh')})::HUGEINT + pp.b)"
+           f" % {_U64} % {_MERSENNE61})::UBIGINT")
+    return rf"""
+WITH toklist AS (
+  SELECT list_filter(string_split_regex(lower(?), '\s+'),
+                     x -> x <> '') AS toks),
+tok_pos AS (
+  SELECT i.i AS i, ('0x'||substr(md5(toks[i.i + 1]),1,16))::UBIGINT AS h
+  FROM toklist, LATERAL (SELECT unnest(range(len(toks))) AS i) i),
+pos3 AS (
+  SELECT h, lead(h,1) OVER w AS h1, lead(h,2) OVER w AS h2
+  FROM tok_pos WINDOW w AS (ORDER BY i)),
+shingles AS (
+  SELECT DISTINCT {sh} AS sh FROM pos3 WHERE h2 IS NOT NULL),
+perms(perm, a, b) AS (VALUES {perm_vals})
+SELECT pp.perm,
+       coalesce(min({sig}), {_MERSENNE61}::UBIGINT) AS sig
+FROM perms pp LEFT JOIN shingles s ON true
+GROUP BY pp.perm ORDER BY pp.perm
+"""
+
+
+class TestMinhashSqlParity:
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(alphabet=_ALPHABET, max_size=200))
+    def test_signature_matches_sql(self, text):
+        from news_crawler_ray.functions.dedup import MinHasher
+        con = duckdb.connect()
+        rows = con.execute(_minhash_sig_sql(), [text]).fetchall()
+        got = [int(r[1]) for r in rows]
+        want = MinHasher(num_perm=128).signature(text).tolist()
+        assert got == want
