@@ -24,10 +24,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 # shared shuffle-sizing helper (load-bearing for every multi-join DAG
 # here and in queries.py)
+from ..rayutil import cached_object
 from ..rayutil import light_shuffle_aggregators as _light_join_aggregators
 
 _MERSENNE = (1 << 61) - 1
@@ -794,15 +796,6 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
         t = t.filter(m)
         return pa.table({"h": t["h"]})
 
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": pd.Series(ids[ia], dtype="int64"),
-                             "doc_b": pd.Series(ids[ib], dtype="int64")})
-
     def finish(t: pa.Table) -> pa.Table:
         isz = t["isz"].to_numpy(zero_copy_only=False).astype(np.int64)
         sa = t["sz_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -862,15 +855,57 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
             # as the empty-corpus case)
             return _empty_result()
 
-        kept = sh.join(
-            dfreq.map_batches(df_filter, fn_kwargs={"lo": 1},
-                              batch_format="pyarrow"),
-            join_type="inner", num_partitions=8, on=("h",))
-        sizes = kept.groupby("doc_id").count() \
+        # per-doc set sizes need only shingles with df ≤ max_df, i.e.
+        # everything MINUS the banned over-cap set. The ban list is tiny
+        # by construction (only corpus-wide boilerplate exceeds the cap),
+        # so it broadcasts via ray.put instead of costing a join — the
+        # inverse of the hot-join below, whose df≥2 side scales with the
+        # corpus and must stay a shuffle join.
+        banned_tbl = dfreq.map_batches(
+            lambda t: pa.table(
+                {"h": t.filter(pc.greater(t["count()"], max_df))["h"]}),
+            batch_format="pyarrow").to_pandas()
+        # an all-under-cap corpus yields an empty frame with NO columns
+        # (Ray empty blocks drop their schema) — treat as empty ban list
+        banned_ref = ray.put(frozenset(
+            banned_tbl["h"].tolist() if "h" in banned_tbl.columns else ()))
+
+        def drop_banned(t: pa.Table) -> pa.Table:
+            banned = cached_object(banned_ref)
+            if not banned:
+                return t
+            keep = np.fromiter(
+                (h not in banned for h in t["h"].to_numpy(
+                    zero_copy_only=False)),
+                dtype=bool, count=len(t))
+            return t.filter(pa.array(keep))
+
+        sizes = sh.map_batches(drop_banned, batch_format="pyarrow") \
+            .groupby("doc_id").count() \
             .repartition(4).materialize()
 
         shared = sh.join(hot, join_type="inner", num_partitions=8,
                          on=("h",)).repartition(32).materialize()
+
+        # candidate-pair emission: a NATIVE self-join on the shingle
+        # hash, not a per-bucket map_groups — hot-shingle buckets number
+        # in the tens of thousands and Ray's map_groups costs ~1 ms per
+        # GROUP (the r2 profile put a per-shingle UDF at ~10 s of pure
+        # group overhead at sf0.01); the hash join emits the same pairs
+        # at shuffle speed. The df cap bounds the join's fan-out at
+        # max_df rows per key on each side.
+        sa = shared.map_batches(
+            lambda t: pa.table({"h": t["h"], "doc_a": t["doc_id"]}),
+            batch_format="pyarrow")
+        sb = shared.map_batches(
+            lambda t: pa.table({"h": t["h"], "doc_b": t["doc_id"]}),
+            batch_format="pyarrow")
+        pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
+                            on=("h",)) \
+            .map_batches(
+                lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"]))
+                .select(["doc_a", "doc_b"]),
+                batch_format="pyarrow").repartition(32).materialize()
 
         # intersection counting: a pair-keyed groupby().count() here
         # would create one group per CANDIDATE PAIR (~1.3M at sf0.1) and
@@ -886,9 +921,8 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
                 "doc_b": vc.index.to_numpy(dtype=np.int64),
                 "isz": vc.to_numpy(dtype=np.int64)})
 
-        inter = shared.groupby("h").map_groups(
-            emit_pairs, batch_format="pandas").groupby(
-            "doc_a").map_groups(count_by_b, batch_format="pandas") \
+        inter = pair_rows.groupby("doc_a").map_groups(
+            count_by_b, batch_format="pandas") \
             .repartition(4).materialize()
 
         sz_a = sizes.map_batches(
@@ -899,8 +933,13 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
             lambda t: pa.table({"doc_b": t["doc_id"],
                                 "sz_b": t["count()"]}),
             batch_format="pyarrow")
-        half = inter.join(sz_a, join_type="inner", num_partitions=8,
-                          on=("doc_a",)).repartition(4).materialize()
-        return half.join(sz_b, join_type="inner", num_partitions=8,
-                         on=("doc_b",)) \
+        # both size joins run in ONE lazy plan: they sequence naturally
+        # (the second consumes the first) and the light-aggregator
+        # override keeps their combined CPU reservation under the
+        # cluster size even at num_cpus=4, so no materialize barrier is
+        # needed between them — saving one full shuffle spin-up
+        return inter.join(sz_a, join_type="inner", num_partitions=8,
+                          on=("doc_a",)).repartition(4) \
+            .join(sz_b, join_type="inner", num_partitions=8,
+                  on=("doc_b",)) \
             .map_batches(finish, batch_format="pyarrow").materialize()
