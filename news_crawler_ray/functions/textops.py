@@ -388,3 +388,37 @@ def fingerprints(ds: "rd.Dataset", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pandas")
+
+
+# PII patterns restricted to the RE2 ∩ Python-`re` common subset (no
+# backreferences, no lookaround, only greedy quantifiers whose
+# leftmost-match semantics agree between the engines) so the DuckDB
+# regexp_replace oracle is exact; parity is property-tested over
+# arbitrary text in tests/test_sql_parity.py.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def mask_pii(ds: "rd.Dataset", *, text_col: str = "text",
+             id_col: str = "doc_id") -> "rd.Dataset":
+    """PII redaction — the standard pre-training scrub pass: replace
+    email addresses then phone numbers with typed placeholders and count
+    the replacements. Pure per-batch map (vectorized pandas str kernels,
+    compiled-regex reuse inside pandas), no shuffle — streams at
+    read speed at any corpus size. Email pass runs FIRST so digits
+    inside addresses are never half-claimed by the phone pattern; the
+    oracle nests its regexp_replace calls in the same order."""
+
+    def mask(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        n_email = s.str.count(PII_EMAIL_RE)
+        s = s.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+        n_phone = s.str.count(PII_PHONE_RE)
+        s = s.str.replace(PII_PHONE_RE, "<PHONE>", regex=True)
+        return pd.DataFrame({
+            id_col: batch[id_col], "masked": s,
+            "n_email": n_email.astype("int64"),
+            "n_phone": n_phone.astype("int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        mask, batch_format="pandas")

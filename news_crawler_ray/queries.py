@@ -1031,6 +1031,66 @@ def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
                             qs=[0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_mask_pii(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over a contact blurb derived deterministically from
+    `customer` (the documents fixture contains no PII, which would make
+    the gate vacuous): both engine and oracle synthesize the identical
+    'Reach <name> via <email> or <phone>.' text, then mask. Exercises
+    real replacement boundaries — greedy domain backtracking, the
+    email-before-phone pass order, and count parity."""
+    from .functions.textops import mask_pii
+
+    def contact(batch: pd.DataFrame) -> pd.DataFrame:
+        name = batch["c_name"]
+        email = (name.str.replace("#", "", regex=False).str.lower()
+                 + "@corp" + batch["c_nationkey"].astype(str)
+                 + ".example.com")
+        phone = ("+1-" + ((batch["c_custkey"] * 7) % 900 + 100).astype(str)
+                 + "-555-"
+                 + ((batch["c_custkey"] * 13) % 10000).astype(str)
+                 .str.zfill(4))
+        return pd.DataFrame({
+            "c_custkey": batch["c_custkey"],
+            "text": "Reach " + name + " via " + email + " or "
+                    + phone + "."})
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(contact, batch_format="pandas")
+    out = mask_pii(ds, text_col="text", id_col="c_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_MASK_PII_SQL = r"""
+WITH t AS (
+  SELECT c_custkey,
+         'Reach ' || c_name || ' via '
+           || lower(replace(c_name, '#', ''))
+           || '@corp' || c_nationkey || '.example.com or +1-'
+           || ((c_custkey * 7) % 900 + 100) || '-555-'
+           || lpad(((c_custkey * 13) % 10000)::VARCHAR, 4, '0')
+           || '.' AS txt
+  FROM customer),
+m AS (
+  SELECT c_custkey,
+         length(regexp_extract_all(
+           txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email,
+         regexp_replace(
+           txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t2
+  FROM t)
+SELECT c_custkey,
+       regexp_replace(t2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                      '<PHONE>', 'g') AS masked,
+       n_email::BIGINT AS n_email,
+       length(regexp_extract_all(
+         t2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))::BIGINT
+         AS n_phone
+FROM m ORDER BY c_custkey
+"""
+
+
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
@@ -2100,6 +2160,7 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "approx_heavy_hitters": q_heavy_hitters,
     "approx_price_quantiles": q_approx_quantiles,
+    "q_mask_pii": q_mask_pii,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
@@ -2131,6 +2192,7 @@ ORACLES = {
     "minhash_lsh_pairs": _minhash_sql(),
     "minhash_dedup_keep": _minhash_keep_sql(),
     "approx_heavy_hitters": Q_HEAVY_SQL,
+    "q_mask_pii": Q_MASK_PII_SQL,
     "doc_fingerprints": Q_FPS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_rolling_events": Q_ROLLING_SQL,

@@ -142,3 +142,59 @@ class TestMinhashSqlParity:
         got = [int(r[1]) for r in rows]
         want = MinHasher(num_perm=128).signature(text).tolist()
         assert got == want
+
+
+_MASK_ALPHABET = _ALPHABET + "@"
+
+_MASK_SQL = r"""
+WITH m AS (
+  SELECT length(regexp_extract_all(
+           ?, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email,
+         regexp_replace(
+           ?, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t2)
+SELECT regexp_replace(t2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                      '<PHONE>', 'g'),
+       n_email,
+       length(regexp_extract_all(
+         t2, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
+FROM m
+"""
+
+
+class TestMaskPiiSqlParity:
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=_MASK_ALPHABET, max_size=120))
+    def test_mask_matches_sql(self, text):
+        import re
+
+        from news_crawler_ray.functions.textops import (PII_EMAIL_RE,
+                                                        PII_PHONE_RE)
+        con = duckdb.connect()
+        sql_masked, sql_ne, sql_np = con.execute(
+            _MASK_SQL, [text, text]).fetchone()
+        ne = len(re.findall(PII_EMAIL_RE, text))
+        t2 = re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+        npn = len(re.findall(PII_PHONE_RE, t2))
+        t3 = re.sub(PII_PHONE_RE, "<PHONE>", t2)
+        assert (sql_masked, sql_ne, sql_np) == (t3, ne, npn)
+
+    def test_realistic_examples(self):
+        import re
+
+        from news_crawler_ray.functions.textops import (PII_EMAIL_RE,
+                                                        PII_PHONE_RE)
+        con = duckdb.connect()
+        for text in [
+            "mail a.b-c_d%e+f@sub.domain-x.co.uk now",
+            "call +44-123-555-0000 or +1-800-555-12345 x",
+            "x@y.zz a@b.c +1-23-555-0000 not-a-phone 123-456-7890",
+            "double dots a..b@c..d.ee and trailing a@b.cd.",
+        ]:
+            sql_masked, sql_ne, sql_np = con.execute(
+                _MASK_SQL, [text, text]).fetchone()
+            t2 = re.sub(PII_EMAIL_RE, "<EMAIL>", text)
+            t3 = re.sub(PII_PHONE_RE, "<PHONE>", t2)
+            assert sql_masked == t3, text
+            assert sql_ne == len(re.findall(PII_EMAIL_RE, text))
