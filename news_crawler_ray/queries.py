@@ -1031,6 +1031,47 @@ def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
                             qs=[0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def q_seq_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing offsets: running token total over doc_id order
+    (distributed two-pass prefix sum, windows.prefix_sum) and the
+    2048-token training-bin each document STARTS in (exclusive prefix //
+    capacity). The scan is the Ray-native replacement for a global
+    ``SUM OVER (ORDER BY ...)`` window — no global sort, partition
+    offsets broadcast once."""
+    capacity = 2048
+
+    def toks(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["text"].fillna("").str.count(r"\S+")
+            .astype("int64")})
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]) \
+        .map_batches(toks, batch_format="pandas")
+    out = wn.prefix_sum(ds, key_col="doc_id", value_col="n_tokens",
+                        part_size=256).to_pandas()
+    out["bin"] = (out["running"] - out["n_tokens"]) // capacity
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SEQ_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running
+  FROM t)
+SELECT doc_id, n_tokens, running::BIGINT AS running,
+       ((running - n_tokens) // 2048)::BIGINT AS bin
+FROM s ORDER BY doc_id
+"""
+
+
 def q_mask_pii(sf_dir: str) -> pd.DataFrame:
     """PII redaction over a contact blurb derived deterministically from
     `customer` (the documents fixture contains no PII, which would make
@@ -2161,6 +2202,7 @@ QUERIES = {
     "approx_heavy_hitters": q_heavy_hitters,
     "approx_price_quantiles": q_approx_quantiles,
     "q_mask_pii": q_mask_pii,
+    "q_seq_packing": q_seq_packing,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
@@ -2193,6 +2235,7 @@ ORACLES = {
     "minhash_dedup_keep": _minhash_keep_sql(),
     "approx_heavy_hitters": Q_HEAVY_SQL,
     "q_mask_pii": Q_MASK_PII_SQL,
+    "q_seq_packing": Q_SEQ_PACKING_SQL,
     "doc_fingerprints": Q_FPS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_rolling_events": Q_ROLLING_SQL,

@@ -277,3 +277,31 @@ class TestGroupedQuantiles:
                 want = srt[int(np.floor(q * (len(srt) - 1)))]
                 got = out[(out.k == key) & (out.q == q)]["val"].iloc[0]
                 assert got == want, (key, q)
+
+
+class TestPrefixSum:
+    def test_matches_pandas_cumsum(self, ray_session):
+        rng = np.random.RandomState(17)
+        n = 5000
+        keys = rng.permutation(n).astype(np.int64)       # shuffled order
+        vals = rng.randint(0, 100, size=n).astype(np.int64)
+        df = pd.DataFrame({"k": keys, "v": vals})
+        out = wn.prefix_sum(rd.from_pandas(df).repartition(8),
+                            key_col="k", value_col="v",
+                            part_size=64).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = df.sort_values("k").reset_index(drop=True)
+        assert (out["k"].to_numpy() == want["k"].to_numpy()).all()
+        assert (out["running"].to_numpy()
+                == want["v"].cumsum().to_numpy()).all()
+
+    def test_sparse_keys_with_gaps(self, ray_session):
+        # entire partitions missing: offsets dict must skip them
+        df = pd.DataFrame({"k": np.array([5, 3000, 9000, 9001],
+                                         dtype=np.int64),
+                           "v": np.array([10, 20, 30, 40],
+                                         dtype=np.int64)})
+        out = wn.prefix_sum(rd.from_pandas(df), key_col="k",
+                            value_col="v", part_size=100).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["running"].tolist() == [10, 30, 60, 100]
