@@ -76,7 +76,8 @@ def run_bench() -> dict:
                  "q_quality", "q_ann_topk", "minhash_lsh_pairs",
                  "simhash_pairs", "embedding_neardup", "q_ngram_jaccard",
                  "q_rolling_events", "q_quantity_quantiles",
-                 "q_tfidf_top_terms", "q_doc_chunks", "q_corpus_prep"):
+                 "q_tfidf_top_terms", "q_doc_chunks", "q_corpus_prep",
+                 "q_mask_pii", "q_seq_packing"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

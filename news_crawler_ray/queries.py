@@ -1950,6 +1950,70 @@ ORDER BY c_custkey
 """
 
 
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """Native distributed LEFT OUTER join: every customer with its
+    recent-order count, zero included. The orders side is pre-aggregated
+    to one (custkey, n) row per key BEFORE the join, so the outer join's
+    exchange moves aggregate rows, never raw orders — the standard
+    aggregate-then-join pushdown."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
+    counts = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: pa.table(
+            {"o_custkey": t.filter(pc.greater_equal(
+                t["o_orderdate"], cutoff))["o_custkey"]}),
+            batch_format="pyarrow") \
+        .groupby("o_custkey").count()
+    with light_shuffle_aggregators():
+        out = cust.join(counts, join_type="left_outer", num_partitions=8,
+                        on=("c_custkey",), right_on=("o_custkey",)) \
+            .to_pandas()
+    out["n_orders"] = out["count()"].fillna(0).astype("int64")
+    return out[["c_custkey", "c_mktsegment", "n_orders"]] \
+        .astype({"c_custkey": "int64"}) \
+        .sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       coalesce(o.n, 0)::BIGINT AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+           GROUP BY o_custkey) o
+  ON o.o_custkey = c.c_custkey
+ORDER BY c_custkey
+"""
+
+
+def q_union_distinct_nations(sf_dir: str) -> pd.DataFrame:
+    """Dataset.union across two sources + distributed distinct: nation
+    keys present in customer OR supplier. The distinct is a per-batch
+    dedup THEN a key-only groupby — the exchange moves unique keys per
+    batch, not rows."""
+    c = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"nationkey": pc.unique(t["c_nationkey"])}),
+            batch_format="pyarrow")
+    s = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]) \
+        .map_batches(lambda t: pa.table(
+            {"nationkey": pc.unique(t["s_nationkey"])}),
+            batch_format="pyarrow")
+    out = c.union(s).groupby("nationkey").count().to_pandas()
+    return pd.DataFrame({"nationkey": out["nationkey"].astype("int64")}) \
+        .sort_values("nationkey").reset_index(drop=True)
+
+
+Q_UNION_NATIONS_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier)
+ORDER BY nationkey
+"""
+
+
 def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
     """Native distributed SEMI join: customers with at least one order
     over 450k (filter + batch-dedup on the probe side before the
@@ -2203,6 +2267,8 @@ QUERIES = {
     "approx_price_quantiles": q_approx_quantiles,
     "q_mask_pii": q_mask_pii,
     "q_seq_packing": q_seq_packing,
+    "q_customer_order_counts": q_customer_order_counts,
+    "q_union_distinct_nations": q_union_distinct_nations,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
@@ -2236,6 +2302,8 @@ ORACLES = {
     "approx_heavy_hitters": Q_HEAVY_SQL,
     "q_mask_pii": Q_MASK_PII_SQL,
     "q_seq_packing": Q_SEQ_PACKING_SQL,
+    "q_customer_order_counts": Q_ORDER_COUNTS_SQL,
+    "q_union_distinct_nations": Q_UNION_NATIONS_SQL,
     "doc_fingerprints": Q_FPS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_rolling_events": Q_ROLLING_SQL,
