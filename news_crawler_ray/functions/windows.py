@@ -254,3 +254,33 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
     return ds.select_columns([key_col, value_col]) \
         .map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(scan, batch_format="pandas")
+
+
+def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
+                        order_cols: list[str], value_col: str,
+                        num_buckets: int = 32) -> "rd.Dataset":
+    """Per-key running total (``SUM OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)``) — the grouped companion of
+    ``prefix_sum``: running user balances, per-host byte budgets,
+    per-source token tallies.
+
+    Same salted-bucket shape as ``rolling_window_sum`` (one
+    ``groupby(bucket)`` shuffle, many keys per bucket, one vectorized
+    pandas groupby-cumsum per bucket) — cumulative state never crosses
+    keys, so key-locality is the only partitioning requirement and the
+    per-group map_groups overhead stays amortized over whole buckets."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket",
+                               pa.array(key % num_buckets, pa.int32()))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        run = g.groupby(key_col)[value_col].cumsum()
+        out = g[[c for c in g.columns if c != "bucket"]].copy()
+        out["running"] = run.astype("int64")
+        return out
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(scan, batch_format="pandas")

@@ -1264,6 +1264,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 ORDER BY event_id
 """
 
+def q_running_user_totals(sf_dir: str) -> pd.DataFrame:
+    """Per-user running value totals (grouped prefix sum,
+    windows.grouped_running_sum): SUM OVER (PARTITION BY user ORDER BY
+    ts) without per-user groups — keys salted into buckets, one
+    vectorized cumsum per bucket."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["value"])
+        return t.append_column(
+            "value_centi", pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    out = wn.grouped_running_sum(
+        ds.map_batches(to_centi, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value_centi").to_pandas()
+    out = out[["event_id", "user_id", "running"]] \
+        .rename(columns={"running": "run_centi"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_RUNNING_USER_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(value_centi) OVER w AS BIGINT) AS run_centi
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id
+"""
+
+
 _BAND_EDGES = [900.0, 920.0, 940.0, 960.0, 980.0, 1000.0]
 _BAND_LABELS = ["B0", "B1", "B2", "B3", "B4"]
 
@@ -2269,6 +2305,7 @@ QUERIES = {
     "q_seq_packing": q_seq_packing,
     "q_customer_order_counts": q_customer_order_counts,
     "q_union_distinct_nations": q_union_distinct_nations,
+    "q_running_user_totals": q_running_user_totals,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
@@ -2304,6 +2341,7 @@ ORACLES = {
     "q_seq_packing": Q_SEQ_PACKING_SQL,
     "q_customer_order_counts": Q_ORDER_COUNTS_SQL,
     "q_union_distinct_nations": Q_UNION_NATIONS_SQL,
+    "q_running_user_totals": Q_RUNNING_USER_SQL,
     "doc_fingerprints": Q_FPS_SQL,
     "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
     "q_rolling_events": Q_ROLLING_SQL,
