@@ -305,3 +305,22 @@ class TestPrefixSum:
                             value_col="v", part_size=100).to_pandas() \
             .sort_values("k").reset_index(drop=True)
         assert out["running"].tolist() == [10, 30, 60, 100]
+
+
+class TestGroupedRunningSum:
+    def test_matches_pandas_groupby_cumsum(self, ray_session):
+        rng = np.random.RandomState(23)
+        n = 4000
+        df = pd.DataFrame({
+            "user": rng.randint(0, 97, size=n).astype(np.int64),
+            "seq": rng.permutation(n).astype(np.int64),
+            "v": rng.randint(-5, 50, size=n).astype(np.int64)})
+        out = wn.grouped_running_sum(
+            rd.from_pandas(df).repartition(8), key_col="user",
+            order_cols=["seq"], value_col="v", num_buckets=8) \
+            .to_pandas().sort_values(["user", "seq"]) \
+            .reset_index(drop=True)
+        want = df.sort_values(["user", "seq"]).reset_index(drop=True)
+        want["running"] = want.groupby("user")["v"].cumsum()
+        assert (out["running"].to_numpy()
+                == want["running"].to_numpy()).all()
