@@ -40,17 +40,22 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Grouped aggregate with per-batch partial pre-aggregation before the
     shuffle (scale pattern: the groupby moves one partial row per
     (key, batch), not per lineitem row)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_returnflag", "l_linestatus",
-                                  "l_quantity", "l_extendedprice",
-                                  "l_discount", "l_shipdate"])
+    # the ship-date predicate is pushed INTO the scan (row-group pruning
+    # + exact row filtering inside the reader), so filtered rows never
+    # enter the object store; the shipdate column itself is then not
+    # needed downstream
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") <= pa.scalar(
+            pd.Timestamp("1998-09-02"), pa.timestamp("us")))
 
     # Money sums are floored to integer milli-units per ROW before
     # summing: integer sums are summation-order independent, so the Ray
     # and DuckDB results are bit-identical (a float SUM is not — its
     # rounding can straddle a .005 boundary between engines).
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
         if not len(batch):
             return pd.DataFrame({k: [] for k in (
                 "l_returnflag", "l_linestatus", "sum_qty",
@@ -108,13 +113,15 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
     odate_ref = ray.put(odate)
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_orderkey", "l_extendedprice",
-                                  "l_discount", "l_shipdate"])
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        # static date predicate pushed into the scan
+        filter=pc.field("l_shipdate") > pa.scalar(
+            pd.Timestamp("1995-03-15"), pa.timestamp("us")))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         od = cached_object(odate_ref)
-        batch = batch[batch["l_shipdate"] > pd.Timestamp("1995-03-15")]
         batch = batch[batch["l_orderkey"].isin(od.keys())]
         if not len(batch):
             return pd.DataFrame({"o_orderkey": [], "revenue_milli": []})
@@ -1960,11 +1967,11 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
-    okeys = rd.read_parquet(_t(sf_dir, "orders"),
-                            columns=["o_custkey", "o_orderdate"]) \
+    okeys = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
+                            # date predicate pushed into the scan
+                            filter=pc.field("o_orderdate") >= cutoff) \
         .map_batches(lambda t: pa.table(
-            {"o_custkey": pc.unique(t.filter(pc.greater_equal(
-                t["o_orderdate"], cutoff))["o_custkey"])}),
+            {"o_custkey": pc.unique(t["o_custkey"])}),
             batch_format="pyarrow")
     with light_shuffle_aggregators():
         out = cust.join(okeys, join_type="left_anti", num_partitions=8,
@@ -1995,12 +2002,9 @@ def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
-    counts = rd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_custkey", "o_orderdate"]) \
-        .map_batches(lambda t: pa.table(
-            {"o_custkey": t.filter(pc.greater_equal(
-                t["o_orderdate"], cutoff))["o_custkey"]}),
-            batch_format="pyarrow") \
+    counts = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
+                             # date predicate pushed into the scan
+                             filter=pc.field("o_orderdate") >= cutoff) \
         .groupby("o_custkey").count()
     with light_shuffle_aggregators():
         out = cust.join(counts, join_type="left_outer", num_partitions=8,
