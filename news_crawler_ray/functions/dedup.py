@@ -171,11 +171,26 @@ def _empty_pairs(value_name: str, value_dtype: str) -> pd.DataFrame:
                          value_name: pd.Series([], dtype=value_dtype)})
 
 
+
+def _hash_pool_cap(concurrency: int | None) -> int:
+    """Upper bound for the hashing actor pools: half the cluster CPUs
+    (min 4) when the caller does not pin one — a fixed small cap
+    starves big clusters, a full-CPU cap starves the downstream joins'
+    shuffle actors (the small-cluster deadlock)."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(4, cpus // 2)
+
+
 def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                       bands: int = 32, shingle_k: int = 3,
                       threshold: float = 0.5, text_col: str = "text",
                       id_col: str = "doc_id",
-                      concurrency: int = 4) -> "rd.Dataset":
+                      concurrency: int | None = None) -> "rd.Dataset":
     """Near-duplicate pairs via MinHash + banded LSH + exact-estimate
     verification — fully distributed, no driver materialization.
 
@@ -210,7 +225,8 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                           # autoscaling pool: a fixed-size pool can pin
                           # every CPU and starve the downstream join's
                           # shuffle actors on small clusters (deadlock)
-                          concurrency=(1, concurrency)).materialize()
+                          concurrency=(1, _hash_pool_cap(concurrency))) \
+        .materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
@@ -500,7 +516,7 @@ def _segment_layout(max_hamming: int) -> list[tuple[int, int]]:
 
 def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id",
-                  concurrency: int = 4) -> "rd.Dataset":
+                  concurrency: int | None = None) -> "rd.Dataset":
     """EXACT near-dup pairs with Hamming distance ≤ d on 64-bit simhash,
     via the (d+1)-segment pigeonhole (Manku et al., WWW'07): every pair
     within distance d shares at least one exact segment →
@@ -523,7 +539,7 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          batch_format="pyarrow",
                          # autoscaling: fixed pools deadlock the join's
                          # shuffle actors when the pool covers all CPUs
-                         concurrency=(1, concurrency))
+                         concurrency=(1, _hash_pool_cap(concurrency)))
 
     # pigeonhole segment explosion, vectorized per batch: n_seg rows/doc,
     # each carrying the full 64-bit fingerprint (8 bytes — cheap to ship)
