@@ -189,15 +189,23 @@ def tfidf_top_terms(ds: "rd.Dataset", *, text_col: str = "text",
     def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.sort_values(["doc_id", "tfidf_micro", "token"],
                                   ascending=[True, False, True])
-        return batch.groupby("doc_id", as_index=False).head(k)
+        batch = batch.groupby("doc_id", as_index=False).head(k)
+        # salt docs into buckets for the final stage: grouping the
+        # shuffle by doc_id directly would make one map_groups group PER
+        # DOC (~1 ms of Python each — the dominant cost at 10^4+ docs);
+        # 64 buckets amortize it into one vectorized pandas pass each
+        batch["bucket"] = (batch["doc_id"] % 64).astype("int32")
+        return batch
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["tfidf_micro", "token"],
-                             ascending=[False, True]).head(k)
+        g = g.sort_values(["doc_id", "tfidf_micro", "token"],
+                          ascending=[True, False, True])
+        return g.groupby("doc_id", as_index=False).head(k) \
+            .drop(columns=["bucket"])
 
     return joined.map_batches(score, batch_format="pandas") \
         .map_batches(partial_topk, batch_format="pandas") \
-        .groupby("doc_id").map_groups(final_topk, batch_format="pandas")
+        .groupby("bucket").map_groups(final_topk, batch_format="pandas")
 
 
 def common_ngrams(ds: "rd.Dataset", *, n: int = 3, min_docs: int = 2,
