@@ -31,6 +31,7 @@ import re
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # Compact generic blocklist in the spirit of public EasyList generic
 # patterns (written fresh; NOT copied from a filter list file).
@@ -241,11 +242,22 @@ def har_tables(pages_ds, rules: list[str] | None = None,
     assoc = pages_ds.select_columns(["url", "har"]).map_batches(
         explode, batch_format="pyarrow")
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"har_url": [g["har_url"].iloc[0]]})
+    # UNIQUE dedup via salted buckets: in-batch dedup first (most
+    # repeats are within a page's HAR), then one groupby(bucket) with a
+    # vectorized drop_duplicates per bucket — NOT one map_groups group
+    # per distinct har_url (~1 ms of Python each at 10^6+ urls)
+    def bucket_dedup(t: pa.Table) -> pa.Table:
+        import zlib
+        u = pc.unique(t["har_url"])
+        b = [zlib.crc32(s.encode()) % 64 for s in u.to_pylist()]
+        return pa.table({"har_url": u,
+                         "bucket": pa.array(b, pa.int32())})
 
-    distinct = assoc.groupby("har_url").map_groups(first,
-                                                   batch_format="pandas")
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("har_url")[["har_url"]]
+
+    distinct = assoc.map_batches(bucket_dedup, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(drop_dup, batch_format="pandas")
     classified = distinct.map_batches(
         AdClassifier, fn_constructor_kwargs={"rules": rules},
         batch_format="pyarrow", concurrency=concurrency,

@@ -84,13 +84,15 @@ def near_dup_text_groups(ds: "rd.Dataset", text_col: str = "text",
                                   batch_format="pyarrow") \
         .select_columns(["text_hash"])
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n >= max_count:
-            return pd.DataFrame({"text_hash": [], "n": []})
-        return pd.DataFrame({"text_hash": [g["text_hash"].iloc[0]], "n": [n]})
+    # native count + vectorized HAVING filter — no per-group UDF (one
+    # group per distinct long text would pay ~1 ms of Python each)
+    def having(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["count()"], max_count))
+        return pa.table({"text_hash": t["text_hash"],
+                         "n": t["count()"]})
 
-    return hashed.groupby("text_hash").map_groups(agg, batch_format="pandas")
+    return hashed.groupby("text_hash").count() \
+        .map_batches(having, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -922,29 +924,37 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
         sb = shared.map_batches(
             lambda t: pa.table({"h": t["h"], "doc_b": t["doc_id"]}),
             batch_format="pyarrow")
+        def keep_lt(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
+            # salt doc_a for the intersection count downstream
+            da = t["doc_a"].to_numpy(zero_copy_only=False)
+            return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                             "bucket": pa.array(
+                                 (da % 64).astype(np.int32))})
+
         pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
                             on=("h",)) \
-            .map_batches(
-                lambda t: t.filter(pc.less(t["doc_a"], t["doc_b"]))
-                .select(["doc_a", "doc_b"]),
-                batch_format="pyarrow").repartition(32).materialize()
+            .map_batches(keep_lt, batch_format="pyarrow") \
+            .repartition(32).materialize()
 
         # intersection counting: a pair-keyed groupby().count() here
         # would create one group per CANDIDATE PAIR (~1.3M at sf0.1) and
         # Ray's sort-based aggregate collapses at that group count
-        # (minutes). Grouping by doc_a instead gives ≤ n_docs groups,
-        # each a few hundred rows, counted vectorized via value_counts.
-        # Skew note: a hub doc's group is bounded by sz·max_df rows.
-        def count_by_b(g: pd.DataFrame) -> pd.DataFrame:
-            vc = g["doc_b"].value_counts()
+        # (minutes). Grouping by doc_a directly would still pay ~1 ms of
+        # map_groups Python per CANDIDATE DOC, so doc_a is salted into
+        # 64 buckets and each bucket counts all its pairs in one
+        # vectorized pandas groupby-size pass. Skew note: one bucket
+        # holds ~1/64 of the candidate docs, each bounded by sz·max_df
+        # pair rows.
+        def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            vc = g.groupby(["doc_a", "doc_b"], as_index=False).size()
             return pd.DataFrame({
-                "doc_a": np.full(len(vc), int(g["doc_a"].iloc[0]),
-                                 dtype=np.int64),
-                "doc_b": vc.index.to_numpy(dtype=np.int64),
-                "isz": vc.to_numpy(dtype=np.int64)})
+                "doc_a": vc["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": vc["doc_b"].to_numpy(dtype=np.int64),
+                "isz": vc["size"].to_numpy(dtype=np.int64)})
 
-        inter = pair_rows.groupby("doc_a").map_groups(
-            count_by_b, batch_format="pandas") \
+        inter = pair_rows.groupby("bucket").map_groups(
+            count_pairs, batch_format="pandas") \
             .repartition(4).materialize()
 
         sz_a = sizes.map_batches(

@@ -19,24 +19,31 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str,
     """For each left row, attach the right row with the greatest
     ``on`` ≤ left's ``on`` within the same ``by`` group (classic as-of
     join, e.g. most recent prior marker event). Implemented as
-    union-with-side-tag → ``groupby(by)`` (the single shuffle) →
-    per-group sorted ``pd.merge_asof``."""
+    union-with-side-tag → salt ``by`` into buckets → ``groupby(bucket)``
+    (the single shuffle) → ONE vectorized ``pd.merge_asof(..., by=)``
+    per bucket. Bucketing (not grouping by the raw key) matters at
+    scale: one map_groups group per entity costs ~1 ms of Python each,
+    while merge_asof's ``by=`` argument handles every entity in a
+    bucket in a single pass."""
     lt = left.map_batches(lambda df: df.assign(_side=0), batch_format="pandas")
     rt = right.map_batches(lambda df: df.assign(_side=1), batch_format="pandas")
-    both = lt.union(rt)
+    both = lt.union(rt).map_batches(
+        lambda df: df.assign(
+            _bucket=(df[by].astype("int64") % 64).astype("int32")),
+        batch_format="pandas")
 
     left_cols = [c for c in left.schema().names]
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0][left_cols].sort_values(on, kind="stable")
         rg = g[g["_side"] == 1][[by, on] + value_cols] \
             .sort_values(on, kind="stable") \
             .rename(columns={on: on + suffix})
         if not len(lg):
             return lg.assign(**{on + suffix: pd.NaT})
-        out = pd.merge_asof(lg, rg.drop(columns=[by]),
-                            left_on=on, right_on=on + suffix,
-                            direction="backward")
+        out = pd.merge_asof(lg, rg, left_on=on, right_on=on + suffix,
+                            by=by, direction="backward")
         return out
 
-    return both.groupby(by).map_groups(per_group, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pandas")
