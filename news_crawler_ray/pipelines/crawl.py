@@ -105,6 +105,15 @@ class CrawlConfig:
     # through at least ~12k-item rounds). The streaming Dataset path is
     # for rounds too large to barrier through the driver.
     dataset_round_threshold: int = 50_000
+    # User-extension surface (SURVEY §2.10): ``end_function`` mirrors the
+    # reference's completion callback (crawler.py:22) — called once with
+    # the final summary dict when run() completes; ``additional_data_fn``
+    # mirrors ``Article.additional_data`` (article.py:113) — a picklable
+    # per-page hook whose dict result is persisted as a JSON string
+    # column ``additional_data`` on the pages table. Both default off so
+    # the conformance schema is unchanged.
+    end_function: object = None         # Callable[[dict], None] | None
+    additional_data_fn: object = None   # Callable[[dict], dict] | None
 
     @property
     def pages_dir(self):
@@ -187,7 +196,10 @@ def finalize_page_rows(out: pa.Table, exhausted: set) -> pa.Table:
                        pa.scalar(-1, pa.int32())).cast(pa.int32())
     attempts = pc.if_else(ok_f, page["attempts_count"],
                           pc.add(page["attempts_count"], 1)).cast(pa.int32())
-    page = page.select(PAGE_OUTPUT_COLUMNS)
+    cols = list(PAGE_OUTPUT_COLUMNS)
+    if "additional_data" in page.column_names:   # user hook column
+        cols.append("additional_data")
+    page = page.select(cols)
     page = page.set_column(page.column_names.index("http_response_code"),
                            "http_response_code", codes)
     page = page.set_column(page.column_names.index("attempts_count"),
@@ -335,12 +347,14 @@ def _complete_finalize_batch(batch: pa.Table, *, frontier,
 
 @ray.remote
 def _round_batch_task(table: pa.Table, corpus_refs: dict,
-                      only_webnews: bool) -> pa.Table:
+                      only_webnews: bool,
+                      additional_data_fn=None) -> pa.Table:
     """Tasks-mode round processing: fetch + extract + link discovery
     composed in one task. The corpus is shared through the object store
     (zero-copy bucket tables, per-worker lazy key index); the extract
     kernel is cached per worker."""
-    out = extract_batch(fetch_replay_shared(table, corpus_refs=corpus_refs))
+    out = extract_batch(fetch_replay_shared(table, corpus_refs=corpus_refs),
+                        additional_data_fn=additional_data_fn)
     return discover_cols(out, only_webnews=only_webnews)
 
 
@@ -535,7 +549,10 @@ class CrawlEngine:
             if (cfg.scrape_rss and cfg.rss_refresh_every
                     and self.round % cfg.rss_refresh_every == 0):
                 self._enqueue_rss()   # mid-crawl feed refresh (S8)
-        return self.summary()
+        s = self.summary()
+        if cfg.end_function is not None:   # reference crawler.py:22
+            cfg.end_function(s)
+        return s
 
     def _process_round(self, work: dict):
         cfg = self.cfg
@@ -574,7 +591,7 @@ class CrawlEngine:
         for off in range(0, table.num_rows, bs):
             refs.append(_round_batch_task.remote(
                 table.slice(off, bs), self.corpus_refs,
-                cfg.only_webnews))
+                cfg.only_webnews, cfg.additional_data_fn))
         parts = ray.get(refs)
         page = self._commit_discoveries(parts)
         if page.num_rows:
@@ -594,7 +611,10 @@ class CrawlEngine:
                             fn_kwargs={"corpus_refs": self.corpus_refs},
                             batch_format="pyarrow",
                             batch_size=cfg.batch_size)
-               .map_batches(extract_batch, batch_format="pyarrow",
+               .map_batches(extract_batch,
+                            fn_kwargs={"additional_data_fn":
+                                       cfg.additional_data_fn},
+                            batch_format="pyarrow",
                             batch_size=cfg.batch_size)
                .map_batches(discover_cols,
                             fn_kwargs={"only_webnews": cfg.only_webnews},

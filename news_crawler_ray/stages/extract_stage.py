@@ -141,8 +141,23 @@ class ExtractStage:
 _WORKER_KERNEL: list[ExtractKernel | None] = [None]
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
-    """Stateless-task form; kernel cached per worker process."""
+def extract_batch(batch: pa.Table, additional_data_fn=None) -> pa.Table:
+    """Stateless-task form; kernel cached per worker process.
+
+    ``additional_data_fn`` is the user-extension hook mirroring the
+    reference's ``Article.additional_data`` dict (article.py:113): a
+    picklable ``row_dict -> dict`` called per extracted page, its result
+    persisted as a JSON string column ``additional_data``. Runs inside
+    the distributed extract stage (per-row by contract — it is a user
+    escape hatch, not an engine kernel)."""
     if _WORKER_KERNEL[0] is None:
         _WORKER_KERNEL[0] = ExtractKernel()
-    return _extract(_WORKER_KERNEL[0], batch)
+    out = _extract(_WORKER_KERNEL[0], batch)
+    if additional_data_fn is not None:
+        import json
+        rows = out.to_pylist()
+        extra = [json.dumps(additional_data_fn(r), sort_keys=True)
+                 for r in rows]
+        out = out.append_column("additional_data",
+                                pa.array(extra, pa.string()))
+    return out

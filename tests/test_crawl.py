@@ -341,3 +341,37 @@ class TestDatasetModeResume:
             engine_result["order"].sort_values(["host", "host_seq"])
             .reset_index(drop=True),
             order.sort_values(["host", "host_seq"]).reset_index(drop=True))
+
+
+class TestUserExtensionHooks:
+    """SURVEY §2.10 parity: end_function (crawler.py:22) and the
+    Article.additional_data analog (article.py:113)."""
+
+    @pytest.mark.parametrize("mode", ["tasks", "dataset"])
+    def test_hooks_in_both_engines(self, ray_session, corpus, mode):
+        import json
+        calls = []
+        # lambda: cloudpickle serializes it by VALUE — a module-level
+        # function in a test file pickles by reference and the workers
+        # cannot import the test module
+        cfg = CrawlConfig(corpus_root=corpus.root,
+                          out_dir=f"/tmp/ncr_test_hooks_{mode}",
+                          round_engine=mode,
+                          end_function=calls.append,
+                          additional_data_fn=lambda r: {
+                              "text_len": len(r.get("text_art") or "")})
+        eng = CrawlEngine(cfg)
+        summary = eng.run()
+        pages = eng.pages_dataset().to_pandas()
+        eng.shutdown()
+        # end_function: called exactly once, with the run summary
+        assert calls == [summary]
+        # additional_data: persisted JSON column, correct per row
+        assert "additional_data" in pages.columns
+        for _, r in pages.sample(n=min(20, len(pages)),
+                                 random_state=7).iterrows():
+            assert json.loads(r["additional_data"]) == \
+                {"text_len": len(r["text_art"] or "")}
+
+    def test_hooks_off_leave_schema_unchanged(self, engine_result):
+        assert "additional_data" not in engine_result["pages"].columns
