@@ -114,6 +114,13 @@ class CrawlConfig:
     # the conformance schema is unchanged.
     end_function: object = None         # Callable[[dict], None] | None
     additional_data_fn: object = None   # Callable[[dict], dict] | None
+    # Swappable storage backend (reference AbstractDataCollector,
+    # abstract_datacollector.py:5-53): when set, every round's finalized
+    # page table goes through ``page_sink_fn(table, round_dir)`` instead
+    # of the parquet sink. In dataset mode this materializes the round's
+    # pages (bounded: one round's worth) where the default streams via
+    # write_parquet — the documented trade for an arbitrary backend.
+    page_sink_fn: object = None         # Callable[[pa.Table, str], None]
 
     @property
     def pages_dir(self):
@@ -595,8 +602,12 @@ class CrawlEngine:
         parts = ray.get(refs)
         page = self._commit_discoveries(parts)
         if page.num_rows:
-            os.makedirs(round_dir, exist_ok=True)
-            pq.write_table(page, os.path.join(round_dir, "part-0.parquet"))
+            if cfg.page_sink_fn is not None:
+                cfg.page_sink_fn(page, round_dir)
+            else:
+                os.makedirs(round_dir, exist_ok=True)
+                pq.write_table(page,
+                               os.path.join(round_dir, "part-0.parquet"))
 
     def _process_round_dataset(self, table: pa.Table, round_dir: str):
         """Streaming round for large work sets: the whole round — fetch,
@@ -642,6 +653,12 @@ class CrawlEngine:
                                            "salt_hosts": cfg.salt_hosts},
                                 batch_format="pyarrow",
                                 batch_size=cfg.batch_size)
+        if cfg.page_sink_fn is not None:
+            tbl = pa.concat_tables(
+                [ray.get(r) for r in pages.to_arrow_refs()])
+            if tbl.num_rows:
+                cfg.page_sink_fn(tbl, round_dir)
+            return
         pages.write_parquet(round_dir)
         # drop the directory again if the round produced no page rows
         # (parity with tasks mode and the resume contract; footer-only

@@ -375,3 +375,31 @@ class TestUserExtensionHooks:
 
     def test_hooks_off_leave_schema_unchanged(self, engine_result):
         assert "additional_data" not in engine_result["pages"].columns
+
+
+class TestPageSinkBackend:
+    """Swappable storage backend (AbstractDataCollector analog,
+    abstract_datacollector.py:5-53): a custom sink receives every
+    round's finalized page table; nothing is written to the default
+    parquet layout."""
+
+    @pytest.mark.parametrize("mode", ["tasks", "dataset"])
+    def test_custom_sink_receives_all_pages(self, ray_session, corpus,
+                                            mode, oracle_result):
+        got = []
+        cfg = CrawlConfig(corpus_root=corpus.root,
+                          out_dir=f"/tmp/ncr_test_sink_{mode}",
+                          round_engine=mode,
+                          page_sink_fn=lambda t, d: got.append(t))
+        eng = CrawlEngine(cfg)
+        eng.run()
+        eng.shutdown()
+        import pyarrow as pa
+        all_pages = pa.concat_tables(got)
+        assert set(all_pages["url"].to_pylist()) == \
+            set(oracle_result["pages"]["url"].to_pylist())
+        # default parquet layout untouched
+        pages_dir = f"/tmp/ncr_test_sink_{mode}/pages"
+        assert not any(f.endswith(".parquet")
+                       for root, _, files in os.walk(pages_dir)
+                       for f in files)
