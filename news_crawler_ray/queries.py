@@ -407,8 +407,14 @@ GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
 
 
 def q_top_tokens(sf_dir: str) -> pd.DataFrame:
-    """flat_map → partial count → groupby → sort → limit: top-20 tokens
-    across documents (deterministic tie-break on token)."""
+    """Top-20 tokens across documents (deterministic tie-break on
+    token). The reduce is crc32-BUCKETED, never keyed by the raw token:
+    a vocabulary-sized groupby (10^6+ groups at corpus scale) collapses
+    Ray's sort-based aggregate, while 64 buckets reduce and top-k
+    locally — exact, because each token lives in exactly one bucket, so
+    the global top-20 is contained in the union of per-bucket
+    top-20s."""
+    import zlib
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -416,12 +422,22 @@ def q_top_tokens(sf_dir: str) -> pd.DataFrame:
         for t in batch["text"].fillna(""):
             for tok in t.split():
                 counts[tok] = counts.get(tok, 0) + 1
-        return pd.DataFrame({"token": list(counts),
-                             "n": pd.Series(list(counts.values()),
-                                            dtype="int64")})
+        toks = list(counts)
+        return pd.DataFrame({
+            "token": toks,
+            "n": pd.Series(list(counts.values()), dtype="int64"),
+            "bucket": pd.Series(
+                [zlib.crc32(t.encode()) % 64 for t in toks],
+                dtype="int32")})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        return s.sort_values(["n", "token"], ascending=[False, True]) \
+            .head(20)
 
     agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+        .groupby("bucket").map_groups(bucket_topk,
+                                      batch_format="pandas").to_pandas()
     agg["n"] = agg["n"].astype("int64")
     return agg.sort_values(["n", "token"], ascending=[False, True]) \
         .head(20).reset_index(drop=True)
