@@ -185,3 +185,65 @@ def ivf_topk(ds: "rd.Dataset", query: np.ndarray, k: int = 10,
                          sample_limit=sample_limit, id_col=id_col,
                          vec_col=vec_col)
     return idx.query(query, k=k, nprobe=nprobe)
+
+
+def distributed_kmeans(ds: "rd.Dataset", *, n_clusters: int = 8,
+                       iters: int = 5, id_col: str = "vec_id",
+                       vec_col: str = "embedding"):
+    """Fully distributed Lloyd k-means over the whole embedding column —
+    the iterative-algorithm shape: each iteration is ONE streaming pass
+    where every batch assigns its vectors to the broadcast centroids
+    (one matmul) and emits k partial (sum-vector, count) rows; the
+    driver folds k·num_batches tiny partials into the next centroids
+    and re-broadcasts. No shuffle at all — the only cross-node traffic
+    per iteration is k·(dim+1) floats per batch, and the driver state
+    is k centroids, independent of corpus size. (The sampled
+    :func:`kmeans_centroids` seeds IVF builds; this is the exact
+    whole-corpus refinement.)
+
+    Deterministic: init = the ``n_clusters`` lowest-id vectors; ties in
+    assignment break toward the lower cluster id (argmin). Returns
+    (centroids ndarray, per-cluster sizes, total inertia).
+    """
+    from ..rayutil import cached_object
+
+    # deterministic seed: the k lowest-id vectors (dense ids; one tiny
+    # filtered read, no sort shuffle)
+    seed_rows = ds.filter(
+        expr=f"{id_col} < {n_clusters}").to_pandas() \
+        .sort_values(id_col)
+    cents = np.array(seed_rows[vec_col].to_list(), dtype=np.float64)
+
+    ds = ds.select_columns([vec_col]).materialize()
+
+    def partials(batch: pa.Table, *, cents_ref) -> pa.Table:
+        c = cached_object(cents_ref)
+        mat = _as_matrix(batch[vec_col])
+        d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        k, dim = c.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        inert = d[np.arange(len(mat)), assign].sum()
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+            "n": pa.array(counts),
+            "inertia": pa.array(
+                np.full(k, inert / k, dtype=np.float64))})
+
+    inertia = float("nan")
+    for _ in range(iters):
+        ref = ray.put(cents)
+        parts = ds.map_batches(partials, fn_kwargs={"cents_ref": ref},
+                               batch_format="pyarrow").to_pandas()
+        k, dim = cents.shape
+        sums = np.zeros((k, dim)); counts = np.zeros(k, dtype=np.int64)
+        for cl, blob, n in zip(parts["cluster"], parts["vsum"], parts["n"]):
+            sums[cl] += np.frombuffer(blob, dtype=np.float64)
+            counts[cl] += int(n)
+        inertia = float(parts["inertia"].sum())
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]   # empty clusters keep pos
+    return cents, counts, inertia

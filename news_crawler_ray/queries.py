@@ -863,6 +863,23 @@ def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embedding column (5 whole-
+    corpus iterations, no shuffle — per-batch partial sums folded on the
+    driver). Iterative, so no SQL oracle (driver records a rows-only
+    check); determinism is pinned against a single-process numpy Lloyd
+    in tests/test_functions.py."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    cents, counts, inertia = sim.distributed_kmeans(
+        ds, n_clusters=8, iters=5)
+    return pd.DataFrame({
+        "cluster": pd.Series(range(len(counts)), dtype="int64"),
+        "size": pd.Series(counts, dtype="int64"),
+        "centroid_norm": np.round(np.linalg.norm(cents, axis=1), 6),
+        "inertia_total": np.round(np.full(len(counts), inertia), 3)})
+
+
 def q_langid(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.langid(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -2335,6 +2352,7 @@ QUERIES = {
     "q_customer_order_counts": q_customer_order_counts,
     "q_union_distinct_nations": q_union_distinct_nations,
     "q_running_user_totals": q_running_user_totals,
+    "kmeans_clusters": q_kmeans_clusters,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,

@@ -519,3 +519,39 @@ class TestCorpusPrep:
         from news_crawler_ray.functions.splits import split_label
         for _, r in out.iterrows():
             assert r["split"] == split_label(r["doc_id"])
+
+
+class TestDistributedKmeans:
+    def test_matches_single_process_lloyd(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions import similarity as sim
+        rng = np.random.RandomState(31)
+        # three well-separated blobs
+        blobs = np.vstack([rng.normal(c, 0.3, size=(40, 4))
+                           for c in (0.0, 5.0, 10.0)])
+        df = pd.DataFrame({"vec_id": np.arange(len(blobs), dtype=np.int64),
+                           "embedding": list(blobs)})
+        ds = rd.from_pandas(df).repartition(6)
+        cents, counts, inertia = sim.distributed_kmeans(
+            ds, n_clusters=3, iters=8)
+        # single-process Lloyd, same init (lowest-id vectors) and rule
+        c = blobs[:3].astype(np.float64).copy()
+        for _ in range(8):
+            d = ((blobs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            inert = d[np.arange(len(blobs)), a].sum()
+            for j in range(3):
+                m = blobs[a == j]
+                if len(m):
+                    c[j] = m.mean(axis=0)
+        assert np.allclose(cents, c, atol=1e-9)
+        assert counts.sum() == len(blobs)
+        assert np.isclose(inertia, inert, rtol=1e-9)
+
+    def test_query_shape(self, ray_session):
+        from news_crawler_ray.queries import QUERIES
+        out = QUERIES["kmeans_clusters"]("/root/testdata/sf0.001")
+        assert list(out.columns) == ["cluster", "size", "centroid_norm",
+                                     "inertia_total"]
+        assert out["size"].sum() > 0
