@@ -247,11 +247,10 @@ def har_tables(pages_ds, rules: list[str] | None = None,
     # vectorized drop_duplicates per bucket — NOT one map_groups group
     # per distinct har_url (~1 ms of Python each at 10^6+ urls)
     def bucket_dedup(t: pa.Table) -> pa.Table:
-        import zlib
+        from ..rayutil import salt_bucket
         u = pc.unique(t["har_url"])
-        b = [zlib.crc32(s.encode()) % 64 for s in u.to_pylist()]
         return pa.table({"har_url": u,
-                         "bucket": pa.array(b, pa.int32())})
+                         "bucket": pa.array(salt_bucket(u))})
 
     def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates("har_url")[["har_url"]]

@@ -890,18 +890,22 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
                 {"h": t.filter(pc.greater(t["count()"], max_df))["h"]}),
             batch_format="pyarrow").to_pandas()
         # an all-under-cap corpus yields an empty frame with NO columns
-        # (Ray empty blocks drop their schema) — treat as empty ban list
-        banned_ref = ray.put(frozenset(
-            banned_tbl["h"].tolist() if "h" in banned_tbl.columns else ()))
+        # (Ray empty blocks drop their schema) — treat as empty ban
+        # list. Broadcast as a SORTED numpy array (np.isin probes it
+        # vectorized; a frozenset would force per-row Python lookups)
+        banned_ref = ray.put(np.sort(
+            banned_tbl["h"].to_numpy(dtype=np.int64)
+            if "h" in banned_tbl.columns
+            else np.empty(0, dtype=np.int64)))
 
         def drop_banned(t: pa.Table) -> pa.Table:
             banned = cached_object(banned_ref)
-            if not banned:
+            if banned.size == 0:
                 return t
-            keep = np.fromiter(
-                (h not in banned for h in t["h"].to_numpy(
-                    zero_copy_only=False)),
-                dtype=bool, count=len(t))
+            # vectorized membership test — a per-element Python loop
+            # here would pay interpreter cost on EVERY shingle row
+            keep = ~np.isin(t["h"].to_numpy(zero_copy_only=False),
+                            banned)
             return t.filter(pa.array(keep))
 
         sizes = sh.map_batches(drop_banned, batch_format="pyarrow") \
@@ -927,10 +931,9 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
         def keep_lt(t: pa.Table) -> pa.Table:
             t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
             # salt doc_a for the intersection count downstream
-            da = t["doc_a"].to_numpy(zero_copy_only=False)
+            from ..rayutil import salt_bucket
             return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
-                             "bucket": pa.array(
-                                 (da % 64).astype(np.int32))})
+                             "bucket": pa.array(salt_bucket(t["doc_a"]))})
 
         pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
                             on=("h",)) \

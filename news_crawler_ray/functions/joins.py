@@ -25,11 +25,12 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str,
     scale: one map_groups group per entity costs ~1 ms of Python each,
     while merge_asof's ``by=`` argument handles every entity in a
     bucket in a single pass."""
+    from ..rayutil import salt_bucket
+
     lt = left.map_batches(lambda df: df.assign(_side=0), batch_format="pandas")
     rt = right.map_batches(lambda df: df.assign(_side=1), batch_format="pandas")
     both = lt.union(rt).map_batches(
-        lambda df: df.assign(
-            _bucket=(df[by].astype("int64") % 64).astype("int32")),
+        lambda df: df.assign(_bucket=salt_bucket(df[by])),
         batch_format="pandas")
 
     left_cols = [c for c in left.schema().names]
@@ -40,7 +41,11 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str,
             .sort_values(on, kind="stable") \
             .rename(columns={on: on + suffix})
         if not len(lg):
-            return lg.assign(**{on + suffix: pd.NaT})
+            # keep the full output schema (on+suffix AND value_cols) so
+            # empty buckets emit schema-consistent zero-row blocks
+            return lg.assign(**{on + suffix: pd.NaT},
+                             **{c: pd.Series([], dtype="float64")
+                                for c in value_cols})
         out = pd.merge_asof(lg, rg, left_on=on, right_on=on + suffix,
                             by=by, direction="backward")
         return out

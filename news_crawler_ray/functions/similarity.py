@@ -201,7 +201,8 @@ def distributed_kmeans(ds: "rd.Dataset", *, n_clusters: int = 8,
     :func:`kmeans_centroids` seeds IVF builds; this is the exact
     whole-corpus refinement.)
 
-    Deterministic: init = the ``n_clusters`` lowest-id vectors; ties in
+    Deterministic: init = the vectors with ids ``0..n_clusters-1``
+    (dense-id contract, validated at the driver); ties in
     assignment break toward the lower cluster id (argmin). Returns
     (centroids ndarray, per-cluster sizes, total inertia).
     """
@@ -212,6 +213,11 @@ def distributed_kmeans(ds: "rd.Dataset", *, n_clusters: int = 8,
     seed_rows = ds.filter(
         expr=f"{id_col} < {n_clusters}").to_pandas() \
         .sort_values(id_col)
+    if len(seed_rows) != n_clusters:
+        raise ValueError(
+            f"distributed_kmeans seeding expects dense {id_col} ids "
+            f"0..{n_clusters - 1} (got {len(seed_rows)} of "
+            f"{n_clusters}); re-id the vectors or lower n_clusters")
     cents = np.array(seed_rows[vec_col].to_list(), dtype=np.float64)
 
     ds = ds.select_columns([vec_col]).materialize()

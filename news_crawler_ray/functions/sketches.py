@@ -258,7 +258,8 @@ class TDigest:
 
     def add_values(self, values: np.ndarray) -> None:
         v = np.asarray(values, dtype=np.float64)
-        self._absorb(v, np.ones(len(v), dtype=np.int64))
+        v = v[~np.isnan(v)]   # NULLs arrive as NaN; one would poison
+        self._absorb(v, np.ones(len(v), dtype=np.int64))   # every mean
 
     def merge(self, other: "TDigest") -> "TDigest":
         self._absorb(other.means, other.weights)

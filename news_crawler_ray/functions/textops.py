@@ -194,7 +194,8 @@ def tfidf_top_terms(ds: "rd.Dataset", *, text_col: str = "text",
         # shuffle by doc_id directly would make one map_groups group PER
         # DOC (~1 ms of Python each — the dominant cost at 10^4+ docs);
         # 64 buckets amortize it into one vectorized pandas pass each
-        batch["bucket"] = (batch["doc_id"] % 64).astype("int32")
+        from ..rayutil import salt_bucket
+        batch["bucket"] = salt_bucket(batch["doc_id"])
         return batch
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -202,13 +202,20 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
     arithmetic, no sampling pass); pass 1 computes one (partition, sum)
     row per partition-slice per batch via ``map_batches`` + a tiny
     ``groupby(part).sum``; the driver cumsums the per-partition totals
-    (ONE number per partition — at 10^10 rows / 4096-row partitions
-    that is ~20 MB of int64s, driver-safe; raise ``part_size`` to
-    shrink it) and broadcasts the exclusive offsets; pass 2 re-scans,
+    (ONE int64 per partition, broadcast as two numpy arrays — at 10^10
+    rows / 4096-row partitions that is ~2.4M entries ≈ 40 MB,
+    driver-safe; raise ``part_size`` to shrink it) and broadcasts the
+    exclusive offsets; pass 2 re-scans,
     sorts each partition locally (a partition is wholly inside one
     group) and emits local cumsum + its partition's offset. No global
     sort, no all-to-all: the only shuffles are the id-level partial
     groupby and the ``groupby(part)`` that co-locates each partition.
+
+    Contract: ``key_col`` must be UNIQUE integer ids (it is the ORDER BY
+    key — duplicate keys would make the running split between them
+    nondeterministic) and ``value_col`` must be integral (integer sums
+    are summation-order independent, which is what makes the two-pass
+    result exact; floats would be order-dependent approximations).
 
     Returns (key_col, value_col, running) with ``running`` the
     INCLUSIVE prefix sum; the SQL twin is
@@ -216,6 +223,14 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
     import ray
 
     from ..rayutil import cached_object
+
+    sch = ds.schema()   # ray.data Schema wrapper: .names / .types lists
+    if not pa.types.is_integer(
+            dict(zip(sch.names, sch.types))[value_col]):
+        raise TypeError(
+            f"prefix_sum: {value_col} must be an integer column "
+            "(float prefix sums are summation-order dependent); "
+            "scale to integer units first")
 
     def partials(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -231,20 +246,26 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
         .map_batches(partials, batch_format="pyarrow") \
         .groupby("part").sum("psum").to_pandas() \
         .sort_values("part").reset_index(drop=True)
-    # exclusive offset per partition; missing (empty) partitions never
-    # appear in pass 2 either, so a dict keyed by partition id suffices
+    # exclusive offset per partition, broadcast as TWO NUMPY ARRAYS
+    # (sorted part ids + offsets, searchsorted lookup): a Python dict of
+    # boxed ints would cost ~100 B/entry to pickle and unpickle per
+    # worker at millions of partitions; the arrays are 16 B/entry and
+    # zero-copy out of plasma
     csum = totals["sum(psum)"].cumsum().shift(1, fill_value=0)
-    offsets_ref = ray.put(dict(zip(totals["part"].astype(int),
-                                   csum.astype(int))))
+    offsets_ref = ray.put((totals["part"].to_numpy(dtype=np.int64),
+                           csum.to_numpy(dtype=np.int64)))
 
     def add_part(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("part", pa.array(keys // part_size))
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        offsets = cached_object(offsets_ref)
-        g = g.sort_values(key_col).reset_index(drop=True)
-        base = int(offsets.get(int(g["part"].iloc[0]), 0))
+        parts_arr, offs_arr = cached_object(offsets_ref)
+        g = g.sort_values(key_col, kind="mergesort") \
+            .reset_index(drop=True)
+        i = int(np.searchsorted(parts_arr, int(g["part"].iloc[0])))
+        base = int(offs_arr[i]) if i < len(parts_arr) \
+            and parts_arr[i] == int(g["part"].iloc[0]) else 0
         run = g[value_col].astype("int64").cumsum() + base
         return pd.DataFrame({
             key_col: g[key_col],
@@ -268,7 +289,13 @@ def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
     ``groupby(bucket)`` shuffle, many keys per bucket, one vectorized
     pandas groupby-cumsum per bucket) — cumulative state never crosses
     keys, so key-locality is the only partitioning requirement and the
-    per-group map_groups overhead stays amortized over whole buckets."""
+    per-group map_groups overhead stays amortized over whole buckets.
+
+    ``running`` keeps the value column's dtype (int stays int64, float
+    stays float64 — the per-key cumsum order is fixed by the sort, so
+    float results are deterministic too). ``(key, order_cols)`` must
+    uniquely order rows; ties would receive nondeterministic
+    intermediate running values."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -279,7 +306,7 @@ def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
         g = g.sort_values([key_col] + order_cols, kind="mergesort")
         run = g.groupby(key_col)[value_col].cumsum()
         out = g[[c for c in g.columns if c != "bucket"]].copy()
-        out["running"] = run.astype("int64")
+        out["running"] = run
         return out
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \

@@ -250,9 +250,8 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("bucket",
-                               pa.array((u % 64).astype(np.int32)))
+        from .rayutil import salt_bucket
+        return t.append_column("bucket", pa.array(salt_bucket(t["user_id"])))
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
