@@ -91,6 +91,11 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # the sandbox VM's visible core count varies run-to-run (host
+        # CPU shaping, see BASELINE.md) — record it so a shaped run is
+        # self-documenting instead of reading as a regression
+        "host_visible_cpus": os.cpu_count(),
+        "host_load_1m": round(os.getloadavg()[0], 2),
         "crawl_pages": summary["pages_written"],
         "crawl_pages_per_sec": round(summary["pages_written"] / crawl_sec, 1),
         "crawl_frontier_ops_per_sec": round(
@@ -132,6 +137,8 @@ def run_scaling() -> dict:
         f"crawl_pages_per_sec_{lo_n}": lo["crawl_pages_per_sec"],
         f"crawl_pages_per_sec_{hi_n}": hi["crawl_pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_visible_cpus": os.cpu_count(),
+        "host_load_1m": round(os.getloadavg()[0], 2),
     }
 
 

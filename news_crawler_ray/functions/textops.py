@@ -408,6 +408,146 @@ PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
 
 
+def _anchor_windows(text: str, window: int, anchor_mod: int) -> set[str]:
+    """Distinct content-defined windows of ``text``: a position p is an
+    anchor iff the degree-3 polynomial hash of the 4 codepoints at p
+    (base 257) is ≡ 0 mod ``anchor_mod``; the window is the ``window``
+    chars starting at p. Anchoring on CONTENT (not on doc-relative
+    stride offsets) makes sampling alignment-invariant: a span shared
+    by two documents at different offsets selects the same anchor
+    positions inside the span in both, so its windows collide. Fixed
+    -stride sampling would only match by offset coincidence — this is
+    the content-defined-chunking trick from dedup storage systems
+    applied to corpus text. Hash is numpy-vectorized over all
+    positions; the codepoint path goes through utf-32 so Python and
+    DuckDB ``unicode(substr(...))`` see identical values."""
+    n = len(text)
+    if n < window:
+        return set()
+    codes = np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    m = n - window + 1
+    h = (codes[0:m] * 16974593 + codes[1:m + 1] * 66049
+         + codes[2:m + 2] * 257 + codes[3:m + 3]) % anchor_mod
+    return {text[p:p + window] for p in np.nonzero(h == 0)[0]}
+
+
+def duplicated_substrings(ds: "rd.Dataset", *, window: int = 30,
+                          anchor_mod: int = 4, min_docs: int = 2,
+                          num_buckets: int = 64,
+                          num_join_partitions: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> "rd.Dataset":
+    """Per-document duplicated-substring exposure — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr): a document's windows that
+    occur verbatim in ≥ ``min_docs`` distinct documents. Returns
+    (doc_id, n_windows, dup_windows) for documents with ≥1 duplicated
+    window; dup_windows/n_windows is the fraction of the doc covered by
+    cross-document copies.
+
+    Lee et al. build a corpus-wide suffix array; at 100 TB that is an
+    external-memory sort of every suffix. This operator gets the same
+    duplicated-span signal from content-defined anchor sampling (see
+    :func:`_anchor_windows`): shared spans of length ≳ window +
+    anchor_mod·4 produce identical windows in every copy regardless of
+    offset, EXACTLY — no hash-table probabilism, and the whole pipeline
+    is three shuffle-light stages:
+
+    1. map: per doc, distinct anchored windows → (doc_id, h) rows with
+       h = 60-bit md5 prefix (the only full-text pass; rows are
+       id-level from here on).
+    2. window frequency: per-batch partial counts, crc-bucketed sum
+       (one vectorized pandas pass per bucket, not one group per
+       window hash — same rationale as :func:`common_ngrams`).
+    3. distributed hash join rows⋈counts on h (both sides are
+       vocabulary-scale; neither broadcasts at corpus size), then a
+       salted per-doc count-sum.
+    """
+    if window < 4:
+        raise ValueError("window must be ≥ 4 (anchor hash spans 4 chars)")
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        hashes: list[int] = []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            for win in _anchor_windows(text, window, anchor_mod):
+                ids.append(doc_id)
+                hashes.append(int(
+                    hashlib.md5(win.encode()).hexdigest()[:15], 16))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "h": pd.Series(hashes, dtype="int64")})
+
+    # feeds BOTH the frequency subtree and the join's probe side; an
+    # unpinned plan would re-anchor the whole corpus twice
+    perdoc = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pandas").materialize()
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # rows are distinct per (doc, h) by construction, so a row
+        # count per h IS a doc count within this batch
+        s = batch.groupby("h").size()
+        h = s.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": pd.Series(h % num_buckets, dtype="int64"),
+            "h": h, "c": s.to_numpy(dtype=np.int64)})
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("h", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "h": s["h"].to_numpy(dtype=np.int64),
+            "n_docs": s["c"].to_numpy(dtype=np.int64)})
+
+    # repartition: aggregate partitions with no groups emit schema-less
+    # empty blocks that break the join's FieldRef resolution
+    hcnt = perdoc.map_batches(partial_counts, batch_format="pandas") \
+        .groupby("bucket").map_groups(sum_bucket, batch_format="pandas") \
+        .repartition(num_join_partitions)
+    with light_shuffle_aggregators():
+        joined = perdoc.join(hcnt, join_type="inner",
+                             num_partitions=num_join_partitions,
+                             on=("h",)).materialize()
+    joined = joined.repartition(32)
+
+    def _empty_partial() -> pd.DataFrame:
+        # explicit dtypes: schema-less empty pandas blocks trigger the
+        # executor's PandasBlockSchema-mismatch warning downstream
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "dup": pd.Series([], dtype="int64"),
+            "bucket": pd.Series([], dtype="int32")})
+
+    def partial_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_partial()
+        dup = (batch["n_docs"].to_numpy(dtype=np.int64)
+               >= min_docs).astype(np.int64)
+        g = pd.DataFrame({id_col: batch[id_col].to_numpy(dtype=np.int64),
+                          "n": 1, "dup": dup}) \
+            .groupby(id_col, as_index=False).sum()
+        from ..rayutil import salt_bucket
+        g["bucket"] = salt_bucket(g[id_col])
+        return g
+
+    def final_doc(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_windows": pd.Series([], dtype="int64"),
+                "dup_windows": pd.Series([], dtype="int64")})
+        s = g.groupby(id_col, as_index=False)[["n", "dup"]].sum()
+        s = s[s["dup"] >= 1]
+        return pd.DataFrame({
+            id_col: s[id_col].to_numpy(dtype=np.int64),
+            "n_windows": s["n"].to_numpy(dtype=np.int64),
+            "dup_windows": s["dup"].to_numpy(dtype=np.int64)})
+
+    return joined.map_batches(partial_doc, batch_format="pandas") \
+        .groupby("bucket").map_groups(final_doc, batch_format="pandas")
+
+
 def mask_pii(ds: "rd.Dataset", *, text_col: str = "text",
              id_col: str = "doc_id") -> "rd.Dataset":
     """PII redaction — the standard pre-training scrub pass: replace

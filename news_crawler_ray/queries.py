@@ -1550,6 +1550,49 @@ ORDER BY ngram
 """
 
 
+def q_dup_substrings(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-substring exposure per doc (Lee'22 ExactSubstr signal,
+    content-defined anchors; see textops.duplicated_substrings)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.duplicated_substrings(
+        ds, window=30, anchor_mod=4, min_docs=2).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                            "n_windows": pd.Series([], dtype="int64"),
+                            "dup_windows": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# anchor predicate = engine's _anchor_windows polynomial (base-257 over
+# 4 codepoints, mod 4); window hash = engine's 60-bit md5 prefix. Both
+# sides are pure integer arithmetic on codepoints, so parity is exact.
+Q_DUP_SUBSTR_SQL = r"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 30 + 2)) AS p
+  FROM documents WHERE length(text) >= 30
+), anch AS (
+  SELECT doc_id, substr(text, p, 30) AS win FROM pos
+  WHERE (unicode(substr(text, p, 1)) * 16974593
+       + unicode(substr(text, p + 1, 1)) * 66049
+       + unicode(substr(text, p + 2, 1)) * 257
+       + unicode(substr(text, p + 3, 1))) % 4 = 0
+), perdoc AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(win), 1, 15))::BIGINT AS h
+  FROM anch
+), hcnt AS (
+  SELECT h, count(*) AS n_docs FROM perdoc GROUP BY h
+)
+SELECT p.doc_id AS doc_id,
+       count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+         AS dup_windows
+FROM perdoc p JOIN hcnt c ON p.h = c.h
+GROUP BY p.doc_id
+HAVING sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) >= 1
+ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Language-rebalance sampling: en 10%, zh/de 25%, fr/es 50%."""
     from .functions.splits import stratified_sample
@@ -2319,6 +2362,7 @@ QUERIES = {
     "q_repetition_quality": q_repetition_quality,
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_common_ngrams": q_common_ngrams,
+    "q_dup_substrings": q_dup_substrings,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2405,6 +2449,7 @@ ORACLES = {
     "q_repetition_quality": Q_REPETITION_SQL,
     "q_tfidf_top_terms": Q_TFIDF_SQL,
     "q_common_ngrams": Q_COMMON_NGRAMS_SQL,
+    "q_dup_substrings": Q_DUP_SUBSTR_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

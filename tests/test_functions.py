@@ -426,6 +426,75 @@ class TestCommonNgrams:
                 .equals(b.sort_values("ngram").reset_index(drop=True)))
 
 
+class TestDuplicatedSubstrings:
+    def _brute(self, texts, window=30, anchor_mod=4, min_docs=2):
+        from news_crawler_ray.functions.textops import _anchor_windows
+        wins = [_anchor_windows(t, window, anchor_mod) for t in texts]
+        counts: dict[str, int] = {}
+        for ws in wins:
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+        out = {}
+        for i, ws in enumerate(wins):
+            dup = sum(1 for w in ws if counts[w] >= min_docs)
+            if dup:
+                out[i] = (len(ws), dup)
+        return out
+
+    def test_alignment_invariant_detection(self, ray_session):
+        import ray.data as rd
+        # the shared span sits at DIFFERENT offsets in docs 0 and 1 —
+        # fixed-stride sampling would only match by coincidence;
+        # content-defined anchors must find it
+        shared = ("this exact span of text is copied verbatim across "
+                  "documents")
+        texts = [
+            "prefix one " + shared + " suffix alpha",
+            "a different and much longer leading prefix text "
+            + shared + " tail",
+            "unrelated filler content that shares nothing with the "
+            "other documents at all in any window",
+        ]
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(3), "text": texts}))
+        out = to.duplicated_substrings(ds, window=30,
+                                       anchor_mod=4).to_pandas()
+        assert set(out["doc_id"]) == {0, 1}
+        expected = self._brute(texts)
+        for _, r in out.iterrows():
+            assert (r["n_windows"], r["dup_windows"]) \
+                == expected[r["doc_id"]]
+
+    def test_matches_single_process_reference(self, ray_session):
+        import ray.data as rd
+        rng = np.random.default_rng(7)
+        frags = ["lorem ipsum dolor sit amet consectetur",
+                 "adipiscing elit sed do eiusmod tempor",
+                 "incididunt ut labore et dolore magna aliqua",
+                 "ut enim ad minim veniam quis nostrud"]
+        texts = [" ".join(rng.choice(frags, size=4))
+                 + f" unique tail {i}" for i in range(40)]
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(40), "text": texts}))
+        out = to.duplicated_substrings(ds, window=30, anchor_mod=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        expected = self._brute(texts)
+        assert set(out["doc_id"]) == set(expected)
+        got = {int(r["doc_id"]): (int(r["n_windows"]),
+                                  int(r["dup_windows"]))
+               for _, r in out.iterrows()}
+        assert got == expected
+
+    def test_no_dups_empty(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["entirely distinct first document body here ok",
+                     "and a second one with no overlap whatsoever"]}))
+        out = to.duplicated_substrings(ds, window=30).to_pandas()
+        assert len(out) == 0
+
+
 class TestStratifiedSample:
     def test_rates_and_determinism(self, ray_session):
         import ray.data as rd
