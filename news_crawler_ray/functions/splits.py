@@ -75,3 +75,74 @@ def stratified_sample(ds: "rd.Dataset", *, id_col: str = "doc_id",
         return batch[buckets < pct]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def seeded_shuffle_positions(ds: "rd.Dataset", *, seed: str = "shuf-v1",
+                             id_col: str = "doc_id",
+                             num_parts: int = 256) -> "rd.Dataset":
+    """Deterministic seeded global shuffle order — the per-epoch data
+    reordering every training loader needs, made engine-stable: returns
+    (id, pos) where ``pos`` is the rank of the 60-bit md5 prefix of
+    ``seed ‖ id`` (ties, ~2⁻⁶⁰ events, broken by id). Change the seed,
+    get an independent permutation; rerun anywhere, get the same one.
+
+    NOT ``ds.random_shuffle()``: that is nondeterministic across runs
+    AND an all-to-all of the full payload. Here the payload never
+    moves — only (id, h) rows shuffle. Rank assembly is the two-pass
+    scan from ``windows.prefix_sum``, with hash-RANGE partitions
+    instead of dense-key ranges: h is uniform by construction, so
+    ``h // (2⁶⁰/num_parts)`` is a balanced partitioner with zero
+    sampling. Pass 1 moves one int per (partition, batch) and the
+    driver cumsums ``num_parts`` ints; pass 2 co-locates each range
+    (the one real shuffle, id-level rows), sorts locally and emits
+    offset + local rank. Size ``num_parts`` so a range fits a worker
+    (10^10 rows → ≥ 2^14 parts); the broadcast stays 16 B/part.
+
+    A consumer joins pos back to the payload table or writes it
+    partitioned by ``pos // block_size`` for sequential epoch reads.
+    """
+    import ray
+
+    from ..rayutil import cached_object
+
+    span = (1 << 60) // num_parts + 1
+
+    def hashed(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}{i}".encode()).digest()[:8],
+                "big") >> 4 for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({
+            id_col: ids.astype(np.int64),
+            "h": h,
+            "part": (h // span).astype(np.int64)})
+
+    # feeds pass 1 AND pass 2 — unpinned, the corpus would hash twice
+    hashed_ds = ds.select_columns([id_col]).map_batches(
+        hashed, batch_format="pandas").materialize()
+
+    def pcounts(batch: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(batch["part"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"part": u.astype(np.int64),
+                             "c": c.astype(np.int64)})
+
+    totals = hashed_ds.map_batches(pcounts, batch_format="pandas") \
+        .groupby("part").sum("c").to_pandas() \
+        .sort_values("part").reset_index(drop=True)
+    csum = totals["sum(c)"].cumsum().shift(1, fill_value=0)
+    offsets_ref = ray.put((totals["part"].to_numpy(dtype=np.int64),
+                           csum.to_numpy(dtype=np.int64)))
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        parts_arr, offs_arr = cached_object(offsets_ref)
+        g = g.sort_values(["h", id_col]).reset_index(drop=True)
+        i = int(np.searchsorted(parts_arr, int(g["part"].iloc[0])))
+        base = int(offs_arr[i])
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(dtype=np.int64),
+            "pos": base + np.arange(len(g), dtype=np.int64)})
+
+    return hashed_ds.groupby("part").map_groups(
+        rank, batch_format="pandas")

@@ -1550,6 +1550,26 @@ ORDER BY ngram
 """
 
 
+def q_seeded_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch-shuffle order: pos = rank of md5('shuf-v1'‖id)."""
+    from .functions.splits import seeded_shuffle_positions
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = seeded_shuffle_positions(ds, seed="shuf-v1").to_pandas()
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SEEDED_SHUFFLE_SQL = r"""
+SELECT doc_id,
+       (row_number() OVER (
+          ORDER BY ('0x' || substr(md5('shuf-v1' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT,
+                   doc_id) - 1)::BIGINT AS pos
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_dup_substrings(sf_dir: str) -> pd.DataFrame:
     """Duplicated-substring exposure per doc (Lee'22 ExactSubstr signal,
     content-defined anchors; see textops.duplicated_substrings)."""
@@ -2363,6 +2383,7 @@ QUERIES = {
     "q_tfidf_top_terms": q_tfidf_top_terms,
     "q_common_ngrams": q_common_ngrams,
     "q_dup_substrings": q_dup_substrings,
+    "q_seeded_shuffle": q_seeded_shuffle,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2450,6 +2471,7 @@ ORACLES = {
     "q_tfidf_top_terms": Q_TFIDF_SQL,
     "q_common_ngrams": Q_COMMON_NGRAMS_SQL,
     "q_dup_substrings": Q_DUP_SUBSTR_SQL,
+    "q_seeded_shuffle": Q_SEEDED_SHUFFLE_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

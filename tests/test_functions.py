@@ -514,6 +514,36 @@ class TestStratifiedSample:
         assert 0.42 < frac_fr < 0.58
 
 
+class TestSeededShuffle:
+    def test_valid_permutation_and_determinism(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.splits import \
+            seeded_shuffle_positions
+        n = 3000
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(n)}))
+        out = seeded_shuffle_positions(ds, seed="s1", num_parts=16) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # positions are exactly 0..n-1 (a permutation, no gaps/dups)
+        assert sorted(out["pos"]) == list(range(n))
+        again = seeded_shuffle_positions(ds, seed="s1", num_parts=64) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # deterministic AND invariant to the partition count
+        assert out.equals(again)
+
+    def test_seed_changes_order(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.splits import \
+            seeded_shuffle_positions
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(500)}))
+        a = seeded_shuffle_positions(ds, seed="s1").to_pandas() \
+            .sort_values("doc_id")["pos"].to_numpy()
+        b = seeded_shuffle_positions(ds, seed="s2").to_pandas() \
+            .sort_values("doc_id")["pos"].to_numpy()
+        assert (a != b).mean() > 0.99
+
+
 class TestChunking:
     def test_stride_and_overlap(self, ray_session):
         import ray.data as rd
