@@ -71,6 +71,93 @@ def exact_dedup(ds: "rd.Dataset", text_col: str = "text",
         Min(id_col), Count()).map_batches(rename, batch_format="pyarrow")
 
 
+def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_shards: int = 4,
+                      shard_capacity: int = 1 << 20) -> "rd.Dataset":
+    """Streaming/incremental exact dedup: admit only the rows of a NEW
+    increment whose text does not already exist in a FROZEN base corpus
+    — the nightly-refresh shape of a training-data pipeline (new crawl
+    snapshot vs. everything already ingested).
+
+    The point is what does NOT happen: the base side is never shuffled
+    and never joined. Its content hashes stream once into the crawl
+    engine's sharded membership actors (state/seen.SeenShard — cuckoo
+    filter + exact sidecar, the same state that dedups URLs online
+    during the crawl, SURVEY A5), holding 20-byte keys, not text; the
+    increment then probes with one ``contains()`` RPC per
+    (batch × shard). A join-based dedup would re-shuffle the 100-TB
+    base on every refresh; the actor form costs one base read to build
+    (amortized across refreshes via SeenShard.snapshot/restore) and
+    O(increment) afterwards.
+
+    Duplicates WITHIN the increment are resolved by the deterministic
+    min-id groupby of :func:`exact_dedup` — only increment-sized rows
+    shuffle. Keeping the base check a pure frozen-membership predicate
+    (``contains``, not ``add_if_absent``) is what makes the output
+    deterministic under parallel batching, hence SQL-oracle-checkable:
+    ``md5(text) NOT IN (SELECT md5(text) FROM base)`` + group-min.
+
+    Returns (text_hash, doc_id, n_new): one surviving increment row per
+    distinct unseen text plus its arrival count.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count, Min
+
+    from ..state.seen import SeenShard
+
+    shards = [SeenShard.remote(i, capacity=shard_capacity)
+              for i in range(num_shards)]
+
+    def _keys(batch: pa.Table) -> tuple[list[bytes], np.ndarray]:
+        # 16-byte md5 padded to the shards' 20-byte key width; shard
+        # routing off the first 8 key bytes (uniform — the key IS a hash)
+        ks = [hashlib.md5((t or "").encode("utf-8")).digest() + b"\x00" * 4
+              for t in batch[text_col].to_pylist()]
+        route = np.fromiter(
+            (int.from_bytes(k[:8], "big") % num_shards for k in ks),
+            dtype=np.int64, count=len(ks))
+        return ks, route
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ks, route = _keys(batch)
+        _ray.get([shards[s].add_if_absent.remote(
+            [k for k, r in zip(ks, route) if r == s])
+            for s in set(route.tolist())])
+        return pa.table({"n": pa.array([len(ks)], pa.int64())})
+
+    # barrier by construction: the seeding pass must finish before any
+    # increment batch probes (count() drives the full base read)
+    base_ds.select_columns([text_col]).map_batches(
+        seed, batch_format="pyarrow").count()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ks, route = _keys(batch)
+        present = np.zeros(len(ks), dtype=bool)
+        shard_ids = sorted(set(route.tolist()))
+        idx = [np.nonzero(route == s)[0] for s in shard_ids]
+        flags = _ray.get([shards[s].contains.remote(
+            [ks[i] for i in ix]) for s, ix in zip(shard_ids, idx)])
+        for ix, fl in zip(idx, flags):
+            present[ix] = fl
+        keep = np.nonzero(~present)[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        hashes = [ks[i][:16].hex() for i in keep]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "text_hash": pa.array(hashes, pa.string())})
+
+    unseen = new_ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pyarrow")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"text_hash": t["text_hash"],
+                         "doc_id": t[f"min({id_col})"],
+                         "n_new": t["count()"]})
+
+    return unseen.groupby("text_hash").aggregate(
+        Min(id_col), Count()).map_batches(rename, batch_format="pyarrow")
+
+
 def near_dup_text_groups(ds: "rd.Dataset", text_col: str = "text",
                          min_len: int = 500, max_count: int = 4) -> "rd.Dataset":
     """The reference's boilerplate filter (script2.py:8-21, A4): among

@@ -1550,6 +1550,35 @@ ORDER BY ngram
 """
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Nightly-refresh dedup: increment (upper half of doc ids) vs a
+    frozen base (lower half) held in SeenShard membership actors."""
+    from .functions.dedup import incremental_dedup
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    half = ds.count() // 2
+    out = incremental_dedup(
+        ds.filter(expr=f"doc_id < {half}"),
+        ds.filter(expr=f"doc_id >= {half}")).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"text_hash": pd.Series([], dtype="object"),
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "n_new": pd.Series([], dtype="int64")})
+    out["n_new"] = out["n_new"].astype("int64")
+    return out.sort_values("text_hash").reset_index(drop=True)
+
+
+Q_INCR_DEDUP_SQL = r"""
+WITH half AS (SELECT count(*) // 2 AS h FROM documents),
+base AS (SELECT md5(text) AS th FROM documents, half WHERE doc_id < h),
+newr AS (SELECT doc_id, md5(text) AS th
+         FROM documents, half WHERE doc_id >= h)
+SELECT th AS text_hash, min(doc_id) AS doc_id, count(*)::BIGINT AS n_new
+FROM newr WHERE th NOT IN (SELECT th FROM base)
+GROUP BY th
+ORDER BY text_hash
+"""
+
+
 def q_seeded_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic epoch-shuffle order: pos = rank of md5('shuf-v1'‖id)."""
     from .functions.splits import seeded_shuffle_positions
@@ -2384,6 +2413,7 @@ QUERIES = {
     "q_common_ngrams": q_common_ngrams,
     "q_dup_substrings": q_dup_substrings,
     "q_seeded_shuffle": q_seeded_shuffle,
+    "q_incremental_dedup": q_incremental_dedup,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2472,6 +2502,7 @@ ORACLES = {
     "q_common_ngrams": Q_COMMON_NGRAMS_SQL,
     "q_dup_substrings": Q_DUP_SUBSTR_SQL,
     "q_seeded_shuffle": Q_SEEDED_SHUFFLE_SQL,
+    "q_incremental_dedup": Q_INCR_DEDUP_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

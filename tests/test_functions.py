@@ -35,6 +35,43 @@ class TestExactDedup:
         assert len(dup_row) == 1 and dup_row.iloc[0]["doc_id"] == 0
 
 
+class TestIncrementalDedup:
+    def test_base_filtered_and_min_id_survives(self, ray_session):
+        import ray.data as rd
+        base = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["seen one", "seen two", "seen three"]}))
+        new = rd.from_pandas(pd.DataFrame({
+            "doc_id": [10, 11, 12, 13, 14],
+            "text": ["seen two",        # already in base -> dropped
+                     "fresh alpha",     # kept
+                     "fresh beta",      # kept (first of pair)
+                     "fresh beta",      # within-new dup -> folded
+                     "seen one"]}))     # already in base -> dropped
+        out = dd.incremental_dedup(base, new).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == [11, 12]
+        assert list(out["n_new"]) == [1, 2]
+
+    def test_deterministic_and_matches_sql_shape(self, ray_session):
+        import ray.data as rd
+        n = 600
+        texts = [f"body {i % 150}" for i in range(n)]  # heavy dup structure
+        df = pd.DataFrame({"doc_id": range(n), "text": texts})
+        base = rd.from_pandas(df[df.doc_id < 300])
+        new = rd.from_pandas(df[df.doc_id >= 300])
+        a = dd.incremental_dedup(base, new, num_shards=2).to_pandas()
+        b = dd.incremental_dedup(base, new, num_shards=5).to_pandas()
+        # every new text exists in base (ids 300.. repeat the 150 bodies)
+        assert len(a) == 0 and len(b) == 0
+        # disjoint halves: everything survives with exact arrival counts
+        base2 = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(5), "text": [f"b{i}" for i in range(5)]}))
+        c = dd.incremental_dedup(base2, new, num_shards=3).to_pandas()
+        assert len(c) == 150 and c["n_new"].sum() == 300
+        assert (c["doc_id"] < 450).all()  # min-id survivor per body
+
+
 class TestMinHash:
     def test_finds_exact_and_near_dups(self, docs_ds):
         out = dd.minhash_lsh_pairs(docs_ds, threshold=0.5,
