@@ -311,3 +311,44 @@ def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+def latest_per_key(ds: "rd.Dataset", *, key_col: str,
+                   order_cols: list[str],
+                   num_buckets: int = 64) -> "rd.Dataset":
+    """Keep each key's row with the greatest ``order_cols`` value —
+    argmax-per-key. THE snapshot-dedup primitive for a Common-Crawl
+    corpus: one (url, warc_ts, …) row per url, the newest capture
+    (the input_hint's url/warc_ts table shape); equally the
+    latest-event-per-user / current-state-per-entity query.
+
+    Combiner shape, not a window shuffle: each batch keeps at most one
+    row per key (vectorized sort + drop_duplicates), so the exchange
+    moves ≤ 1 row per (key, batch) — at 10^10 page-snapshots with ~1.2
+    captures per url, that is the distinct-url count, not the corpus.
+    The final pass groups SALTED buckets (num_buckets vectorized pandas
+    passes, not one map_groups group per key; same rationale as
+    ``grouped_running_sum``). ``order_cols`` must totally order each
+    key's rows (append a unique id as tie-break) or the argmax row is
+    ambiguous; the SQL twin is ``QUALIFY row_number() OVER (PARTITION
+    BY key ORDER BY order_cols DESC) = 1``."""
+    from ..rayutil import salt_bucket
+
+    by = [key_col] + list(order_cols)
+    asc = [True] + [False] * len(order_cols)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        best = batch.sort_values(by, ascending=asc, kind="mergesort") \
+            .drop_duplicates(key_col, keep="first").copy()
+        best["bucket"] = salt_bucket(best[key_col])
+        return best
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="mergesort") \
+            .drop_duplicates(key_col, keep="first") \
+            .drop(columns=["bucket"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(final, batch_format="pandas")

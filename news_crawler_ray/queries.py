@@ -1550,6 +1550,28 @@ ORDER BY ngram
 """
 
 
+def q_latest_events(sf_dir: str) -> pd.DataFrame:
+    """Current-state-per-entity: each user's most recent event (the
+    url/warc_ts latest-capture dedup shape, on the events table)."""
+    from .functions.windows import latest_per_key
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    out = latest_per_key(ds, key_col="user_id",
+                         order_cols=["ts", "event_id"]).to_pandas()
+    return out[["user_id", "event_id", "ts", "event_type"]] \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+Q_LATEST_EVENTS_SQL = r"""
+SELECT user_id, event_id, ts, event_type
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+"""
+
+
 def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Nightly-refresh dedup: increment (upper half of doc ids) vs a
     frozen base (lower half) held in SeenShard membership actors."""
@@ -2414,6 +2436,7 @@ QUERIES = {
     "q_dup_substrings": q_dup_substrings,
     "q_seeded_shuffle": q_seeded_shuffle,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_latest_events": q_latest_events,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2503,6 +2526,7 @@ ORACLES = {
     "q_dup_substrings": Q_DUP_SUBSTR_SQL,
     "q_seeded_shuffle": Q_SEEDED_SHUFFLE_SQL,
     "q_incremental_dedup": Q_INCR_DEDUP_SQL,
+    "q_latest_events": Q_LATEST_EVENTS_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

@@ -324,3 +324,25 @@ class TestGroupedRunningSum:
         want["running"] = want.groupby("user")["v"].cumsum()
         assert (out["running"].to_numpy()
                 == want["running"].to_numpy()).all()
+
+
+class TestLatestPerKey:
+    def test_matches_pandas_argmax(self, ray_session):
+        import ray.data as rd
+        rng = np.random.RandomState(11)
+        n = 4000
+        df = pd.DataFrame({
+            "k": rng.randint(0, 131, size=n).astype(np.int64),
+            "o": rng.randint(0, 40, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "payload": [f"p{i}" for i in range(n)]})
+        out = wn.latest_per_key(
+            rd.from_pandas(df).repartition(16), key_col="k",
+            order_cols=["o", "id"], num_buckets=8) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        want = df.sort_values(["k", "o", "id"],
+                              ascending=[True, False, False]) \
+            .drop_duplicates("k", keep="first") \
+            .sort_values("k").reset_index(drop=True)
+        assert out[["k", "o", "id", "payload"]].equals(
+            want[["k", "o", "id", "payload"]])
