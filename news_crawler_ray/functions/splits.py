@@ -146,3 +146,44 @@ def seeded_shuffle_positions(ds: "rd.Dataset", *, seed: str = "shuf-v1",
 
     return hashed_ds.groupby("part").map_groups(
         rank, batch_format="pandas")
+
+
+def grouped_hash_sample_k(ds: "rd.Dataset", *, key_col: str,
+                          id_col: str = "doc_id", k: int = 10,
+                          salt: str = "gsk-v1",
+                          num_buckets: int = 64) -> "rd.Dataset":
+    """Exactly-k-per-group deterministic sample: each group's k rows
+    with the smallest md5(salt ‖ id) rank — the eval-set carving move
+    (k held-out docs per language/source) with reservoir-sampling
+    guarantees but no RNG state: rerun anywhere, same sample; change
+    the salt, fresh sample.
+
+    Combiner shape (same as ``windows.latest_per_key``): every batch
+    keeps at most k rows per key locally, so the shuffle moves
+    ≤ k·batches rows per key regardless of group size, and the final
+    salted-bucket pass is one vectorized pandas head(k) per bucket.
+    SQL twin: ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY
+    md5_rank, id) <= k``."""
+    from ..rayutil import salt_bucket
+
+    def add_rank(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        batch = batch.copy()
+        batch["_rank"] = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{salt}{i}".encode()).digest()[:8],
+                "big") >> 4 for i in batch[id_col]),
+            dtype=np.int64, count=len(batch))
+        best = batch.sort_values(["_rank", id_col], kind="mergesort") \
+            .groupby(key_col, as_index=False, sort=False).head(k).copy()
+        best["bucket"] = salt_bucket(best[key_col])
+        return best
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["_rank", id_col], kind="mergesort") \
+            .groupby(key_col, as_index=False, sort=False).head(k) \
+            .drop(columns=["bucket", "_rank"])
+
+    return ds.map_batches(add_rank, batch_format="pandas") \
+        .groupby("bucket").map_groups(final, batch_format="pandas")

@@ -298,9 +298,12 @@ def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
     intermediate running values."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("bucket",
-                               pa.array(key % num_buckets, pa.int32()))
+        # shared salting helper: handles int AND string/binary keys
+        # (an int-only cast here broke the first string-keyed caller)
+        from ..rayutil import salt_bucket
+        return t.append_column(
+            "bucket", pa.array(salt_bucket(t[key_col], num_buckets),
+                               pa.int32()))
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col] + order_cols, kind="mergesort")

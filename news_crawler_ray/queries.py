@@ -1550,6 +1550,82 @@ ORDER BY ngram
 """
 
 
+def q_eval_carve(sf_dir: str) -> pd.DataFrame:
+    """Eval-set carving: exactly 20 deterministically-sampled docs per
+    language (smallest md5 rank wins; salt-swappable)."""
+    from .functions.splits import grouped_hash_sample_k
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang"])
+    out = grouped_hash_sample_k(ds, key_col="lang", k=20).to_pandas()
+    return out[["doc_id", "lang"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+Q_EVAL_CARVE_SQL = r"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(md5('gsk-v1' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT,
+             doc_id) <= 20
+ORDER BY doc_id
+"""
+
+
+def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """Mixture sampling to a per-source token budget: admit each
+    language's docs in deterministic md5 order until the cumulative
+    token count reaches 3000 — the 'sample N tokens per source' step of
+    assembling a training mixture, as token_counts ∘ seeded order ∘
+    grouped_running_sum ∘ filter (pure composition, no new shuffle
+    primitive)."""
+    from .functions.windows import grouped_running_sum
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+    budget = 3000
+
+    def prep(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "lang": batch["lang"].to_numpy(),
+            "n_tokens": texts.str.split().str.len()
+                .astype("int64").to_numpy(),
+            "h": np.fromiter(
+                (int.from_bytes(
+                    _h.md5(f"mix-v1{i}".encode()).digest()[:8],
+                    "big") >> 4 for i in ids),
+                dtype=np.int64, count=len(ids))})
+
+    run = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pandas"),
+        key_col="lang", order_cols=["h", "doc_id"],
+        value_col="n_tokens")
+    out = run.filter(expr=f"running <= {budget}").to_pandas()
+    out["running"] = out["running"].astype("int64")
+    return out[["doc_id", "lang", "n_tokens", "running"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         length(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> ''))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS h
+  FROM documents)
+SELECT doc_id, lang, n_tokens,
+       SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS running
+FROM t
+QUALIFY running <= 3000
+ORDER BY doc_id
+"""
+
+
 def q_latest_events(sf_dir: str) -> pd.DataFrame:
     """Current-state-per-entity: each user's most recent event (the
     url/warc_ts latest-capture dedup shape, on the events table)."""
@@ -2437,6 +2513,8 @@ QUERIES = {
     "q_seeded_shuffle": q_seeded_shuffle,
     "q_incremental_dedup": q_incremental_dedup,
     "q_latest_events": q_latest_events,
+    "q_eval_carve": q_eval_carve,
+    "q_token_budget_mix": q_token_budget_mix,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2527,6 +2605,8 @@ ORACLES = {
     "q_seeded_shuffle": Q_SEEDED_SHUFFLE_SQL,
     "q_incremental_dedup": Q_INCR_DEDUP_SQL,
     "q_latest_events": Q_LATEST_EVENTS_SQL,
+    "q_eval_carve": Q_EVAL_CARVE_SQL,
+    "q_token_budget_mix": Q_TOKEN_BUDGET_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

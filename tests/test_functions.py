@@ -581,6 +581,31 @@ class TestSeededShuffle:
         assert (a != b).mean() > 0.99
 
 
+class TestGroupedHashSampleK:
+    def test_exact_k_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.splits import grouped_hash_sample_k
+        n = 2400
+        df = pd.DataFrame({
+            "doc_id": range(n),
+            "lang": [("en", "fr", "de")[i % 3] for i in range(n)]})
+        a = grouped_hash_sample_k(
+            rd.from_pandas(df).repartition(2), key_col="lang", k=15) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = grouped_hash_sample_k(
+            rd.from_pandas(df).repartition(16), key_col="lang", k=15,
+            num_buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)                       # batching-invariant
+        assert a.groupby("lang").size().eq(15).all()   # exactly k each
+        # tiny group: returns the whole group, not an error
+        small = pd.DataFrame({"doc_id": [0, 1], "lang": ["zz", "zz"]})
+        c = grouped_hash_sample_k(rd.from_pandas(small),
+                                  key_col="lang", k=15).to_pandas()
+        assert len(c) == 2
+
+
 class TestChunking:
     def test_stride_and_overlap(self, ray_session):
         import ray.data as rd
