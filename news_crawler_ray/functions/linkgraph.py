@@ -1,0 +1,160 @@
+"""Host-level link-graph analytics over the crawl corpus: distributed
+edge extraction from page HTML and an iterative PageRank.
+
+The reference schedules per-host FIFO with a webnews priority tier
+(crawling_tools/crawler.py:387-420 dequeue discipline); rank-weighted
+frontier prioritization is the standard upgrade for a crawler at
+Common-Crawl scale, and PageRank is the canonical iterative algorithm
+of the domain. Shape mirrors ``similarity.distributed_kmeans``: the
+EDGE table (corpus-sized) only ever streams through ``map_batches``;
+per-iteration cross-node traffic is sparse (dst, contribution)
+partials, and the driver folds a hosts-sized vector.
+
+Scale contract: driver/broadcast state is O(hosts), not O(edges) — a
+host-level web graph is ~10^8 nodes (≈ 1.6 GB of rank+degree arrays),
+which fits one machine while the 10^11-edge table does not. For a
+URL-level graph, swap the broadcast for the documented join form:
+rank dataset ⋈ edges on src (hash join), groupby(dst).sum, one shuffle
+per iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from .. import urlnorm
+from ..rayutil import cached_object
+
+
+def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
+    """Distinct (src_host, dst_host, n_pages) cross-host edges: pages →
+    extraction kernel's outbound links (M13; worker-global kernel cache
+    exactly like pipelines/bulk.py) → host_of → per-batch dedup →
+    groupby count. Only (host, host) string pairs cross the shuffle;
+    html never leaves the map stage."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.bulk import _BULK_KERNEL, _BulkExtract
+
+    def emit(batch: pa.Table) -> pa.Table:
+        stage = _BULK_KERNEL.get(False)
+        if stage is None:
+            stage = _BULK_KERNEL[False] = _BulkExtract()
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for u, h in zip(batch["url"].to_pylist(),
+                        batch["html"].to_pylist()):
+            r = stage.kernel.extract(
+                u, (h or b"").decode("utf-8", "replace"))
+            src = urlnorm.host_of(u)
+            for link in {urlnorm.host_of(l) for l in r.outbound_links}:
+                if link and link != src:
+                    srcs.append(src)
+                    dsts.append(link)
+        return pa.table({"src_host": pa.array(srcs, pa.string()),
+                         "dst_host": pa.array(dsts, pa.string())})
+
+    return rd.read_parquet(pages_dir, columns=["url", "html"]) \
+        .map_batches(emit, batch_format="pyarrow",
+                     batch_size=batch_size) \
+        .groupby(["src_host", "dst_host"]) \
+        .aggregate(Count(alias_name="n_pages"))
+
+
+def _pagerank_reference(edges: pd.DataFrame, *, damping: float,
+                        iters: int) -> pd.DataFrame:
+    """Single-process oracle (tests pin the distributed fold to this):
+    same formula, same iteration count, plain numpy."""
+    hosts = np.unique(
+        np.concatenate([edges["src_host"].to_numpy(dtype=object),
+                        edges["dst_host"].to_numpy(dtype=object)]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    src = np.array([idx[h] for h in edges["src_host"]], dtype=np.int64)
+    dst = np.array([idx[h] for h in edges["dst_host"]], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        w = rank[src] / outdeg[src]
+        np.add.at(contrib, dst, w)
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return pd.DataFrame({"host": hosts, "rank": rank})
+
+
+def host_pagerank(edges_ds: "rd.Dataset", *, damping: float = 0.85,
+                  iters: int = 20) -> pd.DataFrame:
+    """Distributed PageRank over a (src_host, dst_host) edge dataset.
+
+    Each iteration is ONE streaming pass: every edge batch looks up its
+    src ranks/out-degrees in the broadcast arrays (``ray.put`` once per
+    iteration, read per node via the object store) and emits SPARSE
+    (dst_idx, contribution) partial sums — cross-node traffic is
+    O(distinct dst per batch), never O(hosts). The driver folds the
+    partials, applies damping + dangling mass, re-broadcasts. No
+    shuffle at all once the edge table is materialized.
+
+    Returns (host, rank) for every host in the graph, rank a float64
+    probability (sums to 1).
+    """
+    edges = edges_ds.select_columns(["src_host", "dst_host"]) \
+        .materialize()
+
+    # hosts + out-degrees: one aggregation pass each over the edge
+    # table; both results are hosts-sized (the documented small side)
+    src_deg = edges.groupby("src_host").count().to_pandas()
+    dst_hosts = edges.groupby("dst_host").count().to_pandas()
+    hosts = np.unique(np.concatenate(
+        [src_deg["src_host"].to_numpy(dtype=object),
+         dst_hosts["dst_host"].to_numpy(dtype=object)]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                             "rank": pd.Series([], dtype="float64")})
+    outdeg = np.zeros(n, dtype=np.float64)
+    pos = np.searchsorted(hosts, src_deg["src_host"].to_numpy(dtype=object))
+    outdeg[pos] = src_deg["count()"].to_numpy(dtype=np.float64)
+    hosts_ref = ray.put(hosts)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        hs = cached_object(hosts_ref)
+        s = np.searchsorted(hs, t["src_host"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_host"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    # integer-indexed edges, materialized once; iterations reuse them
+    iedges = edges.map_batches(index_edges,
+                               batch_format="pyarrow").materialize()
+
+    rank = np.full(n, 1.0 / n)
+    state_outdeg_ref = ray.put(outdeg)
+
+    def partials(t: pa.Table, *, rank_ref) -> pa.Table:
+        r = cached_object(rank_ref)
+        od = cached_object(state_outdeg_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = r[src] / od[src]           # every src has outdeg >= 1
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.bincount(inv, weights=w)
+        return pa.table({"dst": pa.array(uniq, pa.int64()),
+                         "contrib": pa.array(sums, pa.float64())})
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+        parts = iedges.map_batches(
+            partials, fn_kwargs={"rank_ref": rank_ref},
+            batch_format="pyarrow").to_pandas()
+        contrib = np.zeros(n)
+        np.add.at(contrib, parts["dst"].to_numpy(dtype=np.int64),
+                  parts["contrib"].to_numpy(dtype=np.float64))
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * (contrib + dangling / n)
+    return pd.DataFrame({"host": hosts, "rank": rank})

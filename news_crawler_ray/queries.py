@@ -660,6 +660,20 @@ def q_crawl_bulk_extract(sf_dir: str):
         .sort_values("url").reset_index(drop=True)
 
 
+def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Host-graph PageRank over the corpus (frontier-prioritization
+    signal): kernel outbound links → distinct host edges → 20 damped
+    iterations, edge table streaming per pass (functions/linkgraph)."""
+    from .functions.linkgraph import host_edges, host_pagerank
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    out = host_pagerank(host_edges(paths.pages_dir), iters=20)
+    out["rank_micro"] = np.floor(
+        out["rank"].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    return out[["host", "rank_micro"]].sort_values("host") \
+        .reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
@@ -2548,6 +2562,7 @@ QUERIES = {
     "q_union_distinct_nations": q_union_distinct_nations,
     "q_running_user_totals": q_running_user_totals,
     "kmeans_clusters": q_kmeans_clusters,
+    "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,

@@ -716,3 +716,44 @@ class TestDistributedKmeans:
         assert list(out.columns) == ["cluster", "size", "centroid_norm",
                                      "inertia_total"]
         assert out["size"].sum() > 0
+
+
+class TestHostPagerank:
+    def test_matches_single_process_reference(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.linkgraph import (
+            _pagerank_reference, host_pagerank)
+        rng = np.random.RandomState(3)
+        n_edges = 5000
+        df = pd.DataFrame({
+            "src_host": [f"h{i}.example" for i in
+                         rng.zipf(1.6, n_edges) % 400],
+            "dst_host": [f"h{i}.example" for i in
+                         rng.randint(0, 400, n_edges)]})
+        df = df[df.src_host != df.dst_host].drop_duplicates()
+        got = host_pagerank(rd.from_pandas(df).repartition(8),
+                            iters=15) \
+            .sort_values("host").reset_index(drop=True)
+        want = _pagerank_reference(df, damping=0.85, iters=15) \
+            .sort_values("host").reset_index(drop=True)
+        assert list(got["host"]) == list(want["host"])
+        assert np.allclose(got["rank"], want["rank"], atol=1e-9)
+        # it is a probability distribution
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+        # and the top host ordering agrees exactly
+        assert list(got.nlargest(10, "rank")["host"]) \
+            == list(want.nlargest(10, "rank")["host"])
+
+    def test_corpus_edges_and_rank(self, ray_session):
+        from news_crawler_ray import corpus as corpus_mod
+        from news_crawler_ray.functions.linkgraph import (
+            host_edges, host_pagerank)
+        paths = corpus_mod.default_corpus(
+            "linkgraph_t", num_hosts=4, pages_per_host=40)
+        edges = host_edges(paths.pages_dir).to_pandas()
+        assert len(edges) > 0
+        assert (edges["src_host"] != edges["dst_host"]).all()
+        pr = host_pagerank(
+            host_edges(paths.pages_dir), iters=10)
+        assert abs(pr["rank"].sum() - 1.0) < 1e-9
