@@ -77,7 +77,10 @@ def run_bench() -> dict:
                  "simhash_pairs", "embedding_neardup", "q_ngram_jaccard",
                  "q_rolling_events", "q_quantity_quantiles",
                  "q_tfidf_top_terms", "q_doc_chunks", "q_corpus_prep",
-                 "q_mask_pii", "q_seq_packing"):
+                 "q_mask_pii", "q_seq_packing", "q_dup_substrings",
+                 "q_seeded_shuffle", "q_incremental_dedup",
+                 "q_latest_events", "q_eval_carve",
+                 "q_token_budget_mix"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

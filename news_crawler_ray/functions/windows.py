@@ -355,3 +355,57 @@ def latest_per_key(ds: "rd.Dataset", *, key_col: str,
 
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def grouped_pearson(ds: "rd.Dataset", *, key_col: str, x_col: str,
+                    y_col: str, num_buckets: int = 32) -> "rd.Dataset":
+    """Per-group Pearson correlation — the numeric-profiling aggregate
+    (feature drift, quality-signal coupling) as a pure combiner: each
+    batch folds its rows into SIX moments per key (n, Σx, Σy, Σxy, Σx²,
+    Σy²; one vectorized pandas agg), so the shuffle moves one 6-float
+    row per (key, batch) and the salted final pass assembles
+
+        corr = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) · √(nΣy² − (Σy)²)
+
+    Mathematically identical to SQL corr() (sample/population factors
+    cancel in the ratio); the moment fold loses ~n·eps relative
+    precision to cancellation, far below the 1e-6 integerization both
+    sides apply (the tf-idf rounding-parity convention). Groups with
+    zero variance in either column yield NULL, matching SQL."""
+    from ..rayutil import salt_bucket
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=batch[key_col].dtype
+                                   if key_col in batch else "object"),
+                "n": pd.Series([], dtype="int64"),
+                **{c: pd.Series([], dtype="float64")
+                   for c in ("sx", "sy", "sxy", "sxx", "syy")},
+                "bucket": pd.Series([], dtype="int32")})
+        x = batch[x_col].to_numpy(dtype=np.float64)
+        y = batch[y_col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({key_col: batch[key_col].to_numpy(),
+                          "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x, "syy": y * y}) \
+            .groupby(key_col, as_index=False).sum()
+        g["bucket"] = salt_bucket(g[key_col])
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(key_col, as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx", "syy"]].sum()
+        n = s["n"].to_numpy(dtype=np.float64)
+        cov = n * s["sxy"].to_numpy() - s["sx"].to_numpy() * s["sy"].to_numpy()
+        vx = n * s["sxx"].to_numpy() - s["sx"].to_numpy() ** 2
+        vy = n * s["syy"].to_numpy() - s["sy"].to_numpy() ** 2
+        denom = np.sqrt(np.maximum(vx, 0)) * np.sqrt(np.maximum(vy, 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom > 0, cov / denom, np.nan)
+        return pd.DataFrame({key_col: s[key_col],
+                             "n": s["n"].astype("int64"),
+                             "corr": corr})
+
+    return ds.select_columns([key_col, x_col, y_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(final, batch_format="pandas")

@@ -1640,6 +1640,32 @@ ORDER BY doc_id
 """
 
 
+def q_lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Numeric profiling: per-returnflag Pearson corr(quantity, price),
+    six-moment combiner vs SQL corr() (integerized, tf-idf convention)."""
+    from .functions.windows import grouped_pearson
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    out = grouped_pearson(ds, key_col="l_returnflag", x_col="l_quantity",
+                          y_col="l_extendedprice").to_pandas()
+    out["corr_micro"] = np.floor(
+        out["corr"].to_numpy(dtype=np.float64) * 1_000_000 + 0.5) \
+        .astype(np.int64)
+    return out[["l_returnflag", "n", "corr_micro"]] \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_LINEITEM_CORR_SQL = r"""
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5)::BIGINT
+         AS corr_micro
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_latest_events(sf_dir: str) -> pd.DataFrame:
     """Current-state-per-entity: each user's most recent event (the
     url/warc_ts latest-capture dedup shape, on the events table)."""
@@ -2529,6 +2555,7 @@ QUERIES = {
     "q_latest_events": q_latest_events,
     "q_eval_carve": q_eval_carve,
     "q_token_budget_mix": q_token_budget_mix,
+    "q_lineitem_corr": q_lineitem_corr,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2622,6 +2649,7 @@ ORACLES = {
     "q_latest_events": Q_LATEST_EVENTS_SQL,
     "q_eval_carve": Q_EVAL_CARVE_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_SQL,
+    "q_lineitem_corr": Q_LINEITEM_CORR_SQL,
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,

@@ -346,3 +346,32 @@ class TestLatestPerKey:
             .sort_values("k").reset_index(drop=True)
         assert out[["k", "o", "id", "payload"]].equals(
             want[["k", "o", "id", "payload"]])
+
+
+class TestGroupedPearson:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data as rd
+        rng = np.random.RandomState(5)
+        n = 6000
+        df = pd.DataFrame({
+            "k": rng.randint(0, 7, n).astype(np.int64),
+            "x": rng.normal(10, 3, n),
+            "y": rng.normal(100, 20, n)})
+        df["y"] += 0.5 * df["x"] * (df["k"] % 3)   # varying coupling
+        out = wn.grouped_pearson(
+            rd.from_pandas(df).repartition(12), key_col="k",
+            x_col="x", y_col="y", num_buckets=4).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        for _, r in out.iterrows():
+            g = df[df.k == r["k"]]
+            want = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert abs(r["corr"] - want) < 1e-9
+            assert r["n"] == len(g)
+
+    def test_zero_variance_is_nan(self, ray_session):
+        import ray.data as rd
+        df = pd.DataFrame({"k": [0, 0, 0], "x": [1.0, 1.0, 1.0],
+                           "y": [1.0, 2.0, 3.0]})
+        out = wn.grouped_pearson(rd.from_pandas(df), key_col="k",
+                                 x_col="x", y_col="y").to_pandas()
+        assert len(out) == 1 and np.isnan(out.iloc[0]["corr"])
