@@ -168,6 +168,11 @@ def grouped_hash_sample_k(ds: "rd.Dataset", *, key_col: str,
 
     def add_rank(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
+            # keep the added columns on empty frames too, or the empty
+            # block's schema diverges from its non-empty siblings
+            batch = batch.copy()
+            batch["_rank"] = pd.Series([], dtype="int64")
+            batch["bucket"] = pd.Series([], dtype="int32")
             return batch
         batch = batch.copy()
         batch["_rank"] = np.fromiter(

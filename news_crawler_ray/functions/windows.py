@@ -341,11 +341,12 @@ def latest_per_key(ds: "rd.Dataset", *, key_col: str,
     asc = [True] + [False] * len(order_cols)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch
         best = batch.sort_values(by, ascending=asc, kind="mergesort") \
             .drop_duplicates(key_col, keep="first").copy()
-        best["bucket"] = salt_bucket(best[key_col])
+        # set the column on empty frames too: an empty block missing
+        # "bucket" would diverge from the non-empty block schema
+        best["bucket"] = salt_bucket(best[key_col]) if len(best) \
+            else pd.Series([], dtype="int32")
         return best
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
