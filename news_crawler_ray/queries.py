@@ -626,6 +626,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Declared-vs-detected language confusion matrix — the standard
+    label-quality audit before trusting a corpus's lang column; pure
+    composition of the langid operator and a pair-count aggregate
+    (per-batch partial counts, pairs-sized shuffle)."""
+    from .extract.textstats import detect_language
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = [detect_language(t or "") or "und"
+                for t in batch["text"]]
+        return pd.DataFrame({
+            "lang": batch["lang"].to_numpy(),
+            "lang_pred": pred, "n": 1}) \
+            .groupby(["lang", "lang_pred"], as_index=False).sum()
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["lang", "lang_pred"]).sum("n").to_pandas()
+    out = out.rename(columns={"sum(n)": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def _lang_confusion_sql() -> str:
+    """Confusion-matrix oracle: the generated langid SQL as a CTE,
+    joined back to the declared column."""
+    return f"""
+WITH pred AS ({_langid_sql()})
+SELECT d.lang AS lang, coalesce(p.lang_pred, 'und') AS lang_pred,
+       count(*)::BIGINT AS n
+FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only operators (no SQL equivalent; driver records row counts)
 # ---------------------------------------------------------------------------
@@ -2556,6 +2593,7 @@ QUERIES = {
     "q_eval_carve": q_eval_carve,
     "q_token_budget_mix": q_token_budget_mix,
     "q_lineitem_corr": q_lineitem_corr,
+    "q_lang_confusion": q_lang_confusion,
     "q_stratified_sample": q_stratified_sample,
     "q_doc_chunks": q_doc_chunks,
     "q_local_supplier_volume": q_local_supplier_volume,
@@ -2650,6 +2688,7 @@ ORACLES = {
     "q_eval_carve": Q_EVAL_CARVE_SQL,
     "q_token_budget_mix": Q_TOKEN_BUDGET_SQL,
     "q_lineitem_corr": Q_LINEITEM_CORR_SQL,
+    "q_lang_confusion": _lang_confusion_sql(),
     "q_stratified_sample": Q_STRATIFIED_SQL,
     "q_doc_chunks": Q_DOC_CHUNKS_SQL,
     "q_local_supplier_volume": Q_LOCAL_SUPPLIER_SQL,
