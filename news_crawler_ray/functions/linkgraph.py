@@ -158,3 +158,126 @@ def host_pagerank(edges_ds: "rd.Dataset", *, damping: float = 0.85,
         dangling = rank[outdeg == 0].sum()
         rank = (1 - damping) / n + damping * (contrib + dangling / n)
     return pd.DataFrame({"host": hosts, "rank": rank})
+
+
+def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
+                       iters: int = 10,
+                       num_partitions: int = 8) -> pd.DataFrame:
+    """PageRank with NO node-sized driver or broadcast state — the
+    URL-level-graph form :func:`host_pagerank` documents: the rank
+    vector lives as a Dataset, each iteration is
+
+        rank ⋈ edges on src (distributed hash join)
+        → groupby(dst).sum of rank/outdeg      (the second shuffle)
+        → damping + dangling fold into the new rank Dataset
+
+    Driver state per iteration is TWO scalars (dangling mass and a row
+    count); everything node- or edge-sized stays in the object store.
+    Costs 2 shuffles × iters, which is exactly the price of exceeding
+    one machine's memory — use host_pagerank whenever the node set
+    fits (its per-iteration traffic is batches × sparse partials).
+
+    Returns (host, rank) like host_pagerank; tests pin the two forms to
+    each other (same formula ⇒ same values to float-fold noise).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def _rename(ds_in: "rd.Dataset", mapping: dict) -> "rd.Dataset":
+        # Dataset.rename_columns delegates to block.rename_columns,
+        # which pandas-backed blocks (aggregate outputs) don't have —
+        # rename through an Arrow map instead
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return ds_in.map_batches(f, batch_format="pyarrow")
+
+    edges = edges_ds.select_columns(["src_host", "dst_host"]) \
+        .materialize()
+    with _light_aggs():
+        outdeg = edges.groupby("src_host") \
+            .aggregate(Count(alias_name="outdeg")).materialize()
+
+        # node set = src ∪ dst (unioned id-level rows, distributed
+        # distinct), seeded with rank 1/N
+        def pick(col):
+            def f(t: pa.Table) -> pa.Table:
+                return pa.table({"host": t[col]})
+            return f
+        nodes = edges.map_batches(pick("src_host"), batch_format="pyarrow") \
+            .union(edges.map_batches(pick("dst_host"),
+                                     batch_format="pyarrow")) \
+            .groupby("host").aggregate(Count(alias_name="_c")) \
+            .drop_columns(["_c"]).materialize()
+        n = nodes.count()
+        if n == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                                 "rank": pd.Series([], dtype="float64")})
+
+        def seed(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "rank", pa.array(np.full(len(t), 1.0 / n), pa.float64()))
+        # rank ⋈ outdeg once up front: rows WITH outdeg carry it along
+        # every iteration (rank_ds schema: host, rank, outdeg; 0 = sink)
+        rank_ds = nodes.map_batches(seed, batch_format="pyarrow").join(
+            _rename(outdeg, {"src_host": "host"})
+            .repartition(num_partitions),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("host",)).materialize()
+
+        def fix_deg(t: pa.Table) -> pa.Table:
+            deg = t["outdeg"].to_numpy(zero_copy_only=False)
+            deg = np.where(np.isnan(deg.astype(np.float64)), 0, deg)
+            return pa.table({"host": t["host"], "rank": t["rank"],
+                             "outdeg": pa.array(deg.astype(np.int64))})
+        rank_ds = rank_ds.map_batches(fix_deg,
+                                      batch_format="pyarrow").materialize()
+
+        for _ in range(iters):
+            # dangling mass: one scalar to the driver
+            def dang(t: pa.Table) -> pa.Table:
+                r = t["rank"].to_numpy(zero_copy_only=False)
+                d = t["outdeg"].to_numpy(zero_copy_only=False)
+                return pa.table({"m": pa.array(
+                    [float(r[d == 0].sum())], pa.float64())})
+            dangling = rank_ds.map_batches(
+                dang, batch_format="pyarrow").sum("m")
+            dangling = float(dangling or 0.0)
+
+            def weight(t: pa.Table) -> pa.Table:
+                d = t["outdeg"].to_numpy(zero_copy_only=False)
+                r = t["rank"].to_numpy(zero_copy_only=False)
+                keep = d > 0
+                return pa.table({
+                    "src_host": t["host"].to_numpy(
+                        zero_copy_only=False)[keep],
+                    "w": pa.array(r[keep] / d[keep], pa.float64())})
+            contrib = edges.join(
+                rank_ds.map_batches(weight, batch_format="pyarrow")
+                       .repartition(num_partitions),
+                join_type="inner", num_partitions=num_partitions,
+                on=("src_host",)) \
+                .groupby("dst_host").aggregate(Sum("w", alias_name="c"))
+
+            base = (1 - damping) / n + damping * dangling / n
+
+            def fold(t: pa.Table) -> pa.Table:
+                c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+                c = np.where(np.isnan(c), 0.0, c)
+                return pa.table({
+                    "host": t["host"],
+                    "rank": pa.array(base + damping * c, pa.float64()),
+                    "outdeg": t["outdeg"]})
+            rank_ds = rank_ds.drop_columns(["rank"]).join(
+                _rename(contrib, {"dst_host": "host"})
+                .repartition(num_partitions),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("host",)) \
+                .map_batches(fold, batch_format="pyarrow").materialize()
+
+    out = rank_ds.select_columns(["host", "rank"]).to_pandas()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _light_aggs():
+    from ..rayutil import light_shuffle_aggregators
+    return light_shuffle_aggregators()

@@ -757,3 +757,23 @@ class TestHostPagerank:
         pr = host_pagerank(
             host_edges(paths.pages_dir), iters=10)
         assert abs(pr["rank"].sum() - 1.0) < 1e-9
+
+
+class TestPagerankJoinForm:
+    def test_matches_broadcast_form(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.linkgraph import (
+            host_pagerank, pagerank_join_form)
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({
+            "src_host": [f"h{i}" for i in rng.randint(0, 60, 800)],
+            "dst_host": [f"h{i}" for i in rng.randint(0, 60, 800)]})
+        df = df[df.src_host != df.dst_host].drop_duplicates()
+        ds = rd.from_pandas(df).repartition(4)
+        a = pagerank_join_form(ds, iters=5, num_partitions=4)
+        b = host_pagerank(ds, iters=5) \
+            .sort_values("host").reset_index(drop=True)
+        assert list(a["host"]) == list(b["host"])
+        assert np.allclose(a["rank"], b["rank"], atol=1e-12)
+        assert abs(a["rank"].sum() - 1.0) < 1e-9
