@@ -74,7 +74,8 @@ def exact_dedup(ds: "rd.Dataset", text_col: str = "text",
 def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
                       text_col: str = "text", id_col: str = "doc_id",
                       num_shards: int = 4,
-                      shard_capacity: int = 1 << 20) -> "rd.Dataset":
+                      shard_capacity: int = 1 << 20,
+                      snapshot_dir: str | None = None) -> "rd.Dataset":
     """Streaming/incremental exact dedup: admit only the rows of a NEW
     increment whose text does not already exist in a FROZEN base corpus
     — the nightly-refresh shape of a training-data pipeline (new crawl
@@ -100,7 +101,16 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
 
     Returns (text_hash, doc_id, n_new): one surviving increment row per
     distinct unseen text plus its arrival count.
+
+    ``snapshot_dir`` makes the base read a one-time cost across
+    refreshes: if the directory holds shard snapshots for this
+    ``num_shards``, the shards RESTORE from parquet instead of
+    re-reading the base corpus; otherwise the base is read once and
+    snapshotted there (SeenShard.snapshot — the same checkpoint format
+    the crawl's URL-seen set uses for resume).
     """
+    import os as _os
+
     import ray as _ray
     from ray.data.aggregate import Count, Min
 
@@ -108,6 +118,17 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
 
     shards = [SeenShard.remote(i, capacity=shard_capacity)
               for i in range(num_shards)]
+
+    def _snap_paths() -> list[str]:
+        return [_os.path.join(snapshot_dir,
+                              f"dedup_seen_shard_{i:03d}.parquet")
+                for i in range(num_shards)]
+
+    restored = False
+    if snapshot_dir and all(_os.path.exists(p) for p in _snap_paths()):
+        _ray.get([s.restore.remote(p)
+                  for s, p in zip(shards, _snap_paths())])
+        restored = True
 
     def _keys(batch: pa.Table) -> tuple[list[bytes], np.ndarray]:
         # 16-byte md5 padded to the shards' 20-byte key width; shard
@@ -128,8 +149,13 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
 
     # barrier by construction: the seeding pass must finish before any
     # increment batch probes (count() drives the full base read)
-    base_ds.select_columns([text_col]).map_batches(
-        seed, batch_format="pyarrow").count()
+    if not restored:
+        base_ds.select_columns([text_col]).map_batches(
+            seed, batch_format="pyarrow").count()
+        if snapshot_dir:
+            _os.makedirs(snapshot_dir, exist_ok=True)
+            _ray.get([s.snapshot.remote(p)
+                      for s, p in zip(shards, _snap_paths())])
 
     def probe(batch: pa.Table) -> pa.Table:
         ks, route = _keys(batch)

@@ -777,3 +777,29 @@ class TestPagerankJoinForm:
         assert list(a["host"]) == list(b["host"])
         assert np.allclose(a["rank"], b["rank"], atol=1e-12)
         assert abs(a["rank"].sum() - 1.0) < 1e-9
+
+
+class TestIncrementalDedupSnapshot:
+    def test_restore_skips_base_and_matches(self, ray_session, tmp_path):
+        import ray.data as rd
+        snap = str(tmp_path / "seen_snap")
+        base = rd.from_pandas(pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"base {i}" for i in range(20)]}))
+        new = rd.from_pandas(pd.DataFrame({
+            "doc_id": range(100, 130),
+            "text": [f"base {i % 25}" for i in range(30)]}))
+        cold = dd.incremental_dedup(base, new, num_shards=3,
+                                    snapshot_dir=snap).to_pandas() \
+            .sort_values("text_hash").reset_index(drop=True)
+        # second refresh: restore path — feed an EMPTY base to prove the
+        # base corpus is not re-read when snapshots exist
+        empty = rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text": pd.Series([], dtype="object")}))
+        warm = dd.incremental_dedup(empty, new, num_shards=3,
+                                    snapshot_dir=snap).to_pandas() \
+            .sort_values("text_hash").reset_index(drop=True)
+        assert cold.equals(warm)
+        # texts base 20..24 are absent from base: exactly those survive
+        assert len(cold) == 5
