@@ -177,7 +177,7 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"text_hash": t["text_hash"],
-                         "doc_id": t[f"min({id_col})"],
+                         id_col: t[f"min({id_col})"],
                          "n_new": t["count()"]})
 
     return unseen.groupby("text_hash").aggregate(
