@@ -198,3 +198,42 @@ class TestMaskPiiSqlParity:
             t3 = re.sub(PII_PHONE_RE, "<PHONE>", t2)
             assert sql_masked == t3, text
             assert sql_ne == len(re.findall(PII_EMAIL_RE, text))
+
+
+_ANCHOR_SQL = r"""
+WITH t(s) AS (SELECT ?),
+pos AS (SELECT s, unnest(range(1, length(s) - 30 + 2)) AS p FROM t
+        WHERE length(s) >= 30),
+anch AS (
+  SELECT DISTINCT substr(s, p, 30) AS win FROM pos
+  WHERE (unicode(substr(s, p, 1)) * 16974593
+       + unicode(substr(s, p + 1, 1)) * 66049
+       + unicode(substr(s, p + 2, 1)) * 257
+       + unicode(substr(s, p + 3, 1))) % 4 = 0)
+SELECT coalesce(count(*), 0)::BIGINT,
+       coalesce(min(('0x' || substr(md5(win), 1, 15))::BIGINT), 0),
+       coalesce(sum(('0x' || substr(md5(win), 1, 15))::BIGINT), 0)
+FROM anch
+"""
+
+# beyond the shared ASCII alphabet: 2-byte (é ñ), 3-byte (中 한) and
+# astral 4-byte (🎉 𝄞) codepoints — the anchor polynomial and window
+# hashing must agree between Python's utf-32 view and DuckDB's
+# codepoint-based length/substr/unicode
+_UNI_ALPHABET = _ALPHABET + "éñüßαв中文한🎉𝄞"
+
+
+class TestAnchorWindowSqlParity:
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(alphabet=_UNI_ALPHABET, max_size=150))
+    def test_anchor_windows_match_sql(self, text):
+        import hashlib
+
+        from news_crawler_ray.functions.textops import _anchor_windows
+        con = duckdb.connect()
+        n_sql, min_sql, sum_sql = con.execute(_ANCHOR_SQL, [text]).fetchone()
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+              for w in _anchor_windows(text, 30, 4)]
+        assert int(n_sql or 0) == len(hs)
+        assert int(min_sql or 0) == (min(hs) if hs else 0)
+        assert int(sum_sql or 0) == sum(hs)
