@@ -85,6 +85,26 @@ def run_bench() -> dict:
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
 
+    # 4. PageRank at bench scale (VERDICT r2 item 7): kernel-extracted
+    #    cross-host edges, then the join form (no node-sized driver
+    #    state) TIMED and pinned to the broadcast host form
+    from news_crawler_ray.functions.linkgraph import (host_pagerank,
+                                                      host_edges,
+                                                      pagerank_join_form)
+    t0 = time.perf_counter()
+    edges = host_edges(paths.pages_dir).materialize()
+    queries["pagerank_edges"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    jf = pagerank_join_form(edges, iters=10)
+    queries["pagerank_join_form"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hp = host_pagerank(edges, iters=10) \
+        .sort_values("host").reset_index(drop=True)
+    queries["pagerank_host_form"] = round(time.perf_counter() - t0, 3)
+    assert list(jf["host"]) == list(hp["host"])
+    pagerank_diff = float((jf["rank"] - hp["rank"]).abs().max())
+    assert pagerank_diff < 1e-9, pagerank_diff
+
     value = round(crawl_sec + bulk_sec, 3)
     result = {
         "metric": "headline crawl + bulk-extract wall time (synthetic "
@@ -105,6 +125,9 @@ def run_bench() -> dict:
             (summary["enqueued_total"] + summary["pages_written"]) / crawl_sec, 1),
         "bulk_pages": n_extracted,
         "bulk_pages_per_sec": round(n_extracted / bulk_sec, 1),
+        "pagerank_hosts": len(hp),
+        # join form pinned to the broadcast host form at bench scale
+        "pagerank_parity_max_abs_diff": pagerank_diff,
     }
     ray.shutdown()
     return result

@@ -30,3 +30,16 @@ owned by bench.py, CLI entry points and the pytest fixture.
 """
 
 __version__ = "0.1.0"
+
+# Known-cosmetic Ray Data warnings (unhashable parquet-metadata schemas;
+# untyped empty map_groups partitions) are filtered at import — see
+# rayutil._KnownCosmeticFilter for why each is provably benign — and the
+# pandas→arrow block conversion is made metadata-free so hash-shuffle
+# aggregators keep their fast schema-dedup path (see
+# rayutil.install_pandas_block_metadata_strip). No session side effects.
+from .rayutil import (install_cosmetic_log_filters as _f1,
+                      install_pandas_block_metadata_strip as _f2)
+
+_f1()
+_f2()
+del _f1, _f2

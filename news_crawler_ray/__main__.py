@@ -87,7 +87,8 @@ def main(argv=None):
             import ray.data as rd
 
             from .pipelines.reports import corpus_stats, per_host_stats
-            ds = rd.read_parquet(args.pages)
+            from news_crawler_ray.rayutil import read_parquet
+            ds = read_parquet(args.pages)
             print(corpus_stats(ds).to_json(orient="records"))
             print(per_host_stats(ds).to_json(orient="records"))
     finally:

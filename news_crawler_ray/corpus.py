@@ -54,9 +54,13 @@ class CorpusSpec:
     langs: tuple = ("it", "en", "es", "de", "fr")
     redirect_every: int = 11     # every Nth article gets a redirect alias
     error_every: int = 13        # every Nth page slot is a 404/500
+    # S8 auto-discovery fixture: each host gets one article that NO hub
+    # links to — it is reachable ONLY through the host's RSS feed, so a
+    # crawl visits it iff the advertised feed was discovered and parsed
+    feed_only_article: bool = False
 
 
-CORPUS_VERSION = 5   # bump when generated content changes (cache key)
+CORPUS_VERSION = 6   # bump when generated content changes (cache key)
 
 
 @dataclass
@@ -78,6 +82,11 @@ def _rng(spec_seed: int, *parts) -> random.Random:
 
 def host_name(i: int) -> str:
     return f"news-{i}.example"
+
+
+def _feed_only_url(host: str) -> str:
+    """The feed-only article url (see CorpusSpec.feed_only_article)."""
+    return f"http://{host}/{SECTIONS[1]}/2021/05/05/feed-only-story-0.html"
 
 
 def host_bucket(host: str, num_buckets: int) -> int:
@@ -157,16 +166,23 @@ def _article_html(host: str, url_path: str, title: str, author: str,
 </body></html>"""
 
 
-def _hub_html(host: str, section: str, lang: str, links: list[str]) -> str:
+def _hub_html(host: str, section: str, lang: str, links: list[str],
+              advertise_feed: bool = False) -> str:
     items = "\n".join(f'<li><a href="{u}">item {i}</a></li>'
                       for i, u in enumerate(links))
     junk = ('<a href="mailto:x@y.example">mail</a> '
             f'<a href="http://{host}/img/banner.jpg">banner</a> '
             f'<a href="http://{host}/p/q?share=twitter">share</a> '
             '<a href="http://shop.other.example/cart">buy</a>')
+    # S8 auto-discovery fixture: the root hub advertises the host feed
+    # with a RELATIVE href (exercises the kernel's head-link
+    # absolutization; extractor.py:137-140 tier of the cascade)
+    feed_link = ('<link rel="alternate" type="application/rss+xml" '
+                 f'title="{host} feed" href="/rss/feed.xml"/>'
+                 if advertise_feed else "")
     return f"""<!DOCTYPE html>
 <html lang="{lang}">
-<head><title>{section} hub | {host} Daily</title></head>
+<head><title>{section} hub | {host} Daily</title>{feed_link}</head>
 <body>
 <nav id="hubnav"><ul>
 {items}
@@ -260,9 +276,22 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                 links.append(f"http://{host_name(h + 1)}/{SECTIONS[0]}/hub-0.html")
             if charset_url and i == 0:
                 links.append(charset_url)
-            html = _hub_html(host, SECTIONS[i % len(SECTIONS)], lang, links)
+            html = _hub_html(host, SECTIONS[i % len(SECTIONS)], lang, links,
+                             advertise_feed=(i == 0))
             emit(bucket, url, EPOCH_BASE_US + row_index * 1_000_000, html,
                  "", lang, 200, None, "text/html")
+            row_index += 1
+
+        if spec.feed_only_article:
+            rng = _rng(spec.seed, host, "feedonly", 0)
+            paragraphs = _paragraphs(rng, lang)
+            fo_url = _feed_only_url(host)
+            html = _article_html(host, "/feedonly", "Feed Only Story",
+                                 f"{rng.choice(_FIRST)} {rng.choice(_LAST)}",
+                                 "2021-05-05T08:00:00", SECTIONS[1], lang,
+                                 paragraphs, [], None)
+            emit(bucket, fo_url, EPOCH_BASE_US + row_index * 1_000_000,
+                 html, " ".join(paragraphs), lang, 200, None, "text/html")
             row_index += 1
 
         if charset_url:
@@ -393,6 +422,12 @@ def generate_corpus(out_dir: str, spec: CorpusSpec | None = None,
                 f"<item><title>{title}</title><link>{url}</link>"
                 f"<category>{section}</category>"
                 f"<pubDate>Mon, 0{1 + a % 9} Jun 2021 10:00:00 GMT</pubDate></item>")
+        if spec.feed_only_article:
+            items.append(
+                f"<item><title>Feed Only Story</title>"
+                f"<link>{_feed_only_url(host)}</link>"
+                f"<category>{SECTIONS[1]}</category>"
+                f"<pubDate>Wed, 05 May 2021 08:00:00 GMT</pubDate></item>")
         xml = (f'<?xml version="1.0"?><rss version="2.0"><channel>'
                f"<title>{host} feed</title><language>{lang}</language>"
                f"<lastBuildDate>Tue, 01 Jun 2021 09:00:00 GMT</lastBuildDate>"
@@ -428,6 +463,7 @@ def default_corpus(tag: str, **spec_kwargs) -> CorpusPaths:
     absent."""
     spec = CorpusSpec(**spec_kwargs)
     key = (f"{tag}_h{spec.num_hosts}_p{spec.pages_per_host}"
-           f"_f{spec.hot_host_factor}_s{spec.seed}_v{CORPUS_VERSION}")
+           f"_f{spec.hot_host_factor}_s{spec.seed}_v{CORPUS_VERSION}"
+           + ("_fo" if spec.feed_only_article else ""))
     out = os.path.join("/tmp", f"ncr_corpus_{key}")
     return generate_corpus(out, spec)

@@ -158,6 +158,8 @@ class PageExtract:
     links: list[str] = field(default_factory=list)
     outbound_links: list[str] = field(default_factory=list)
     har: list[str] = field(default_factory=list)
+    # S8 feed auto-discovery (extractor.py:136-158 via rss_finder.py:12-39)
+    feed_urls: list[str] = field(default_factory=list)
     nav_blocks_flagged: int = 0
     # M20 meta extractors (transient in the reference — never persisted
     # to the pages row; exposed on the kernel API)
@@ -232,6 +234,8 @@ class ExtractKernel:
         result.outbound_links = self._outbound_links(body, url)
         result.har = self._collect_har(tree, urlnorm.get_domain(
             f"{scheme}://{url}" if "://" not in url else url))
+        result.feed_urls = self._discover_feeds(
+            tree, url, scheme, urlnorm.get_principal_domain_www(url))
 
         if result.language and len(result.language) >= 2:
             result.language = result.language[:2].lower()
@@ -307,6 +311,66 @@ class ExtractKernel:
                 self._nav_memo.clear()
             v = self._nav_memo[url] = urlnorm.is_valid_url_to_navigate(url)
         return v
+
+    def _discover_feeds(self, tree: Node, url: str, scheme: str,
+                        host_www: str | None) -> list[str]:
+        """S8 feed auto-discovery — the ``extract_feed_rss`` cascade
+        (extractor.py:136-158), run per extracted page so feeds advertised
+        anywhere on the site reach the S8 parse path (the reference's
+        RssFinder, rss_finder.py:12-39, runs the same cascade on the
+        domain root it browses).
+
+        Three tiers, each only when the previous found nothing:
+          1. ``<link rel="alternate" type="application/rss+xml|
+             application/atom+xml">`` hrefs (extractor.py:137-140)
+          2. anchors whose href contains ``.xml`` AND whose url filetype
+             is exactly ``xml`` (extractor.py:141-147)
+          3. anchors whose href contains ``rss`` or ``feed``: invalid
+             URLs are retried as ``{page_url}/{href}``; valid ones kept
+             unless equal to the page's own url (extractor.py:148-157)
+
+        Relative-href note: the reference absolutizes ``/``-rooted hrefs
+        across the WHOLE document before discovery (its ``//*`` xpath at
+        extractor.py:252 is document-absolute despite the body context
+        node), while this kernel's ``_fix_relative_urls`` walks the body
+        only — so head ``<link>`` hrefs are absolutized here inline,
+        same observable result. Order-preserving dict dedup like the
+        reference's dict keys."""
+        base = f"{scheme}://{host_www}" if host_www else ""
+        feeds: dict[str, None] = {}
+
+        def absolutize(href: str) -> str:
+            if href.startswith("//"):
+                return f"{scheme}:{href}"
+            if href.startswith("/") and base:
+                return base + href
+            return href
+
+        for n in tree.iter("link"):
+            if (n.get("rel") == "alternate"
+                    and n.get("type") in ("application/rss+xml",
+                                          "application/atom+xml")):
+                href = n.get("href")
+                if href:
+                    feeds.setdefault(absolutize(href))
+        if not feeds:
+            for a in tree.iter("a"):
+                href = a.get("href")
+                if (href and ".xml" in href
+                        and urlnorm.get_filetype_from_url(href) == "xml"):
+                    feeds.setdefault(href)
+        if not feeds:
+            for a in tree.iter("a"):
+                href = a.get("href")
+                if not href or ("rss" not in href and "feed" not in href):
+                    continue
+                if not urlnorm.is_valid_url(href):
+                    candidate = f"{url}/{href}"
+                    if urlnorm.is_valid_url(candidate):
+                        feeds.setdefault(candidate)
+                elif not urlnorm.are_equals_urls(href, url):
+                    feeds.setdefault(href)
+        return list(feeds)
 
     def _outbound_links(self, body: Node, url: str) -> list[str]:
         """M13 (extractor.py:284-295): hrefs NOT containing the principal

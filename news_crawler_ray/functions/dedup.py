@@ -107,8 +107,15 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
     ``num_shards``, the shards RESTORE from parquet instead of
     re-reading the base corpus; otherwise the base is read once and
     snapshotted there (SeenShard.snapshot — the same checkpoint format
-    the crawl's URL-seen set uses for resume).
+    the crawl's URL-seen set uses for resume). A ``manifest.json``
+    written alongside the shards records the shard count plus a base
+    fingerprint (row count + order-independent XOR of the key hashes);
+    restore is attempted ONLY when the manifest's num_shards matches —
+    a snapshot taken at a different shard count routed keys mod a
+    different modulus, so probing it would silently miss base texts.
+    On any mismatch the base is reseeded and the snapshot rewritten.
     """
+    import json as _json
     import os as _os
 
     import ray as _ray
@@ -124,11 +131,19 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
                               f"dedup_seen_shard_{i:03d}.parquet")
                 for i in range(num_shards)]
 
+    def _manifest_path() -> str:
+        return _os.path.join(snapshot_dir, "dedup_seen_manifest.json")
+
     restored = False
-    if snapshot_dir and all(_os.path.exists(p) for p in _snap_paths()):
-        _ray.get([s.restore.remote(p)
-                  for s, p in zip(shards, _snap_paths())])
-        restored = True
+    if snapshot_dir and _os.path.exists(_manifest_path()) \
+            and all(_os.path.exists(p) for p in _snap_paths()):
+        with open(_manifest_path()) as f:
+            manifest = _json.load(f)
+        if manifest.get("num_shards") == num_shards:
+            _ray.get([s.restore.remote(p)
+                      for s, p in zip(shards, _snap_paths())])
+            restored = True
+        # else: layout mismatch — fall through and reseed from base
 
     def _keys(batch: pa.Table) -> tuple[list[bytes], np.ndarray]:
         # 16-byte md5 padded to the shards' 20-byte key width; shard
@@ -145,17 +160,34 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
         _ray.get([shards[s].add_if_absent.remote(
             [k for k, r in zip(ks, route) if r == s])
             for s in set(route.tolist())])
-        return pa.table({"n": pa.array([len(ks)], pa.int64())})
+        # per-batch fingerprint partial: XOR of the key hashes is
+        # order- and batching-independent, so the fold below is
+        # deterministic under any parallel read plan
+        x = 0
+        for k in ks:
+            x ^= int.from_bytes(k[:8], "big")
+        return pa.table({"n": pa.array([len(ks)], pa.int64()),
+                         "x": pa.array([x], pa.uint64())})
 
     # barrier by construction: the seeding pass must finish before any
-    # increment batch probes (count() drives the full base read)
+    # increment batch probes (to_pandas of the tiny one-row-per-batch
+    # partials drives the full base read)
     if not restored:
-        base_ds.select_columns([text_col]).map_batches(
-            seed, batch_format="pyarrow").count()
+        parts = base_ds.select_columns([text_col]).map_batches(
+            seed, batch_format="pyarrow").to_pandas()
         if snapshot_dir:
             _os.makedirs(snapshot_dir, exist_ok=True)
             _ray.get([s.snapshot.remote(p)
                       for s, p in zip(shards, _snap_paths())])
+            base_xor = 0
+            for x in parts["x"]:
+                base_xor ^= int(x)
+            tmp = _manifest_path() + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump({"num_shards": num_shards,
+                            "base_rows": int(parts["n"].sum()),
+                            "base_xor": f"{base_xor:016x}"}, f)
+            _os.replace(tmp, _manifest_path())
 
     def probe(batch: pa.Table) -> pa.Table:
         ks, route = _keys(batch)
@@ -180,8 +212,18 @@ def incremental_dedup(base_ds: "rd.Dataset", new_ds: "rd.Dataset", *,
                          id_col: t[f"min({id_col})"],
                          "n_new": t["count()"]})
 
-    return unseen.groupby("text_hash").aggregate(
-        Min(id_col), Count()).map_batches(rename, batch_format="pyarrow")
+    # materialize BEFORE returning so the shard actors can be torn down
+    # deterministically here (their 0.25-CPU reservations otherwise
+    # accumulate across refreshes in one session until map tasks starve
+    # — an observed 4-refresh deadlock at num_cpus=4). The materialized
+    # output is id-level survivor rows (text_hash, id, count) — bounded
+    # by the increment's distinct unseen texts, never payload-sized.
+    out = unseen.groupby("text_hash").aggregate(
+        Min(id_col), Count()).map_batches(
+        rename, batch_format="pyarrow").materialize()
+    for s in shards:
+        _ray.kill(s)
+    return out
 
 
 def near_dup_text_groups(ds: "rd.Dataset", text_col: str = "text",
@@ -348,6 +390,13 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                           # shuffle actors on small clusters (deadlock)
                           concurrency=(1, _hash_pool_cap(concurrency))) \
         .materialize()
+    if sigs.count() == 0:
+        # free on materialized data: an empty corpus would feed
+        # zero-block inputs into the joins (Acero FieldRef error)
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "similarity": pa.array([], pa.float64())}))
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
@@ -364,7 +413,8 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                          "band": pa.array(bnd, pa.int32()),
                          "band_hash": pa.array(bh, pa.string())})
 
-    bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow")
+    bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow",
+                                batch_size=4096)
 
     # hot buckets via the native distributed count — LSH buckets are
     # overwhelmingly singletons, so everything downstream of this filter
@@ -376,9 +426,25 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
         return pa.table({"band": t["band"].cast(pa.int32()),
                          "band_hash": t["band_hash"]})
 
-    hot = counts.map_batches(hot_keys, batch_format="pyarrow")
-    colliding = bands_ds.join(hot, join_type="inner", num_partitions=8,
-                              on=("band", "band_hash"))
+    # hot is materialized (tiny: count-filtered colliding keys only) so
+    # a collision-free corpus can SKIP the join entirely — Ray's hash
+    # join cannot take a zero-row side (its aggregators build the
+    # partition table without a schema → Acero FieldRef error)
+    hot = counts.map_batches(hot_keys,
+                             batch_format="pyarrow").materialize()
+    if hot.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "similarity": pa.array([], pa.float64())}))
+    # project_blocks between the joins: a hash join emits ZERO-COLUMN
+    # blocks for its empty partitions, which the next join's FieldRef
+    # resolution rejects — the explicit projection re-bundles them away
+    from ..rayutil import project_blocks
+    colliding = project_blocks(
+        bands_ds.join(hot, join_type="inner", num_partitions=8,
+                      on=("band", "band_hash")),
+        ["doc_id", "band", "band_hash"])
 
     def sig_blob(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -393,7 +459,8 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     # repartition: the downstream verify's map_groups parallelism is
     # capped by this join's block count (same effect as in simhash_pairs)
     with_sigs = colliding.join(
-        sigs.map_batches(sig_blob, batch_format="pyarrow"),
+        sigs.map_batches(sig_blob, batch_format="pyarrow",
+                         batch_size=4096),
         join_type="inner", num_partitions=8, on=("doc_id",)) \
         .repartition(32)
 
@@ -502,8 +569,11 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
         return pa.table({"node": pa.array(np.concatenate([a, b])),
                          "nbr": pa.array(np.concatenate([b, a]))})
 
+    # explicit batch_size: coalesces away zero-column EMPTY pass-through
+    # blocks (e.g. empty LSH bucket partitions), which would otherwise
+    # skip the UDF and reach the joins below without the key columns
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        explode, batch_format="pyarrow").materialize()
+        explode, batch_format="pyarrow", batch_size=4096).materialize()
     if edges.count() == 0:
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
@@ -521,15 +591,25 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
     # vectorized over sorted runs)
     from ray.data.aggregate import Min
 
-    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node", as_index=False)["label"].min()
+    def partial_min(t: pa.Table) -> pa.Table:
+        # arrow in/out so empty pass-through blocks keep one uniform
+        # block format, and metadata-free so the shuffle aggregators
+        # keep their fast schema-dedup path
+        df = t.to_pandas().groupby("node", as_index=False)["label"].min()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def min_by_node(ds_in: "rd.Dataset") -> "rd.Dataset":
-        return ds_in.map_batches(partial_min, batch_format="pandas") \
-            .groupby("node").aggregate(Min("label", alias_name="label")) \
+        from ..rayutil import project_blocks
+        agg = ds_in.map_batches(partial_min, batch_format="pyarrow") \
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+        # aggregate output feeds the next round's JOIN: normalize blocks
+        # (the aggregator actors re-attach pandas schema metadata)
+        return project_blocks(agg, ["node", "label"]) \
             .repartition(4).materialize()
 
-    labels = min_by_node(edges.map_batches(seed, batch_format="pyarrow"))
+    labels = min_by_node(edges.map_batches(seed, batch_format="pyarrow",
+                                           batch_size=4096))
 
     for _ in range(max_iters):
         # ship each node's label to its neighbors: edges ⋈ labels on the
@@ -539,12 +619,12 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
                 labels.map_batches(
                     lambda t: pa.table({"nbr": t["node"],
                                         "nbr_label": t["label"]}),
-                    batch_format="pyarrow"),
+                    batch_format="pyarrow", batch_size=4096),
                 join_type="inner", num_partitions=8,
                 on=("nbr",)).map_batches(
                 lambda t: pa.table({"node": t["node"],
                                     "label": t["nbr_label"]}),
-                batch_format="pyarrow")
+                batch_format="pyarrow", batch_size=4096)
             new_labels = min_by_node(labels.union(incoming))
 
         # fixpoint check: any label changed this round?
@@ -553,7 +633,7 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
                 labels.map_batches(
                     lambda t: pa.table({"node": t["node"],
                                         "old_label": t["label"]}),
-                    batch_format="pyarrow"),
+                    batch_format="pyarrow", batch_size=4096),
                 join_type="inner", num_partitions=8, on=("node",))
             changed = joined.map_batches(
                 lambda t: pa.table({"n": pa.array([int(np.sum(
@@ -572,7 +652,7 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"],
                             "cluster_rep": t["label"]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=4096)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -678,7 +758,17 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          "simhash": pa.array(np.tile(fp, n_seg))})
 
     # n_seg rows/doc × 24 B — cheap to keep resident for the two passes
-    seg_ds = fps.map_batches(explode, batch_format="pyarrow").materialize()
+    # (explicit batch_size: coalesces away empty pass-through blocks
+    # that would reach the join below without the key columns)
+    seg_ds = fps.map_batches(explode, batch_format="pyarrow",
+                             batch_size=4096).materialize()
+    if seg_ds.count() == 0:
+        # free on materialized data: an empty corpus would feed
+        # zero-block inputs into the join (Acero FieldRef error)
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
 
     # hot-bucket pre-filter via native count (see minhash_lsh_pairs):
     # only non-singleton (segment, value) buckets reach the verify
@@ -688,7 +778,17 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
         return pa.table({"segment": t["segment"].cast(pa.int32()),
                          "value": t["value"].cast(pa.int32())})
 
-    hot = counts.map_batches(hot_keys, batch_format="pyarrow")
+    # hot is materialized (tiny: count-filtered colliding keys only) so
+    # a collision-free corpus can SKIP the join entirely — Ray's hash
+    # join cannot take a zero-row side (its aggregators build the
+    # partition table without a schema → Acero FieldRef error)
+    hot = counts.map_batches(hot_keys,
+                             batch_format="pyarrow").materialize()
+    if hot.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
     # repartition after the join: the groupby's sort inherits the join's
     # block count (8), which would cap the downstream verify at 8 tasks
     # and leave 3/4 of a 32-core box idle during the O(bucket²) verify.

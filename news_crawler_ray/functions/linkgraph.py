@@ -28,7 +28,7 @@ import ray
 import ray.data as rd
 
 from .. import urlnorm
-from ..rayutil import cached_object
+from ..rayutil import cached_object, read_parquet
 
 
 def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
@@ -59,7 +59,7 @@ def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
         return pa.table({"src_host": pa.array(srcs, pa.string()),
                          "dst_host": pa.array(dsts, pa.string())})
 
-    return rd.read_parquet(pages_dir, columns=["url", "html"]) \
+    return read_parquet(pages_dir, columns=["url", "html"]) \
         .map_batches(emit, batch_format="pyarrow",
                      batch_size=batch_size) \
         .groupby(["src_host", "dst_host"]) \

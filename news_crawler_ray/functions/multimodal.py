@@ -1,18 +1,24 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio decode libraries are not available in this container, so
-the decode kernels are STUBS behind an import-try (real decode raises
-``NotImplementedError`` with instructions; the deterministic fake decoder
-derives metadata from the payload bytes) — while all the Ray-side
-plumbing is real and tested: schemas, small batch sizes for wide binary
-rows (SURVEY.md §7.4 item 6), actor signatures, output layout.
+Decode is REAL for the uncompressed container formats a pure-stdlib +
+numpy parser can handle — 24-bit BI_RGB **BMP**, binary **PPM** (P6)
+and PCM **WAV** (``decode_bmp`` / ``decode_ppm`` / ``decode_wav``
+below, format-sniffed by magic bytes): actual pixel arrays and sample
+frames, golden-tested on known images. Compressed formats (JPEG/PNG/
+H.264/…) need PIL/ffmpeg, absent in this container, so those fall back
+to a clearly-marked deterministic FAKE decoder (metadata derived from
+the payload bytes) — while all the Ray-side plumbing is real either
+way: schemas, small batch sizes for wide binary rows (SURVEY.md §7.4
+item 6), actor signatures, output layout.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
@@ -45,8 +51,171 @@ def fake_decode_meta(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Real pure-stdlib decoders (uncompressed containers)
+# ---------------------------------------------------------------------------
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | None."""
+    p = payload or b""
+    if p[:2] == b"BM":
+        return "bmp"
+    if p[:2] == b"P6":
+        return "ppm"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed (BI_RGB) BMP → real pixels.
+
+    Returns {width, height, pixels: np.uint8 (h, w, 3) RGB, top row
+    first}. Handles the standard bottom-up row order and 4-byte row
+    padding; rejects anything that is not 24bpp/BI_RGB."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (got {bpp}bpp, "
+                         f"compression {compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = ((24 * width + 31) // 32) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * height,
+                         offset=data_off).reshape(height, row_size)
+    px = rows[:, : width * 3].reshape(height, width, 3)[..., ::-1]  # BGR→RGB
+    if bottom_up:
+        px = px[::-1]
+    return {"width": width, "height": height,
+            "pixels": np.ascontiguousarray(px)}
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """Inverse of :func:`decode_bmp`: (h, w, 3) RGB uint8 → 24-bit
+    bottom-up BI_RGB BMP bytes (fixture/round-trip encoder)."""
+    h, w, _ = pixels.shape
+    row_size = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR
+    body = rows.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6, maxval ≤ 255) → real pixels (h, w, 3) RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokenizer: three ints after the magic; '#' comments to EOL
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3,
+                       offset=pos).reshape(height, width, 3)
+    return {"width": width, "height": height,
+            "pixels": np.ascontiguousarray(px)}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV → real samples.
+
+    Returns {sample_rate, n_channels, bits_per_sample, n_samples,
+    samples: np.int16 (n_samples, n_channels)} (16-bit PCM; 8-bit is
+    widened). Walks RIFF chunks, so extra chunks (LIST, fact) are
+    skipped correctly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (format "
+                         f"{audio_format}, {bits} bits)")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+    n_samples = len(samples) // n_channels
+    return {"sample_rate": sample_rate, "n_channels": n_channels,
+            "bits_per_sample": bits, "n_samples": n_samples,
+            "samples": samples[: n_samples * n_channels]
+            .reshape(n_samples, n_channels)}
+
+
+def real_decode_meta(payload: bytes) -> dict:
+    """Real metadata for the stdlib-decodable formats; raises
+    ``NotImplementedError`` for anything else (compressed formats need
+    PIL/ffmpeg). Audio maps onto the shared schema as width=height=0
+    and n_frames=sample frames."""
+    kind = sniff_format(payload or b"")
+    digest = hashlib.sha1(payload or b"").digest()
+    base = {"byte_len": len(payload or b""),
+            "sha1_prefix": digest[:8].hex(),
+            "sample_rate": 0, "n_channels": 0}
+    if kind == "bmp" or kind == "ppm":
+        d = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+        return {**base, "width": d["width"], "height": d["height"],
+                "n_frames": 1,
+                # checksum of the DECODED pixels — proves real decode
+                # (a header-only parse could fake width/height)
+                "pixel_sha1": hashlib.sha1(
+                    d["pixels"].tobytes()).hexdigest()[:16]}
+    if kind == "wav":
+        d = decode_wav(payload)
+        return {**base, "width": 0, "height": 0,
+                "n_frames": d["n_samples"],
+                "sample_rate": d["sample_rate"],
+                "n_channels": d["n_channels"],
+                "pixel_sha1": hashlib.sha1(
+                    d["samples"].tobytes()).hexdigest()[:16]}
+    raise NotImplementedError(
+        f"real decode supports BMP/PPM/WAV here (got "
+        f"{(payload or b'')[:4]!r}); compressed formats need PIL/ffmpeg")
+
+
 class MediaDecodeStage:
     """Actor-pool stage: binary payload → typed metadata columns.
+
+    ``real_decode=True`` decodes ACTUAL pixels/samples for the
+    stdlib-parsable formats (BMP/PPM/WAV — see module doc) and emits
+    two extra columns (``sample_rate``, ``n_channels``) plus a
+    ``pixel_sha1`` checksum of the decoded array; payloads outside
+    those formats raise. ``real_decode=False`` keeps the deterministic
+    fake decoder for arbitrary payloads.
 
     Use ``map_batches(MediaDecodeStage, batch_size=SMALL, concurrency=N,
     batch_format="pyarrow")`` — batch_size stays small because each row
@@ -54,15 +223,12 @@ class MediaDecodeStage:
     worker heap."""
 
     def __init__(self, real_decode: bool = False):
-        if real_decode and not _HAS_PIL:
-            raise NotImplementedError(
-                "real image decode needs PIL/ffmpeg, absent here; use "
-                "real_decode=False for the deterministic fake decoder")
         self.real_decode = real_decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = [fake_decode_meta(p) for p in batch["payload"].to_pylist()]
-        out = pa.table({
+        decode = real_decode_meta if self.real_decode else fake_decode_meta
+        metas = [decode(p) for p in batch["payload"].to_pylist()]
+        cols = {
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
             "byte_len": pa.array([m["byte_len"] for m in metas], pa.int64()),
@@ -70,8 +236,15 @@ class MediaDecodeStage:
             "width": pa.array([m["width"] for m in metas], pa.int32()),
             "height": pa.array([m["height"] for m in metas], pa.int32()),
             "n_frames": pa.array([m["n_frames"] for m in metas], pa.int32()),
-        })
-        return out   # payload projected away: downstream is metadata-only
+        }
+        if self.real_decode:
+            cols["sample_rate"] = pa.array(
+                [m["sample_rate"] for m in metas], pa.int32())
+            cols["n_channels"] = pa.array(
+                [m["n_channels"] for m in metas], pa.int32())
+            cols["pixel_sha1"] = pa.array(
+                [m["pixel_sha1"] for m in metas], pa.string())
+        return pa.table(cols)   # payload projected away: metadata-only
 
 
 class FrameSampleStage:
@@ -101,23 +274,32 @@ class ResizeStage:
     """Actor-pool stage: binary payload → resized binary payload +
     output dims — the binary→binary shape (unlike decode, the payload
     stays in flight, so ``batch_size × concurrency × payload`` must fit
-    the worker heap; callers keep batch_size small). Real resampling is
-    stubbed (no PIL); the fake transform is deterministic: output bytes
-    are a sha1-keyed digest stream proportional to the target area, so
+    the worker heap; callers keep batch_size small). With
+    ``real_decode=True`` the resample is REAL for 24-bit BMP
+    (nearest-neighbor over decoded pixels, golden-tested); the fake
+    transform stays for arbitrary payloads: output bytes are a
+    sha1-keyed digest stream proportional to the target area, so
     size/layout behavior is realistic."""
 
     def __init__(self, target_w: int = 32, target_h: int = 32,
                  real_decode: bool = False):
-        if real_decode:
-            # no real resampling implementation exists yet (and PIL is
-            # absent in this container anyway) — refuse loudly rather
-            # than silently emitting fake payloads the caller believes
-            # are real resized images
-            raise NotImplementedError(
-                "real image resize is not implemented (needs PIL); use "
-                "real_decode=False for the deterministic fake")
+        # real_decode=True: ACTUAL nearest-neighbor resample for BMP
+        # payloads (decode_bmp → index grid → encode_bmp); other
+        # formats raise (compressed formats need PIL). False keeps the
+        # deterministic fake for arbitrary payloads.
+        self.real_decode = real_decode
         self.target_w = target_w
         self.target_h = target_h
+
+    def _real_resize(self, payload: bytes) -> bytes:
+        if sniff_format(payload) != "bmp":
+            raise NotImplementedError(
+                "real resize supports 24-bit BMP here; compressed "
+                "formats need PIL")
+        d = decode_bmp(payload)
+        yi = (np.arange(self.target_h) * d["height"]) // self.target_h
+        xi = (np.arange(self.target_w) * d["width"]) // self.target_w
+        return encode_bmp(np.ascontiguousarray(d["pixels"][yi][:, xi]))
 
     def _fake_resize(self, payload: bytes) -> bytes:
         n = max(1, (self.target_w * self.target_h) // 20)
@@ -128,8 +310,8 @@ class ResizeStage:
         return (seed * reps)[:n]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        resized = [self._fake_resize(p)
-                   for p in batch["payload"].to_pylist()]
+        fn = self._real_resize if self.real_decode else self._fake_resize
+        resized = [fn(p) for p in batch["payload"].to_pylist()]
         n = len(resized)
         return pa.table({
             "media_id": batch["media_id"],

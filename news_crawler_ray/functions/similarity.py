@@ -164,7 +164,8 @@ class IvfIndex:
         if not files:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "cos_sim": pd.Series([], dtype="float64")})
-        sub = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
+        from ..rayutil import read_parquet
+        sub = read_parquet(files, columns=[self.id_col, self.vec_col])
         return cosine_topk(sub, q, k=k, id_col=self.id_col,
                            vec_col=self.vec_col)
 

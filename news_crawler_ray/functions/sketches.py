@@ -101,7 +101,8 @@ def approx_distinct_tokens(ds: "rd.Dataset", text_col: str = "text",
     parts = ds.select_columns([text_col]).map_batches(
         partial, batch_format="pandas").to_pandas()
     merged = HyperLogLog(p)
-    for blob in parts["sketch"]:
+    # an EMPTY corpus yields a zero-block dataset (no 'sketch' column)
+    for blob in (parts["sketch"] if "sketch" in parts.columns else ()):
         merged.merge(HyperLogLog.deserialize(blob))
     return merged.estimate()
 
@@ -148,6 +149,9 @@ def heavy_hitters(ds: "rd.Dataset", *, k: int = 256,
     merged = ds.select_columns([text_col]) \
         .map_batches(summarize, batch_format="pandas") \
         .groupby("item").aggregate(Sum("n", alias_name="n")).to_pandas()
+    if "item" not in merged.columns:   # empty corpus → zero-block output
+        merged = pd.DataFrame({"item": pd.Series([], dtype="object"),
+                               "n": pd.Series([], dtype="int64")})
     final = _mg_trim(dict(zip(merged["item"], merged["n"])), k)
     out = pd.DataFrame({
         "item": list(final),
@@ -238,7 +242,8 @@ def build_bloom(ds: "rd.Dataset", *, key_col: str, m_bits: int,
     parts = ds.select_columns([key_col]).map_batches(
         partial, batch_format="pandas").to_pandas()
     merged = BloomFilter(m_bits, k)
-    for blob in parts["sketch"]:
+    # an EMPTY key table yields a zero-block dataset (no 'sketch' column)
+    for blob in (parts["sketch"] if "sketch" in parts.columns else ()):
         merged.merge(BloomFilter.deserialize(blob))
     return merged
 
@@ -330,7 +335,8 @@ def approx_quantiles(ds: "rd.Dataset", *, value_col: str,
     parts = ds.select_columns([value_col]).map_batches(
         partial, batch_format="pandas").to_pandas()
     merged = TDigest(delta)
-    for blob in parts["sketch"]:
+    # an EMPTY value table yields a zero-block dataset (no 'sketch')
+    for blob in (parts["sketch"] if "sketch" in parts.columns else ()):
         merged.merge(TDigest.deserialize(blob))
     return pd.DataFrame({
         "q": pd.Series(qs, dtype="float64"),

@@ -129,8 +129,14 @@ def seeded_shuffle_positions(ds: "rd.Dataset", *, seed: str = "shuf-v1",
                              "c": c.astype(np.int64)})
 
     totals = hashed_ds.map_batches(pcounts, batch_format="pandas") \
-        .groupby("part").sum("c").to_pandas() \
-        .sort_values("part").reset_index(drop=True)
+        .groupby("part").sum("c").to_pandas()
+    if "part" not in totals.columns:   # empty input → typed empty ranks
+        import pyarrow as pa
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
+    totals = totals.sort_values("part").reset_index(drop=True)
     csum = totals["sum(c)"].cumsum().shift(1, fill_value=0)
     offsets_ref = ray.put((totals["part"].to_numpy(dtype=np.int64),
                            csum.to_numpy(dtype=np.int64)))
@@ -182,7 +188,7 @@ def grouped_hash_sample_k(ds: "rd.Dataset", *, key_col: str,
             dtype=np.int64, count=len(batch))
         best = batch.sort_values(["_rank", id_col], kind="mergesort") \
             .groupby(key_col, as_index=False, sort=False).head(k).copy()
-        best["bucket"] = salt_bucket(best[key_col])
+        best["bucket"] = salt_bucket(best[key_col], num_buckets)
         return best
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -162,6 +162,14 @@ def tfidf_top_terms(ds: "rd.Dataset", *, text_col: str = "text",
     differs well below 1e-6 absolute at these magnitudes.
     """
     n_docs = float(ds.count())
+    if n_docs == 0:
+        # zero-cost early exit (the count above is already paid): an
+        # empty corpus would feed zero-block inputs into the tf⋈df
+        # join (Acero FieldRef error) — return the typed empty instead
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "token": pa.array([], pa.string()),
+            "tfidf_micro": pa.array([], pa.int64())}))
     # materialize: tf feeds BOTH the df groupby subtree and the join's
     # left input — Ray Data has no common-subexpression elimination, so
     # an unpinned tf would tokenize the whole corpus twice
@@ -483,6 +491,13 @@ def duplicated_substrings(ds: "rd.Dataset", *, window: int = 30,
     # unpinned plan would re-anchor the whole corpus twice
     perdoc = ds.select_columns([id_col, text_col]).map_batches(
         emit, batch_format="pandas").materialize()
+    if perdoc.count() == 0:
+        # free on materialized data: a zero-window corpus would feed
+        # zero-block inputs into the join (Acero FieldRef error)
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "dup_windows": pa.array([], pa.int64())}))
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         # rows are distinct per (doc, h) by construction, so a row

@@ -110,8 +110,11 @@ def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
     t-digest), at which point the result is approximate and leaves the
     oracle gate — its rank error is pinned against this function in
     tests/test_sketches_modes.py."""
-    hist = ds.groupby(value_col).count().to_pandas() \
-        .sort_values(value_col).reset_index(drop=True)
+    hist = ds.groupby(value_col).count().to_pandas()
+    if value_col not in hist.columns or not len(hist):
+        hist = pd.DataFrame()   # zero-block empty (no columns)
+    else:
+        hist = hist.sort_values(value_col).reset_index(drop=True)
     if not len(hist):
         # empty input: the SQL twin returns 0 rows; degrade identically
         return pd.DataFrame({"q": pd.Series([], dtype="float64"),
@@ -136,8 +139,12 @@ def grouped_quantiles(ds: "rd.Dataset", *, key_col: str, value_col: str,
     by the same low-cardinality contract as :func:`exact_quantiles`).
     Same index rule: element at 0-based ``floor(q·(n_k-1))`` within each
     key's sorted multiset."""
-    hist = ds.groupby([key_col, value_col]).count().to_pandas() \
-        .sort_values([key_col, value_col]).reset_index(drop=True)
+    hist = ds.groupby([key_col, value_col]).count().to_pandas()
+    if key_col not in hist.columns:   # empty input → zero-block output
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "q": pd.Series([], dtype="float64"),
+                             "val": pd.Series([], dtype="float64")})
+    hist = hist.sort_values([key_col, value_col]).reset_index(drop=True)
     rows = []
     for key, g in hist.groupby(key_col, sort=True):
         counts = g["count()"].to_numpy(dtype=np.int64)
@@ -244,8 +251,13 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
 
     totals = ds.select_columns([key_col, value_col]) \
         .map_batches(partials, batch_format="pyarrow") \
-        .groupby("part").sum("psum").to_pandas() \
-        .sort_values("part").reset_index(drop=True)
+        .groupby("part").sum("psum").to_pandas()
+    if "part" not in totals.columns:   # empty input → typed empty scan
+        return rd.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64()),
+            "running": pa.array([], pa.int64())}))
+    totals = totals.sort_values("part").reset_index(drop=True)
     # exclusive offset per partition, broadcast as TWO NUMPY ARRAYS
     # (sorted part ids + offsets, searchsorted lookup): a Python dict of
     # boxed ints would cost ~100 B/entry to pickle and unpickle per
@@ -345,8 +357,8 @@ def latest_per_key(ds: "rd.Dataset", *, key_col: str,
             .drop_duplicates(key_col, keep="first").copy()
         # set the column on empty frames too: an empty block missing
         # "bucket" would diverge from the non-empty block schema
-        best["bucket"] = salt_bucket(best[key_col]) if len(best) \
-            else pd.Series([], dtype="int32")
+        best["bucket"] = salt_bucket(best[key_col], num_buckets) \
+            if len(best) else pd.Series([], dtype="int32")
         return best
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -390,7 +402,7 @@ def grouped_pearson(ds: "rd.Dataset", *, key_col: str, x_col: str,
                           "n": 1, "sx": x, "sy": y, "sxy": x * y,
                           "sxx": x * x, "syy": y * y}) \
             .groupby(key_col, as_index=False).sum()
-        g["bucket"] = salt_bucket(g[key_col])
+        g["bucket"] = salt_bucket(g[key_col], num_buckets)
         return g
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

@@ -25,9 +25,18 @@ from .pipelines.crawl import LINK_SEQ_STRIDE
 def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
                  max_attempts: int = 2, dequeue_cap: int = 200,
                  max_in_flight_override: int | None = None,
-                 round_ms: int = 1000, max_rounds: int = 10_000) -> dict:
+                 round_ms: int = 1000, max_rounds: int = 10_000,
+                 rss_discovery: bool = False) -> dict:
     """Run the crawl sequentially; returns
-    ``{"pages": pa.Table, "order": pa.Table, "seen": set[str]}``."""
+    ``{"pages": pa.Table, "order": pa.Table, "seen": set[str]}``.
+
+    ``rss_discovery`` mirrors the engine's S8 auto-discovery contract
+    (reference RssFinder, rss_finder.py:12-39), written independently of
+    the engine's ``_enqueue_rss``: after each round, the distinct
+    canonical feed urls advertised by that round's pages (the kernel's
+    extract_feed_rss cascade) are matched against the corpus feeds
+    sidecar; each NEWLY discovered feed's entries are seen-checked and
+    enqueued for the next round in sidecar row order."""
     import os
     import pyarrow.parquet as pq
 
@@ -61,6 +70,51 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
             recs["seq64"].append(seq)
             recs["url_to_refer"].append(None)
     frontier.enqueue(recs)
+
+    # S8 auto-discovery state (sidecar rows in file order + the
+    # browsed-once set + freshness timestamps + entry seq counter)
+    feeds_rows: list[tuple] = []
+    if rss_discovery:
+        feeds_path = os.path.join(corpus_root, "feeds.parquet")
+        if os.path.exists(feeds_path):
+            fd = pq.read_table(feeds_path).to_pydict()
+            feeds_rows = list(zip(fd["host"], fd["url"], fd["xml"]))
+    rss_discovered: set[str] = set()
+    rss_last_update: dict[str, str] = {}
+    rss_seq = 1_000_000
+
+    def enqueue_feed_entries(new_canon: set[str], round_added: int):
+        nonlocal rss_seq
+        from .sources.rss import parse_feed_xml
+        for host, feed_url, xml in feeds_rows:
+            if urlnorm.canonical_url(feed_url) not in new_canon:
+                continue
+            feed = parse_feed_xml(xml)
+            updated = feed["updated"]
+            last = rss_last_update.get(feed_url)
+            if (last is not None and updated is not None
+                    and not updated.isoformat() > last):
+                continue
+            if updated is not None:
+                rss_last_update[feed_url] = updated.isoformat()
+            enq = {k: [] for k in ("url", "host", "is_webnews",
+                                   "round_added", "seq64", "url_to_refer")}
+            for e in feed["entries"]:
+                if not e["link"]:
+                    continue
+                link = urlnorm.clean_url(e["link"], remove_arguments=False)
+                canon = urlnorm.canonical_url(link)
+                if not seen.add_if_absent([urlnorm.url_key(canon)])[0]:
+                    rss_seq += 1
+                    continue
+                enq["url"].append(canon)
+                enq["host"].append(urlnorm.host_of(link))
+                enq["is_webnews"].append(urlnorm.is_news_url(link))
+                enq["round_added"].append(round_added)
+                enq["seq64"].append(rss_seq)
+                enq["url_to_refer"].append(feed_url)
+                rss_seq += 1
+            frontier.enqueue(enq)
 
     pages: list[pa.Table] = []
     rnd = 0
@@ -132,6 +186,16 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
         # the frontier's own exhausted verdict gates terminal rows —
         # same single authority as the engine (ADVICE r1 item 1)
         exhausted = set(frontier.complete(comp)["exhausted"])
+
+        # S8 auto-discovery: newly advertised feeds → entries enqueue
+        # for the next round (browsed-once; sidecar row order)
+        if rss_discovery and feeds_rows:
+            found = {urlnorm.canonical_url(u)
+                     for lst in cols["feed_urls"] for u in (lst or []) if u}
+            new = found - rss_discovered
+            if new:
+                rss_discovered.update(new)
+                enqueue_feed_entries(new, rnd + 1)
 
         keep, codes, att = [], [], []
         for i in range(n):

@@ -84,7 +84,8 @@ def extract_pipeline(pages_dir: str, concurrency: int | None = None,
     that an actor pool only adds startup latency. ``use_actors=True``
     switches to the explicit actor-pool form — the right shape when the
     per-actor state is heavy (models, big rulesets)."""
-    ds = rd.read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
+    from ..rayutil import read_parquet
+    ds = read_parquet(pages_dir, columns=["url", "html", "text", "lang"])
     ds = ds.drop_columns(["text"])  # golden column is not an input
     if use_actors:
         return ds.map_batches(

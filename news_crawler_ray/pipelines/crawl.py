@@ -99,6 +99,17 @@ class CrawlConfig:
     # reference's freshness gate), and already-seen entry urls dedup via
     # the seen set. 0 = refresh at start only.
     rss_refresh_every: int = 0
+    # S8 feed AUTO-DISCOVERY (reference RssFinder, rss_finder.py:12-39):
+    # when True, feeds are NOT pre-read from the sidecar — a feed enters
+    # the S8 parse path only after a crawled page advertises it (the
+    # kernel's extract_feed_rss cascade, extractor.py:136-158: <link
+    # rel=alternate type=rss/atom>, .xml anchors, rss/feed anchor
+    # heuristics). Discovered urls are matched against the corpus feeds
+    # table — the replay stand-in for fetching the feed url — and their
+    # entries enqueue exactly like scrape_rss (seen-dedup idempotent).
+    # Composes with rss_refresh_every (refresh re-parses only the feeds
+    # discovered so far). Overrides scrape_rss's enqueue-at-start.
+    rss_discovery: bool = False
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
     # which dominates politeness-bounded rounds (measured: tasks mode wins
@@ -352,6 +363,18 @@ def _complete_finalize_batch(batch: pa.Table, *, frontier,
     return finalize_page_rows(batch, exhausted)
 
 
+def _distinct_feed_urls(batch: pa.Table) -> pa.Table:
+    """Per-batch distinct CANONICAL feed urls from the extract stage's
+    ``feed_urls`` column (S8 auto-discovery). Tiny output — bounded by
+    the number of distinct advertised feeds, not by pages."""
+    import pyarrow.compute as pc
+    flat = pc.list_flatten(batch["feed_urls"].combine_chunks())
+    uniq = pc.unique(flat).to_pylist()
+    return pa.table({"feed_url": pa.array(
+        sorted({urlnorm.canonical_url(u) for u in uniq if u}),
+        pa.string())})
+
+
 @ray.remote
 def _round_batch_task(table: pa.Table, corpus_refs: dict,
                       only_webnews: bool,
@@ -377,6 +400,8 @@ class CrawlEngine:
         self._host_shard_memo: dict[str, int] = {}
         self._rss_last_update: dict[str, str] = {}   # feed_url → iso ts
         self._rss_seq = 1_000_000                    # after the seeds
+        self._rss_discovered: set[str] = set()       # canonical feed urls
+        self._pending_feed_urls: set[str] = set()    # found this round
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
         # cfg.max_attempts reaches every frontier shard at construction so
         # the requeue gate and the page-row finalize gate share one
@@ -394,7 +419,7 @@ class CrawlEngine:
                 shutil.rmtree(cfg.out_dir)
             os.makedirs(cfg.out_dir, exist_ok=True)
             self._enqueue_seeds()
-            if cfg.scrape_rss:
+            if cfg.scrape_rss and not cfg.rss_discovery:
                 self._enqueue_rss()
 
     # -- setup ---------------------------------------------------------
@@ -473,13 +498,16 @@ class CrawlEngine:
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()])
 
-    def _enqueue_rss(self) -> int:
+    def _enqueue_rss(self, only_urls: set[str] | None = None) -> int:
         """S8: feed entries → seen-checked frontier records
         (crawler.py:427-470; entries carry is_webnews from the url).
         Re-callable mid-crawl (crawler.py:434-445 ``_update_rss``): a
         feed whose lastBuildDate is not newer than its stored per-feed
         timestamp is skipped whole; entry urls dedup via the seen set.
-        Returns the number of admitted entries."""
+        ``only_urls`` restricts the pass to those CANONICAL feed urls
+        (the rss_discovery path: discovered feeds only — a feed url that
+        no page advertised is never parsed). Returns the number of
+        admitted entries."""
         feeds_path = os.path.join(self.cfg.corpus_root, "feeds.parquet")
         if not os.path.exists(feeds_path):
             return 0
@@ -490,6 +518,9 @@ class CrawlEngine:
         keys = []
         for host, feed_url, xml in zip(feeds["host"], feeds["url"],
                                        feeds["xml"]):
+            if (only_urls is not None
+                    and urlnorm.canonical_url(feed_url) not in only_urls):
+                continue
             feed = parse_feed_xml(xml)
             updated = feed["updated"]
             last = self._rss_last_update.get(feed_url)
@@ -553,9 +584,23 @@ class CrawlEngine:
             self._process_round(work)
             self._commit_round(n_work)
             self.round += 1
-            if (cfg.scrape_rss and cfg.rss_refresh_every
+            if cfg.rss_discovery and self._pending_feed_urls:
+                # feeds advertised by pages of the just-committed round:
+                # parse each NEWLY discovered feed once (rss_finder.py
+                # browses-once semantics; refresh below re-parses)
+                new = sorted(self._pending_feed_urls
+                             - self._rss_discovered)
+                self._pending_feed_urls.clear()
+                if new:
+                    self._rss_discovered.update(new)
+                    self._enqueue_rss(only_urls=set(new))
+            if ((cfg.scrape_rss or cfg.rss_discovery)
+                    and cfg.rss_refresh_every
                     and self.round % cfg.rss_refresh_every == 0):
-                self._enqueue_rss()   # mid-crawl feed refresh (S8)
+                # mid-crawl feed refresh (S8); under discovery only the
+                # feeds some page actually advertised are re-parsed
+                self._enqueue_rss(only_urls=self._rss_discovered
+                                  if cfg.rss_discovery else None)
         s = self.summary()
         if cfg.end_function is not None:   # reference crawler.py:22
             cfg.end_function(s)
@@ -600,6 +645,11 @@ class CrawlEngine:
                 table.slice(off, bs), self.corpus_refs,
                 cfg.only_webnews, cfg.additional_data_fn))
         parts = ray.get(refs)
+        if cfg.rss_discovery:
+            for p in parts:
+                if p.num_rows:
+                    self._pending_feed_urls.update(
+                        _distinct_feed_urls(p)["feed_url"].to_pylist())
         page = self._commit_discoveries(parts)
         if page.num_rows:
             if cfg.page_sink_fn is not None:
@@ -632,6 +682,13 @@ class CrawlEngine:
                             batch_format="pyarrow",
                             batch_size=cfg.batch_size)
                ).materialize()   # the round working set, reused by both passes
+
+        # S8 auto-discovery: distinct advertised feed urls (task-side
+        # dedup; the driver sees only feed urls, never page rows)
+        if cfg.rss_discovery:
+            found = out.map_batches(_distinct_feed_urls,
+                                    batch_format="pyarrow").to_pandas()
+            self._pending_feed_urls.update(found["feed_url"])
 
         # pass 1: discoveries — min-lineage winner per url, then
         # task-side seen-check + enqueue
@@ -841,6 +898,7 @@ class CrawlEngine:
                     "num_frontier_shards": len(self.frontier),
                     "rss_last_update": self._rss_last_update,
                     "rss_seq": self._rss_seq,
+                    "rss_discovered": sorted(self._rss_discovered),
                     "metrics": self.metrics[-1] if self.metrics else {}}
         tmp = os.path.join(ck, "manifest.json.tmp")
         with open(tmp, "w") as f:
@@ -854,6 +912,7 @@ class CrawlEngine:
         done_round = manifest["round"]
         self._rss_last_update = manifest.get("rss_last_update", {})
         self._rss_seq = manifest.get("rss_seq", 1_000_000)
+        self._rss_discovered = set(manifest.get("rss_discovered", []))
         refs = []
         for i, s in enumerate(self.seen):
             refs.append(s.restore.remote(os.path.join(ck, f"seen-{i}.parquet")))
@@ -885,7 +944,8 @@ class CrawlEngine:
         }
 
     def pages_dataset(self) -> "rd.Dataset":
-        return rd.read_parquet(os.path.join(self.cfg.out_dir, "pages"))
+        from ..rayutil import read_parquet
+        return read_parquet(os.path.join(self.cfg.out_dir, "pages"))
 
     def crawl_order_table(self) -> pa.Table:
         order_dir = os.path.join(self.cfg.out_dir, "crawl_order")

@@ -100,7 +100,8 @@ def host_metadata(pages_ds: "rd.Dataset", whois_path: str) -> pd.DataFrame:
 def compact(pages_dir: str, out_dir: str, num_files: int = 8) -> int:
     """script1 VACUUM analogue: rewrite the pages output as ``num_files``
     right-sized Parquet files (repartition, no shuffle of rows needed)."""
-    ds = rd.read_parquet(pages_dir)
+    from ..rayutil import read_parquet
+    ds = read_parquet(pages_dir)
     n = ds.count()
     ds.repartition(num_files).write_parquet(out_dir)
     return n

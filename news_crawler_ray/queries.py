@@ -20,7 +20,8 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from . import corpus as corpus_mod
-from .rayutil import cached_object, light_shuffle_aggregators
+from .rayutil import (cached_object, light_shuffle_aggregators,
+                      read_parquet)
 from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import similarity as sim
@@ -44,7 +45,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     # + exact row filtering inside the reader), so filtered rows never
     # enter the object store; the shipdate column itself is then not
     # needed downstream
-    ds = rd.read_parquet(
+    ds = read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -101,46 +102,55 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast-join shape: small sides (customer segment keys, order
-    dates) are ray.put once and probed per batch — no shuffle join."""
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_mktsegment"])
-    bld = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
-    orders = pd.read_parquet(_t(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders[(orders.o_custkey.isin(bld)) &
-                    (orders.o_orderdate < pd.Timestamp("1995-03-15"))]
-    odate = dict(zip(orders.o_orderkey, orders.o_orderdate))
-    odate_ref = ray.put(odate)
-
-    ds = rd.read_parquet(
+    """Fully distributed TPC-H Q3: both dimension sides are filtered IN
+    the scan and joined with the native hash-partitioned ``Dataset.join``
+    (the q_status_revenue pattern) — orders scales with the corpus, so
+    no side is ever read whole on the driver or broadcast. Lineitem is
+    pre-aggregated per batch before its shuffle; the final global
+    ordering is a native sort + limit over per-order aggregate rows."""
+    cutoff = pa.scalar(pd.Timestamp("1995-03-15"), pa.timestamp("us"))
+    cust = read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey"],
+        # segment predicate pushed into the scan
+        filter=pc.field("c_mktsegment") == "BUILDING")
+    orders = read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff)
+    li = read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        # static date predicate pushed into the scan
-        filter=pc.field("l_shipdate") > pa.scalar(
-            pd.Timestamp("1995-03-15"), pa.timestamp("us")))
+        filter=pc.field("l_shipdate") > cutoff)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        od = cached_object(odate_ref)
-        batch = batch[batch["l_orderkey"].isin(od.keys())]
-        if not len(batch):
-            return pd.DataFrame({"o_orderkey": [], "revenue_milli": []})
         rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
         batch = batch.assign(
             revenue_milli=np.floor(rev * 1000).astype("int64"))
         return batch.groupby("l_orderkey", as_index=False).agg(
-            revenue_milli=("revenue_milli", "sum")) \
-            .rename(columns={"l_orderkey": "o_orderkey"})
+            revenue_milli=("revenue_milli", "sum"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("o_orderkey") \
-        .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
-        .to_pandas()
-    agg["revenue_milli"] = agg["revenue_milli"].astype("int64")
-    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
-    out = agg.sort_values(["revenue_milli", "o_orderkey"],
-                          ascending=[False, True]).head(10)
-    return out[["o_orderkey", "revenue_milli", "o_orderdate"]].reset_index(drop=True)
+    rev = li.map_batches(partial, batch_format="pandas") \
+        .groupby("l_orderkey") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+    from .rayutil import project_blocks
+    with light_shuffle_aggregators():
+        # join outputs feed further shuffles → project_blocks (explicit
+        # projection + metadata strip; see rayutil docstring)
+        orders_b = project_blocks(
+            orders.join(cust, join_type="inner", num_partitions=8,
+                        on=("o_custkey",), right_on=("c_custkey",)),
+            ["o_orderkey", "o_orderdate"])
+        joined = project_blocks(
+            rev.join(orders_b, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",)),
+            ["l_orderkey", "revenue_milli", "o_orderdate"])
+        out = joined.sort(["revenue_milli", "l_orderkey"],
+                          descending=[True, False]).limit(10).to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    return out[["o_orderkey", "revenue_milli", "o_orderdate"]] \
+        .reset_index(drop=True)
 
 
 Q3_SQL = """
@@ -168,7 +178,7 @@ def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
                    sup.s_nationkey.map(dict(zip(nat.n_nationkey, nat.n_name)))))
     s2n_ref = ray.put(s2n)
 
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -200,7 +210,7 @@ ORDER BY n.n_name
 
 
 def q_orders_priority(sf_dir: str) -> pd.DataFrame:
-    out = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority"]) \
+    out = read_parquet(_t(sf_dir, "orders"), columns=["o_orderpriority"]) \
         .groupby("o_orderpriority").aggregate(Count(alias_name="n_orders")) \
         .to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
@@ -214,7 +224,7 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "ts", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +257,7 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     Users are salted into 64 buckets (one shuffle, one vectorized
     groupby-diff pass per bucket) instead of one map_groups group per
     user — the per-group ~1 ms Python cost dominates at 10^5+ users."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
         from .rayutil import salt_bucket
@@ -284,7 +294,7 @@ FROM d GROUP BY user_id ORDER BY user_id
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.exact_dedup(ds).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_dups"] = out["n_dups"].astype("int64")
@@ -299,7 +309,7 @@ FROM documents GROUP BY 1 ORDER BY text_hash
 
 def q_near_dup_groups(sf_dir: str) -> pd.DataFrame:
     """Reference A4 (script2.py:8-21) over the documents table."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.near_dup_text_groups(ds, min_len=100, max_count=4).to_pandas()
     out["n"] = out["n"].astype("int64")
     return out.sort_values("text_hash").reset_index(drop=True)
@@ -313,7 +323,7 @@ GROUP BY 1 HAVING count(*) < 4 ORDER BY text_hash
 
 
 def q_token_stats(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.token_counts(ds).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
 
@@ -327,7 +337,7 @@ FROM documents ORDER BY doc_id
 
 
 def q_quality(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = to.quality_scores(ds).to_pandas()
     for c in ("avg_word_len", "punct_ratio", "stopword_ratio"):
         out[c] = out[c].round(6)
@@ -361,7 +371,7 @@ FROM w ORDER BY doc_id
 
 
 def q_lang_counts(sf_dir: str) -> pd.DataFrame:
-    out = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang"]) \
+    out = read_parquet(_t(sf_dir, "documents"), columns=["lang"]) \
         .groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
@@ -374,7 +384,7 @@ def q_status_revenue(sf_dir: str) -> pd.DataFrame:
     """Large-large join via the native hash-partitioned ``Dataset.join``
     (both sides shuffle on the key — the pattern for joins where neither
     side broadcasts), then grouped aggregate."""
-    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+    li = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
 
@@ -385,7 +395,7 @@ def q_status_revenue(sf_dir: str) -> pd.DataFrame:
             "revenue_milli": np.floor(rev * 1000).astype("int64")})
 
     li = li.map_batches(add_milli, batch_format="pandas")
-    orders = rd.read_parquet(_t(sf_dir, "orders"),
+    orders = read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus"])
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
@@ -414,7 +424,7 @@ def q_top_tokens(sf_dir: str) -> pd.DataFrame:
     the global top-20 is contained in the union of per-bucket
     top-20s."""
     import zlib
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
@@ -453,34 +463,55 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 
 def q_segment_order_stats(sf_dir: str) -> pd.DataFrame:
     """Left-join aggregation: per market segment, customers, orders and
-    total order value (customers without orders still counted)."""
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
+    total order value (customers without orders still counted). The
+    customer table scales with the corpus, so it is never read whole or
+    broadcast: orders are pre-aggregated to one row per custkey (the
+    aggregate-then-join pushdown of q_customer_order_counts), LEFT OUTER
+    joined to customer natively, then folded per segment — the only
+    driver-side rows are the five segment aggregates."""
+    cust = read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust.c_custkey, cust.c_mktsegment))
-    seg_ref = ray.put(seg_of)
-    n_cust = cust.groupby("c_mktsegment")["c_custkey"].nunique()
-
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
-                         columns=["o_custkey", "o_totalprice"])
+    orders = read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached_object(seg_ref)
         batch = batch.assign(
-            c_mktsegment=batch["o_custkey"].map(m),
-            total_milli=np.floor(batch["o_totalprice"] * 1000).astype("int64"))
-        return batch.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_custkey", "size"), total_milli=("total_milli", "sum"))
+            total_milli=np.floor(batch["o_totalprice"] * 1000)
+            .astype("int64"))
+        return batch.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_custkey", "size"),
+            total_milli=("total_milli", "sum"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("c_mktsegment").aggregate(
+    per_cust = orders.map_batches(partial, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(
             Sum("n_orders", alias_name="n_orders"),
-            Sum("total_milli", alias_name="total_milli")).to_pandas()
-    out = pd.DataFrame({"c_mktsegment": sorted(n_cust.index)})
-    out["n_customers"] = out["c_mktsegment"].map(n_cust).astype("int64")
-    agg = agg.set_index("c_mktsegment")
-    out["n_orders"] = out["c_mktsegment"].map(agg["n_orders"]).fillna(0).astype("int64")
-    out["total_milli"] = out["c_mktsegment"].map(agg["total_milli"]).fillna(0).astype("int64")
-    return out.reset_index(drop=True)
+            Sum("total_milli", alias_name="total_milli"))
+    with light_shuffle_aggregators():
+        joined = cust.join(per_cust, join_type="left_outer",
+                           num_partitions=8,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+        def seg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.assign(
+                n_orders=batch["n_orders"].fillna(0).astype("int64"),
+                total_milli=batch["total_milli"].fillna(0)
+                .astype("int64"))
+            # customer is unique on c_custkey and per_cust has one row
+            # per key, so row count per segment == customer count
+            return batch.groupby("c_mktsegment", as_index=False).agg(
+                n_customers=("c_custkey", "size"),
+                n_orders=("n_orders", "sum"),
+                total_milli=("total_milli", "sum"))
+
+        out = joined.map_batches(seg_partial, batch_format="pandas") \
+            .groupby("c_mktsegment").aggregate(
+                Sum("n_customers", alias_name="n_customers"),
+                Sum("n_orders", alias_name="n_orders"),
+                Sum("total_milli", alias_name="total_milli")).to_pandas()
+    for c in ("n_customers", "n_orders", "total_milli"):
+        out[c] = out[c].astype("int64")
+    return out[["c_mktsegment", "n_customers", "n_orders", "total_milli"]] \
+        .sort_values("c_mktsegment").reset_index(drop=True)
 
 
 Q_SEGMENT_SQL = """
@@ -504,7 +535,7 @@ def _query_vec(sf_dir: str) -> np.ndarray:
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     out = sim.cosine_topk(ds, _query_vec(sf_dir), k=10)
     out["cos_sim"] = out["cos_sim"].round(5)
@@ -525,7 +556,7 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs cosine near-dup at threshold 0.45 — the exactness
     oracle for the LSH near-dup path (distributed batch×corpus matmul
     with the corpus matrix broadcast once)."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     out = dd.exact_neardup_pairs(ds, threshold=0.45).to_pandas()
     out["cos_sim"] = out["cos_sim"].round(5)
@@ -548,7 +579,7 @@ def q_whois_host_metadata(sf_dir: str) -> pd.DataFrame:
     whois can't run in replay — SURVEY.md §2.1 S7); the join is the
     degenerate broadcast-small-side shape (pure function of the key)."""
     from .sources.whois import join_whois
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["source", "n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -632,7 +663,7 @@ def q_lang_confusion(sf_dir: str) -> pd.DataFrame:
     composition of the langid operator and a pair-count aggregate
     (per-batch partial counts, pairs-sized shuffle)."""
     from .extract.textstats import detect_language
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "lang", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -712,7 +743,7 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
     if len(out):
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -722,21 +753,34 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_minhash_dedup_keep(sf_dir: str) -> pd.DataFrame:
-    """End-to-end near-dup dedup: LSH pairs → connected components →
-    surviving representative per cluster."""
-    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    pairs = dd.minhash_lsh_pairs(docs, threshold=0.4).to_pandas()
-    all_ids = pd.read_parquet(_t(sf_dir, "documents"),
-                              columns=["doc_id"])["doc_id"]
-    out = dd.dedup_groups(pairs, all_ids=all_ids)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    """End-to-end near-dup dedup: LSH pairs → DISTRIBUTED connected
+    components (min-label propagation, dedup.dedup_groups_distributed)
+    → surviving representative per cluster. The driver never sees the
+    pair set or the id column: singleton survivors come from a native
+    LEFT OUTER join of the id table against the converged labels
+    (null label ⇒ own-cluster singleton), so the only corpus-sized
+    materialization is the query's own per-doc RESULT table."""
+    docs = read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.4)
+    labels = dd.dedup_groups_distributed(pairs)
+    ids = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    with light_shuffle_aggregators():
+        out = ids.join(labels, join_type="left_outer", num_partitions=8,
+                       on=("doc_id",)).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_rep"] = out["cluster_rep"].fillna(out["doc_id"]) \
+        .astype("int64")
+    out["keep"] = out["doc_id"] == out["cluster_rep"]
+    return out[["doc_id", "cluster_rep", "keep"]] \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """EXACT d≤8 Hamming pairs via (d+1)-segment pigeonhole LSH — full
     recall, so it gets an exact all-pairs DuckDB oracle (the simhash
     itself is md5-token-hash based and reproducible in SQL)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.simhash_pairs(ds, max_hamming=8).to_pandas()
     if len(out):
         out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -896,7 +940,7 @@ ORDER BY doc_id""")
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     out = dd.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
     if len(out):
@@ -906,7 +950,7 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ivf_ann(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     out = sim.ivf_topk(ds, _query_vec(sf_dir), k=10)
     out["cos_sim"] = out["cos_sim"].round(5)
@@ -919,7 +963,7 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     driver). Iterative, so no SQL oracle (driver records a rows-only
     check); determinism is pinned against a single-process numpy Lloyd
     in tests/test_functions.py."""
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+    ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
     cents, counts, inertia = sim.distributed_kmeans(
         ds, n_clusters=8, iters=5)
@@ -931,12 +975,12 @@ def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.langid(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
@@ -999,7 +1043,7 @@ def _flagship_pages_ds(sf_dir: str):
                                       max_in_flight_override=16))
         eng.run()
         eng.shutdown()
-    return rd.read_parquet(os.path.join(out_dir, "pages"))
+    return read_parquet(os.path.join(out_dir, "pages"))
 
 
 def q_har_ads(sf_dir: str) -> pd.DataFrame:
@@ -1015,7 +1059,7 @@ def q_rss_entries(sf_dir: str) -> pd.DataFrame:
     from .sources.rss import rss_entries
     tag, spec = _sf_tag(sf_dir)
     paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
-    out = rss_entries(rd.read_parquet(paths.feeds)).to_pandas()
+    out = rss_entries(read_parquet(paths.feeds)).to_pandas()
     return out.sort_values(["host", "url"]).reset_index(drop=True)
 
 
@@ -1038,12 +1082,12 @@ def q_asof_purchase_view(sf_dir: str) -> pd.DataFrame:
     event time of the same user (custom operator — composition of
     groupby + per-group merge_asof; DuckDB native ASOF JOIN oracle)."""
     from .functions.joins import asof_join
-    purchases = rd.read_parquet(_t(sf_dir, "events"),
+    purchases = read_parquet(_t(sf_dir, "events"),
                                 columns=["event_id", "user_id", "ts",
                                          "event_type"]) \
         .map_batches(lambda df: df[df.event_type == "purchase"]
                      .drop(columns=["event_type"]), batch_format="pandas")
-    views = rd.read_parquet(_t(sf_dir, "events"),
+    views = read_parquet(_t(sf_dir, "events"),
                             columns=["user_id", "ts", "event_type"]) \
         .map_batches(lambda df: df[df.event_type == "view"]
                      .drop(columns=["event_type"]), batch_format="pandas")
@@ -1067,7 +1111,7 @@ ORDER BY p.event_id
 def q_train_split(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based train/val/test assignment + counts."""
     from .functions.splits import assign_split
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     out = assign_split(ds).groupby("split") \
         .aggregate(Count(alias_name="n")).to_pandas()
     out["n"] = out["n"].astype("int64")
@@ -1087,7 +1131,7 @@ GROUP BY 1 ORDER BY split
 def q_approx_distinct_tokens(sf_dir: str) -> pd.DataFrame:
     """Mergeable-sketch aggregation: HLL distinct-token estimate."""
     from .functions.sketches import approx_distinct_tokens
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
     est = approx_distinct_tokens(ds)
     return pd.DataFrame({"approx_distinct_tokens": [round(est)]})
 
@@ -1096,7 +1140,7 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     """Misra-Gries frequent tokens (top 20 of a k=512 summary);
     approximate lower-bound counts — exact twin `q_top_tokens`."""
     from .functions.sketches import heavy_hitters
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
     return heavy_hitters(ds, k=512).head(20).reset_index(drop=True)
 
 
@@ -1124,7 +1168,7 @@ def q_approx_quantiles(sf_dir: str) -> pd.DataFrame:
     error is pinned vs the exact histogram in tests/test_sketches_modes.py
     (exact oracle-checked twin: q_quantity_quantiles)."""
     from .functions.sketches import approx_quantiles
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_extendedprice"])
     return approx_quantiles(ds, value_col="l_extendedprice",
                             qs=[0.25, 0.5, 0.75, 0.9, 0.99])
@@ -1145,7 +1189,7 @@ def q_seq_packing(sf_dir: str) -> pd.DataFrame:
             "n_tokens": batch["text"].fillna("").str.count(r"\S+")
             .astype("int64")})
 
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "text"]) \
         .map_batches(toks, batch_format="pandas")
     out = wn.prefix_sum(ds, key_col="doc_id", value_col="n_tokens",
@@ -1194,7 +1238,7 @@ def q_mask_pii(sf_dir: str) -> pd.DataFrame:
             "text": "Reach " + name + " via " + email + " or "
                     + phone + "."})
 
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
+    ds = read_parquet(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_name", "c_nationkey"]) \
         .map_batches(contact, batch_format="pandas")
     out = mask_pii(ds, text_col="text", id_col="c_custkey").to_pandas()
@@ -1232,7 +1276,7 @@ FROM m ORDER BY c_custkey
 
 
 def q_media_metadata(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return mm.media_metadata(ds).to_pandas() \
         .sort_values("media_id").reset_index(drop=True)
 
@@ -1242,7 +1286,7 @@ def q_media_resize(sf_dir: str) -> pd.DataFrame:
     the resized payload itself stays distributed; the driver sees its
     length and digest."""
     import hashlib as _hl
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
     resized = media.map_batches(mm.ResizeStage, batch_format="pyarrow",
                                 batch_size=32, concurrency=2,
@@ -1266,7 +1310,7 @@ def q_media_resize(sf_dir: str) -> pd.DataFrame:
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Feature-extract plumbing: payload → deterministic unit embedding
     (list<float>) — the column layout the ANN operators consume."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
     out = media.map_batches(mm.FeatureExtractStage, batch_format="pyarrow",
                             batch_size=32, concurrency=2).to_pandas()
@@ -1276,7 +1320,7 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
     out = media.map_batches(mm.FrameSampleStage, batch_format="pyarrow",
                             batch_size=32, concurrency=2).to_pandas()
@@ -1291,7 +1335,7 @@ def q_frame_sample(sf_dir: str) -> pd.DataFrame:
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     """EXACT word-3-gram Jaccard pairs ≥ 2/5 with df≤64 hot-shingle cap —
     the precise operator MinHash-LSH approximates; fully distributed."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.ngram_jaccard_pairs(ds, k=3, thr_num=2, thr_den=5,
                                  max_df=64).to_pandas()
     out = out.astype({c: "int64" for c in out.columns})
@@ -1332,7 +1376,7 @@ ORDER BY doc_a, doc_b
 def q_rolling_events(sf_dir: str) -> pd.DataFrame:
     """Per-user sliding-window (4 rows) sum+count over event values —
     salted-bucket distributed windowing (functions/windows.py)."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     def to_centi(t: pa.Table) -> pa.Table:
@@ -1368,7 +1412,7 @@ def q_running_user_totals(sf_dir: str) -> pd.DataFrame:
     windows.grouped_running_sum): SUM OVER (PARTITION BY user ORDER BY
     ts) without per-user groups — keys salted into buckets, one
     vectorized cumsum per bucket."""
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "ts", "user_id", "value"])
 
     def to_centi(t: pa.Table) -> pa.Table:
@@ -1406,7 +1450,7 @@ _BAND_LABELS = ["B0", "B1", "B2", "B3", "B4"]
 def q_price_band_join(sf_dir: str) -> pd.DataFrame:
     """Range join of parts onto half-open price bands (broadcast small
     side, zero shuffle before the 5-row groupby)."""
-    ds = rd.read_parquet(_t(sf_dir, "part"),
+    ds = read_parquet(_t(sf_dir, "part"),
                          columns=["p_retailprice"])
     out = wn.range_band_join(ds, value_col="p_retailprice",
                              edges=_BAND_EDGES, labels=_BAND_LABELS,
@@ -1434,7 +1478,7 @@ GROUP BY b.band ORDER BY b.band
 def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact rank quantiles of l_quantity via the distributed value-count
     histogram (one shuffle, one row per distinct value)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+    ds = read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
     return wn.exact_quantiles(ds, value_col="l_quantity",
                               qs=[0.25, 0.5, 0.75, 0.9, 0.99])
 
@@ -1455,7 +1499,7 @@ ORDER BY q
 def q_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
     """Per-returnflag exact quantiles of l_quantity (grouped value-count
     histogram, one row per distinct (flag, qty) over the shuffle)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_quantity"])
     return wn.grouped_quantiles(ds, key_col="l_returnflag",
                                 value_col="l_quantity",
@@ -1480,7 +1524,7 @@ ORDER BY n.l_returnflag, q
 
 def q_doc_hash_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 10% md5-threshold sample of documents."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     out = wn.hash_sample(ds, id_col="doc_id", pct=10).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1495,7 +1539,7 @@ ORDER BY doc_id
 def q_distinct_tokens_exact(sf_dir: str) -> pd.DataFrame:
     """Exact distinct-token count (oracle twin of approx_distinct_tokens;
     a test pins the HLL estimate's relative error against this)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
     n = wn.distinct_count(ds, col="text", tokenize=True)
     return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
 
@@ -1510,7 +1554,7 @@ SELECT count(DISTINCT token)::BIGINT AS n_distinct FROM (
 
 def q_repetition_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition signals per document (integer counts)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return to.repetition_stats(ds).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
 
@@ -1545,7 +1589,7 @@ ORDER BY d.doc_id
 
 def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top-3 tf-idf terms per document (integerized scores)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = to.tfidf_top_terms(ds, k=3).to_pandas()
     out["tfidf_micro"] = out["tfidf_micro"].astype("int64")
     return out.sort_values(["doc_id", "token"]).reset_index(drop=True)
@@ -1575,7 +1619,7 @@ ORDER BY doc_id, token
 
 def q_common_ngrams(sf_dir: str) -> pd.DataFrame:
     """Corpus-boilerplate 3-grams: appear in ≥ max(2, n_docs/250) docs."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     thr = max(2, ds.count() // 250)
     out = to.common_ngrams(ds, n=3, min_docs=thr).to_pandas()
     if not len(out):
@@ -1605,7 +1649,7 @@ def q_eval_carve(sf_dir: str) -> pd.DataFrame:
     """Eval-set carving: exactly 20 deterministically-sampled docs per
     language (smallest md5 rank wins; salt-swappable)."""
     from .functions.splits import grouped_hash_sample_k
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "lang"])
     out = grouped_hash_sample_k(ds, key_col="lang", k=20).to_pandas()
     return out[["doc_id", "lang"]].sort_values("doc_id") \
@@ -1631,7 +1675,7 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
     grouped_running_sum ∘ filter (pure composition, no new shuffle
     primitive)."""
     from .functions.windows import grouped_running_sum
-    ds = rd.read_parquet(_t(sf_dir, "documents"),
+    ds = read_parquet(_t(sf_dir, "documents"),
                          columns=["doc_id", "lang", "text"])
     budget = 3000
 
@@ -1681,22 +1725,31 @@ def q_lineitem_corr(sf_dir: str) -> pd.DataFrame:
     """Numeric profiling: per-returnflag Pearson corr(quantity, price),
     six-moment combiner vs SQL corr() (integerized, tf-idf convention)."""
     from .functions.windows import grouped_pearson
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_quantity",
                                   "l_extendedprice"])
     out = grouped_pearson(ds, key_col="l_returnflag", x_col="l_quantity",
                           y_col="l_extendedprice").to_pandas()
-    out["corr_micro"] = np.floor(
-        out["corr"].to_numpy(dtype=np.float64) * 1_000_000 + 0.5) \
+    # grouped_pearson emits NaN for zero-variance groups where SQL
+    # corr() emits NULL; NaN.astype(int64) is garbage (INT64_MIN-ish),
+    # so both sides agree on an explicit sentinel instead.
+    corr = out["corr"].to_numpy(dtype=np.float64)
+    finite = np.isfinite(corr)
+    micro = np.full(len(corr), _CORR_NULL_SENTINEL, dtype=np.int64)
+    micro[finite] = np.floor(corr[finite] * 1_000_000 + 0.5) \
         .astype(np.int64)
+    out["corr_micro"] = micro
     return out[["l_returnflag", "n", "corr_micro"]] \
         .sort_values("l_returnflag").reset_index(drop=True)
 
 
-Q_LINEITEM_CORR_SQL = r"""
+# NULL/NaN corr (zero-variance group) sentinel shared with the SQL twin
+_CORR_NULL_SENTINEL = -(2 ** 62)
+
+Q_LINEITEM_CORR_SQL = rf"""
 SELECT l_returnflag, count(*)::BIGINT AS n,
-       floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.5)::BIGINT
-         AS corr_micro
+       coalesce(floor(corr(l_quantity, l_extendedprice) * 1000000
+                      + 0.5)::BIGINT, {_CORR_NULL_SENTINEL}) AS corr_micro
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1707,7 +1760,7 @@ def q_latest_events(sf_dir: str) -> pd.DataFrame:
     """Current-state-per-entity: each user's most recent event (the
     url/warc_ts latest-capture dedup shape, on the events table)."""
     from .functions.windows import latest_per_key
-    ds = rd.read_parquet(_t(sf_dir, "events"),
+    ds = read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts",
                                   "event_type"])
     out = latest_per_key(ds, key_col="user_id",
@@ -1729,7 +1782,7 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     """Nightly-refresh dedup: increment (upper half of doc ids) vs a
     frozen base (lower half) held in SeenShard membership actors."""
     from .functions.dedup import incremental_dedup
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     half = ds.count() // 2
     out = incremental_dedup(
         ds.filter(expr=f"doc_id < {half}"),
@@ -1757,7 +1810,7 @@ ORDER BY text_hash
 def q_seeded_shuffle(sf_dir: str) -> pd.DataFrame:
     """Deterministic epoch-shuffle order: pos = rank of md5('shuf-v1'‖id)."""
     from .functions.splits import seeded_shuffle_positions
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     out = seeded_shuffle_positions(ds, seed="shuf-v1").to_pandas()
     out["pos"] = out["pos"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1777,7 +1830,7 @@ ORDER BY doc_id
 def q_dup_substrings(sf_dir: str) -> pd.DataFrame:
     """Duplicated-substring exposure per doc (Lee'22 ExactSubstr signal,
     content-defined anchors; see textops.duplicated_substrings)."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = to.duplicated_substrings(
         ds, window=30, anchor_mod=4, min_docs=2).to_pandas()
     if not len(out):
@@ -1820,7 +1873,7 @@ ORDER BY doc_id
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Language-rebalance sampling: en 10%, zh/de 25%, fr/es 50%."""
     from .functions.splits import stratified_sample
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
     out = stratified_sample(
         ds, rates={"en": 10, "fr": 50, "es": 50, "zh": 25, "de": 25},
         default_pct=10).to_pandas()
@@ -1839,7 +1892,7 @@ ORDER BY doc_id
 
 def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
     """LLM context-window chunking: 64-token chunks at stride 48."""
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = to.chunk_documents(ds, chunk_size=64, stride=48).to_pandas()
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
@@ -1862,7 +1915,7 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     standard md5 split) sharing ≥1 distinct 4-gram with the held-out
     test split, with the distinct-hit count."""
     from .functions.splits import assign_split
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     split = assign_split(ds)
 
     def keep(where: bool):
@@ -1910,7 +1963,7 @@ def q_events_pivot(sf_dir: str) -> pd.DataFrame:
     over pre-aggregated rows; the pivot itself is free because the
     column set is the (small, known) type domain — the shuffle moves
     one row per (day, batch), never per event."""
-    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         day = batch["ts"].dt.floor("D")
@@ -1945,7 +1998,7 @@ def q_price_histogram(sf_dir: str) -> pd.DataFrame:
     per-batch bincount partials → groupby(bin) sum. The classic
     distribution profile at 100 TB — one int row per (bin, batch)
     crosses the wire."""
-    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    ds = read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
     width = 25_000
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1977,7 +2030,7 @@ def q_bloom_filtered_orders(sf_dir: str) -> pd.DataFrame:
     matches the plain SQL join. At 10^9 keys the bloom is ~1.2 GB
     broadcast where a key set would be tens of GB."""
     from .functions.sketches import BloomFilter, build_bloom
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_acctbal"]) \
         .map_batches(lambda t: pa.table(
             {"c_custkey": t.filter(pc.greater(
@@ -1992,7 +2045,7 @@ def q_bloom_filtered_orders(sf_dir: str) -> pd.DataFrame:
         keep = b.might_contain(t["o_custkey"].to_numpy())
         return t.filter(pa.array(keep))
 
-    orders = rd.read_parquet(
+    orders = read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_custkey", "o_orderstatus", "o_totalprice"]) \
         .map_batches(prefilter, batch_format="pyarrow")
@@ -2037,7 +2090,7 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     levels fold from the finest grouped result (a few rows) — never a
     second scan of the fact table. NULL-marker columns use '(all)'
     (driver hashing needs non-null keys)."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_linestatus",
                                   "l_extendedprice", "l_discount"])
 
@@ -2095,7 +2148,7 @@ def q_adaptive_quality(sf_dir: str) -> pd.DataFrame:
                 [len(t.split()) for t in batch["text"].fillna("")],
                 dtype="int64")})
 
-    counts = rd.read_parquet(_t(sf_dir, "documents"),
+    counts = read_parquet(_t(sf_dir, "documents"),
                              columns=["doc_id", "text"]) \
         .map_batches(tok, batch_format="pandas").materialize()
     thr = float(wn.exact_quantiles(counts, value_col="n_tokens",
@@ -2128,7 +2181,7 @@ def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
     dedup → split → decontaminate → chunk, verified end-to-end by ONE
     SQL oracle (every stage is deterministic and exact)."""
     from .pipelines.corpus_prep import corpus_prep
-    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = corpus_prep(ds).to_pandas()
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True) \
         .astype({"doc_id": "int64"})
@@ -2209,12 +2262,12 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
             "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
             "cust_nk": batch["cust_nk"].to_numpy(dtype=np.int64)})
 
-    orders = rd.read_parquet(
+    orders = read_parquet(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(order_side, batch_format="pandas") \
         .repartition(8)
-    line = rd.read_parquet(
+    line = read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     with light_shuffle_aggregators():
@@ -2272,10 +2325,10 @@ def q_customers_no_orders(sf_dir: str) -> pd.DataFrame:
     customer has SOME order in this corpus). The order-key side is
     filtered and deduped per batch before the shuffle, so the exchange
     moves one row per distinct recent custkey, not per order."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
-    okeys = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
+    okeys = read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
                             # date predicate pushed into the scan
                             filter=pc.field("o_orderdate") >= cutoff) \
         .map_batches(lambda t: pa.table(
@@ -2307,10 +2360,10 @@ def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
     to one (custkey, n) row per key BEFORE the join, so the outer join's
     exchange moves aggregate rows, never raw orders — the standard
     aggregate-then-join pushdown."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     cutoff = pa.scalar(pd.Timestamp("1997-06-01"), pa.timestamp("us"))
-    counts = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
+    counts = read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"],
                              # date predicate pushed into the scan
                              filter=pc.field("o_orderdate") >= cutoff) \
         .groupby("o_custkey").count()
@@ -2341,11 +2394,11 @@ def q_union_distinct_nations(sf_dir: str) -> pd.DataFrame:
     keys present in customer OR supplier. The distinct is a per-batch
     dedup THEN a key-only groupby — the exchange moves unique keys per
     batch, not rows."""
-    c = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]) \
+    c = read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"]) \
         .map_batches(lambda t: pa.table(
             {"nationkey": pc.unique(t["c_nationkey"])}),
             batch_format="pyarrow")
-    s = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]) \
+    s = read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"]) \
         .map_batches(lambda t: pa.table(
             {"nationkey": pc.unique(t["s_nationkey"])}),
             batch_format="pyarrow")
@@ -2366,9 +2419,9 @@ def q_customers_big_orders(sf_dir: str) -> pd.DataFrame:
     """Native distributed SEMI join: customers with at least one order
     over 450k (filter + batch-dedup on the probe side before the
     shuffle, mirroring the anti-join shape)."""
-    cust = rd.read_parquet(_t(sf_dir, "customer"),
+    cust = read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
-    okeys = rd.read_parquet(_t(sf_dir, "orders"),
+    okeys = read_parquet(_t(sf_dir, "orders"),
                             columns=["o_custkey", "o_totalprice"]) \
         .map_batches(lambda t: pa.table(
             {"o_custkey": pc.unique(t.filter(pc.greater(
@@ -2402,7 +2455,7 @@ def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     cust = pd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_mktsegment"])
     seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
-    ds = rd.read_parquet(_t(sf_dir, "orders"),
+    ds = read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2445,7 +2498,7 @@ def q_lineitem_top_by_price(sf_dir: str) -> pd.DataFrame:
     """Native distributed global sort (Ray's Sort AllToAll) + limit:
     top-20 lineitems by extended price with a full deterministic
     tie-break. The one API-surface op no other query exercised."""
-    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+    ds = read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_linenumber",
                                   "l_extendedprice"])
     out = ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"],
@@ -2495,7 +2548,7 @@ def _jsonl_documents(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     return _cached_export(
         f"/tmp/ncr_jsonl_docs_{tag}", _t(sf_dir, "documents"),
-        lambda d: rd.read_parquet(_t(sf_dir, "documents"),
+        lambda d: read_parquet(_t(sf_dir, "documents"),
                                   columns=["doc_id", "text"]).write_json(d))
 
 
@@ -2513,7 +2566,7 @@ def _csv_nation(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     return _cached_export(
         f"/tmp/ncr_csv_nation_{tag}", _t(sf_dir, "nation"),
-        lambda d: rd.read_parquet(_t(sf_dir, "nation")).write_csv(d))
+        lambda d: read_parquet(_t(sf_dir, "nation")).write_csv(d))
 
 
 def q_nations_per_region_csv(sf_dir: str) -> pd.DataFrame:

@@ -2,9 +2,136 @@
 
 from __future__ import annotations
 
+import logging
 from contextlib import contextmanager
 
 import ray.data as rd
+
+
+class _KnownCosmeticFilter(logging.Filter):
+    """Drops exactly two KNOWN-COSMETIC Ray Data warnings (and nothing
+    else — real schema divergences still warn):
+
+    1. ``Failed to hash the schemas (for deduplication): unhashable
+       type: 'dict'`` (arrow_ops/transform_pyarrow.py): Ray's
+       schema-dedup fast path tries ``set(schemas)``, but a
+       ``pyarrow.Schema`` carrying parquet PANDAS METADATA is
+       unhashable (``hash(pq.read_schema(f))`` → TypeError for any
+       pandas-written file, including the driver's testdata). Ray falls
+       back to the full unify — correctness unaffected, and the
+       metadata is in the input files, not ours to strip.
+
+    2. ``Operator produced a RefBundle with a different schema … new
+       schema: PandasBlockSchema(names=[], types=[])``
+       (streaming_executor_state.py): a ``map_groups`` wrapper yields
+       NO batch for an empty sort partition, so Ray emits an untyped
+       empty block — our UDF is never called and cannot type it (every
+       repo UDF already types its own empty outputs, the f61a2e2
+       pattern). Downstream unify treats empty schemas as wildcards;
+       benign by construction.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if (msg.startswith("Failed to hash the schemas")
+                and "unhashable type" in msg):
+            return False
+        if (msg.startswith("Operator produced a RefBundle with a "
+                           "different schema")
+                and ("new schema: PandasBlockSchema(names=[], types=[])"
+                     in msg
+                     # empty ARROW schema variant (str(pa.schema([])) is
+                     # ""): same untyped-empty-block cause
+                     or "new schema: . This may lead" in msg)):
+            return False
+        return True
+
+
+def _strip_schema_metadata(t):
+    """Drop schema-level metadata from a block (metadata-only op — the
+    column buffers are untouched)."""
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet(path, **kwargs):
+    """``rd.read_parquet`` + per-block schema-metadata strip, fused into
+    the read stage.
+
+    Parquet files written by pandas carry a ``pandas`` schema-metadata
+    dict that makes ``pyarrow.Schema`` UNHASHABLE (``hash(schema)`` →
+    ``TypeError: unhashable type: 'dict'``); every Ray Data schema-dedup
+    fast path that tries ``set(schemas)`` — read-split unify,
+    hash-shuffle/join aggregator actors — then logs ``Failed to hash
+    the schemas`` once per block batch and falls back to the slow
+    unify. Stripping the metadata at the read restores the fast path
+    engine-wide (the metadata carries nothing we use: plain columns,
+    range index)."""
+    return rd.read_parquet(path, **kwargs).map_batches(
+        _strip_schema_metadata, batch_format="pyarrow")
+
+
+def project_blocks(ds, cols: list[str]):
+    """Column projection + schema-metadata strip as ONE map stage.
+
+    Used on hash-join outputs that feed ANOTHER shuffle (join → join /
+    join → sort chains): the join aggregator actors rebuild blocks via
+    pandas (re-attaching the unhashable pandas schema metadata — they
+    run no user code, so the package-import patch can't reach them),
+    and the native Project operator passes EMPTY join partitions
+    through unprojected, so their schema diverges from the non-empty
+    blocks'. One explicit ``pyarrow`` map normalizes both: every block
+    — empty included — leaves with exactly ``cols`` and no metadata."""
+    import pyarrow as _pa
+
+    def proj(t: "_pa.Table") -> "_pa.Table":
+        return t.select(cols).replace_schema_metadata(None)
+
+    # explicit batch_size: the batch bundler COALESCES blocks, which
+    # drops zero-column empty pass-through blocks (with batch_size=None
+    # an empty block skips the UDF entirely and would reach the next
+    # join/shuffle with no key columns — an Acero FieldRef error)
+    return ds.map_batches(proj, batch_format="pyarrow", batch_size=4096)
+
+
+def install_cosmetic_log_filters() -> None:
+    """Attach :class:`_KnownCosmeticFilter` to the two Ray Data loggers
+    that emit the known-cosmetic warnings (idempotent)."""
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        lg = logging.getLogger(name)
+        if not any(isinstance(f, _KnownCosmeticFilter) for f in lg.filters):
+            lg.addFilter(_KnownCosmeticFilter())
+
+
+def install_pandas_block_metadata_strip() -> None:
+    """Make Ray's pandas→arrow BLOCK conversion emit metadata-free
+    schemas (idempotent; guarded re-wrap of
+    ``PandasBlockAccessor.to_arrow``).
+
+    Why: every ``batch_format="pandas"`` stage that feeds a hash
+    shuffle (``groupby().aggregate``, ``Dataset.join``) has its output
+    blocks converted via ``pa.Table.from_pandas``, which attaches the
+    ``pandas`` schema-metadata dict — making the schema UNHASHABLE, so
+    every HashShuffleAggregator actor logs ``Failed to hash the
+    schemas`` per bundle and falls back to the slow unify path. The
+    aggregator actors never import user code, so neither a logging
+    filter nor a per-site strip can reach them; stripping at the
+    conversion (which runs in OUR fused map tasks, where this package
+    is imported) fixes producer and consumer alike. Metadata-only:
+    column buffers untouched, and nothing downstream reads the pandas
+    metadata (plain columns, range index throughout the engine)."""
+    from ray.data._internal.pandas_block import PandasBlockAccessor
+
+    if getattr(PandasBlockAccessor.to_arrow, "_ncr_nometa", False):
+        return
+    orig = PandasBlockAccessor.to_arrow
+
+    def to_arrow(self):
+        t = orig(self)
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    to_arrow._ncr_nometa = True
+    PandasBlockAccessor.to_arrow = to_arrow
 
 
 @contextmanager

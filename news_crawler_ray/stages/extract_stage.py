@@ -52,12 +52,14 @@ _PAGE_SCHEMA = pa.schema([
     ("error_text", pa.string()),
     ("ok", pa.bool_()),          # False → retry path (engine-internal)
     ("links", pa.list_(pa.string())),  # full discovered link URLs
+    ("feed_urls", pa.list_(pa.string())),  # S8 discovered feed urls
     ("work_round", pa.int64()),   # lineage key (engine-internal, requeue)
     ("work_seq64", pa.int64()),
     ("work_ref", pa.string()),
 ])
 
-_INTERNAL = ("ok", "links", "work_round", "work_seq64", "work_ref")
+_INTERNAL = ("ok", "links", "feed_urls", "work_round", "work_seq64",
+             "work_ref")
 PAGE_OUTPUT_COLUMNS = [f.name for f in _PAGE_SCHEMA if f.name not in _INTERNAL]
 
 
@@ -89,8 +91,9 @@ def _extract(kernel: ExtractKernel, batch: pa.Table) -> pa.Table:
                    is_webnews=bool(webnews[i]), scraped=False, ok=True,
                    mime_type=mimes[i], http_response_code=statuses[i],
                    language=langs[i], videos_art=[], authors=[],
-                   category=[], har=[], links=[], work_round=w_round[i],
-                   work_seq64=w_seq[i], work_ref=w_ref[i])
+                   category=[], har=[], links=[], feed_urls=[],
+                   work_round=w_round[i], work_seq64=w_seq[i],
+                   work_ref=w_ref[i])
         if not found[i]:
             # hard fetch failure → retry (crawler.py:90-101)
             row.update(ok=False, http_response_code=0,
@@ -112,7 +115,7 @@ def _extract(kernel: ExtractKernel, batch: pa.Table) -> pa.Table:
                                          if r.publish_date else None),
                            img_art=r.top_image, videos_art=r.videos,
                            authors=r.authors, category=r.sections,
-                           links=r.links)
+                           links=r.links, feed_urls=r.feed_urls)
             else:
                 row.update(scraped=True)  # M28 gate: no extraction
         elif 300 <= statuses[i] < 400 and redirects[i]:

@@ -393,9 +393,83 @@ class TestMultimodal:
         assert (out["byte_len"] > 0).sum() == 5
         assert out["width"].between(64, 255).all()
 
-    def test_real_decode_gated(self):
+    def test_real_decode_unsupported_format_raises(self):
+        stage = mm.MediaDecodeStage(real_decode=True)   # constructs fine
         with pytest.raises(NotImplementedError):
-            mm.MediaDecodeStage(real_decode=True)
+            mm.real_decode_meta(b"\x89PNG\r\n\x1a\nfakedata")  # compressed
+
+    # -- REAL stdlib decode (VERDICT r2 item 5): goldens on actual
+    # decoded dimensions/pixels, not hash-derived ones ----------------
+
+    @staticmethod
+    def _bmp_5x3():
+        px = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+        return px, mm.encode_bmp(px)
+
+    def test_bmp_roundtrip_real_pixels(self):
+        px, payload = self._bmp_5x3()
+        d = mm.decode_bmp(payload)
+        assert (d["width"], d["height"]) == (5, 3)
+        assert np.array_equal(d["pixels"], px)   # bit-exact round-trip
+
+    def test_ppm_real_pixels_with_comment(self):
+        px = np.full((2, 4, 3), 7, dtype=np.uint8)
+        px[1, 2] = (1, 2, 3)
+        payload = b"P6\n# a comment\n4 2\n255\n" + px.tobytes()
+        d = mm.decode_ppm(payload)
+        assert (d["width"], d["height"]) == (4, 2)
+        assert np.array_equal(d["pixels"], px)
+
+    def test_wav_real_samples(self):
+        import struct
+        samples = np.array([[0, 100], [-100, 200], [300, -300]],
+                           dtype=np.int16)   # 3 frames, stereo
+        data = samples.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+        payload = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                   + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                   + b"data" + struct.pack("<I", len(data)) + data)
+        d = mm.decode_wav(payload)
+        assert d["sample_rate"] == 8000 and d["n_channels"] == 2
+        assert d["n_samples"] == 3
+        assert np.array_equal(d["samples"], samples)
+
+    def test_real_decode_stage_in_pipeline(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        px, bmp = self._bmp_5x3()
+        wav = (b"RIFF" + (28).to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little")
+               + __import__("struct").pack("<HHIIHH", 1, 1, 16000,
+                                           32000, 2, 16)
+               + b"data" + (4).to_bytes(4, "little")
+               + np.array([5, -5], dtype=np.int16).tobytes())
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([bmp, wav], pa.binary()),
+            "media_type": pa.array(["image", "audio"], pa.string()),
+            "mime": pa.array(["image/bmp", "audio/wav"], pa.string())})
+        out = rd.from_arrow(t).map_batches(
+            mm.MediaDecodeStage, fn_constructor_kwargs={"real_decode": True},
+            batch_format="pyarrow", batch_size=2, concurrency=1) \
+            .to_pandas().set_index("media_id")
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (5, 3)
+        import hashlib
+        assert out.loc[1, "pixel_sha1"] == hashlib.sha1(
+            px.tobytes()).hexdigest()[:16]
+        assert out.loc[2, "n_frames"] == 2
+        assert out.loc[2, "sample_rate"] == 16000
+
+    def test_real_bmp_resize(self):
+        px, bmp = self._bmp_5x3()
+        stage = mm.ResizeStage(target_w=10, target_h=6, real_decode=True)
+        resized = stage._real_resize(bmp)
+        d = mm.decode_bmp(resized)
+        assert (d["width"], d["height"]) == (10, 6)
+        # nearest-neighbor: 2x upscale duplicates each source pixel
+        assert np.array_equal(d["pixels"][::2, ::2], px)
+        with pytest.raises(NotImplementedError):
+            stage._real_resize(b"P6\n1 1\n255\n\x00\x00\x00")
 
     def test_frame_sample_explodes(self, docs_ds):
         media = mm.media_dataset_from_documents(docs_ds)
@@ -803,3 +877,88 @@ class TestIncrementalDedupSnapshot:
         assert cold.equals(warm)
         # texts base 20..24 are absent from base: exactly those survive
         assert len(cold) == 5
+
+    def test_shard_count_mismatch_reseeds(self, ray_session, tmp_path):
+        """A snapshot written at num_shards=5 must NOT be restored into a
+        num_shards=3 layout (keys routed mod 5 would be probed mod 3 and
+        silently missed — ADVICE r2); the manifest forces a reseed."""
+        import json
+        import os
+
+        import ray.data as rd
+        snap = str(tmp_path / "seen_snap5")
+        base = rd.from_pandas(pd.DataFrame({
+            "doc_id": range(20),
+            "text": [f"base {i}" for i in range(20)]}))
+        new = rd.from_pandas(pd.DataFrame({
+            "doc_id": range(100, 130),
+            "text": [f"base {i % 25}" for i in range(30)]}))
+        dd.incremental_dedup(base, new, num_shards=5,
+                             snapshot_dir=snap).to_pandas()
+        with open(os.path.join(snap, "dedup_seen_manifest.json")) as f:
+            assert json.load(f)["num_shards"] == 5
+        fresh = dd.incremental_dedup(base, new, num_shards=3).to_pandas() \
+            .sort_values("text_hash").reset_index(drop=True)
+        mismatched = dd.incremental_dedup(
+            base, new, num_shards=3, snapshot_dir=snap).to_pandas() \
+            .sort_values("text_hash").reset_index(drop=True)
+        assert fresh.equals(mismatched)
+        assert len(fresh) == 5  # base texts still filtered, no dup leak
+        with open(os.path.join(snap, "dedup_seen_manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["num_shards"] == 3
+        assert manifest["base_rows"] == 20
+        # and the rewritten snapshot restores cleanly at the new layout
+        empty = rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "text": pd.Series([], dtype="object")}))
+        warm = dd.incremental_dedup(empty, new, num_shards=3,
+                                    snapshot_dir=snap).to_pandas() \
+            .sort_values("text_hash").reset_index(drop=True)
+        assert fresh.equals(warm)
+
+
+class TestMinhashKeepDistributedWiring:
+    def test_query_path_never_runs_driver_union_find(
+            self, ray_session, tmp_path, monkeypatch):
+        """q_minhash_dedup_keep must use dedup_groups_distributed (min-
+        label propagation) + the native LEFT OUTER singleton join — the
+        driver-side union-find twin raising here proves the query path
+        no longer touches it (VERDICT r2 item 1)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from news_crawler_ray import queries as q
+        base = ("the quick brown fox jumps over the lazy dog and runs "
+                "far away into the deep green forest tonight to sleep "
+                "under the old oak tree beside the quiet silver river")
+        texts = [
+            base,
+            base,                                   # exact dup of 0
+            base.replace("tonight", "today"),       # near dup of 0
+            "completely different content about ray data pipelines and "
+            "arrow batches flowing through the streaming executor",
+            "short text",
+            "another unrelated document mentioning parquet row groups "
+            "and columnar predicate pushdown at the storage layer"]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        pq.write_table(pa.Table.from_pandas(df),
+                       str(tmp_path / "documents.parquet"))
+
+        import ray.data as rd
+        pairs = dd.minhash_lsh_pairs(
+            rd.read_parquet(str(tmp_path / "documents.parquet"),
+                            columns=["doc_id", "text"]),
+            threshold=0.4).to_pandas()
+        expected = dd.dedup_groups(pairs, all_ids=range(len(texts))) \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert not expected.loc[1, "keep"]  # sanity: dup really collapses
+
+        def boom(*_a, **_k):
+            raise AssertionError(
+                "driver-side union-find called from the query path")
+
+        monkeypatch.setattr(q.dd, "dedup_groups", boom)
+        got = q.q_minhash_dedup_keep(str(tmp_path))
+        pd.testing.assert_frame_equal(
+            got.astype({"keep": bool}), expected.astype({"keep": bool}))

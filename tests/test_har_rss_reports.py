@@ -233,6 +233,93 @@ class TestRss:
             "title": None, "language": None, "updated": None, "entries": []}
 
 
+class TestRssDiscovery:
+    """S8 feed AUTO-DISCOVERY (reference RssFinder rss_finder.py:12-39 +
+    extract_feed_rss cascade extractor.py:136-158): a corpus page
+    advertises its feed; the feed is then parsed and its entries
+    enqueued, matching the single-process oracle (VERDICT r2 item 4)."""
+
+    def test_kernel_cascade_tiers(self):
+        from news_crawler_ray.extract import ExtractKernel
+        k = ExtractKernel()
+        # tier 1: <link rel=alternate>, relative href absolutized
+        r = k.extract("http://ex.example/home", (
+            '<html><head><link rel="alternate" '
+            'type="application/rss+xml" href="/f.rss"/>'
+            '<link rel="alternate" type="application/atom+xml" '
+            'href="http://ex.example/atom.xml"/>'
+            '<link rel="stylesheet" href="/css/x.css"/></head>'
+            '<body><a href="http://ex.example/sitemap.xml">x</a>'
+            '</body></html>'))
+        assert r.feed_urls == ["http://ex.example/f.rss",
+                               "http://ex.example/atom.xml"]
+        # tier 2 (no alternate links): .xml anchors with xml filetype
+        r = k.extract("http://ex.example/home", (
+            '<html><head></head><body>'
+            '<a href="http://ex.example/sitemap.xml">x</a>'
+            '<a href="http://ex.example/not-xml.html">y</a>'
+            '</body></html>'))
+        assert r.feed_urls == ["http://ex.example/sitemap.xml"]
+        # tier 3: rss/feed anchors — invalid href retried as
+        # {page_url}/{href}; self-equal urls excluded
+        r = k.extract("http://ex.example/feeds", (
+            '<html><body><a href="rss">feeds</a>'
+            '<a href="http://ex.example/feed/archive">old</a>'
+            '<a href="http://ex.example/feeds">self</a>'
+            '</body></html>'))
+        assert r.feed_urls == ["http://ex.example/feeds/rss",
+                               "http://ex.example/feed/archive"]
+        # nothing advertised → empty
+        r = k.extract("http://ex.example/home",
+                      '<html><body><a href="/a.html">a</a></body></html>')
+        assert r.feed_urls == []
+
+    def test_engine_matches_oracle_and_reaches_feed_only_page(
+            self, ray_session):
+        import pandas as pd
+        from news_crawler_ray.oracle import crawl_oracle
+        from news_crawler_ray.pipelines.crawl import (CrawlConfig,
+                                                      CrawlEngine)
+        corpus = default_corpus("rssdisc", num_hosts=2, pages_per_host=18,
+                                feed_only_article=True)
+        ora = crawl_oracle(corpus.root, rss_discovery=True)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_rssdisc",
+                                      rss_discovery=True))
+        summary = eng.run()
+        pages = eng.pages_dataset().to_pandas()
+        order = eng.crawl_order_table().to_pandas()
+        eng.shutdown()
+        # the feed-only page is reachable ONLY via the discovered feed
+        assert pages["url"].str.contains("feed-only-story").sum() == 2
+        # conformance vs the oracle: seen membership, page rows, order
+        assert summary["seen_total"] == ora["seen_count"]
+        opages = ora["pages"].to_pandas()
+        assert set(pages["url"]) == set(opages["url"])
+        cols = ["url", "scraped", "http_response_code", "title_art",
+                "text_art", "url_to_refer"]
+        pd.testing.assert_frame_equal(
+            pages[cols].sort_values("url").reset_index(drop=True),
+            opages[cols].sort_values("url").reset_index(drop=True))
+        oorder = ora["order"].to_pandas()
+        for host in sorted(oorder["host"].unique()):
+            e = order[order.host == host].sort_values("host_seq")
+            o = oorder[oorder.host == host].sort_values("host_seq")
+            assert list(e["url"]) == list(o["url"]), host
+
+    def test_without_discovery_feed_only_page_unreached(self, ray_session):
+        from news_crawler_ray.pipelines.crawl import (CrawlConfig,
+                                                      CrawlEngine)
+        corpus = default_corpus("rssdisc", num_hosts=2, pages_per_host=18,
+                                feed_only_article=True)
+        eng = CrawlEngine(CrawlConfig(corpus_root=corpus.root,
+                                      out_dir="/tmp/ncr_test_rssdisc_off"))
+        eng.run()
+        pages = eng.pages_dataset().to_pandas()
+        eng.shutdown()
+        assert not pages["url"].str.contains("feed-only-story").any()
+
+
 class TestSeedList:
     def test_read_seed_list(self, tmp_path):
         from news_crawler_ray.sources.seeds import read_seed_list
