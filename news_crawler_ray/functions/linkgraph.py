@@ -189,9 +189,17 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
         def f(t: pa.Table) -> pa.Table:
             return t.rename_columns(
                 [mapping.get(c, c) for c in t.column_names])
-        return ds_in.map_batches(f, batch_format="pyarrow")
+        # explicit batch_size: coalesces away the ZERO-COLUMN empty
+        # blocks aggregate/join outputs carry for empty partitions,
+        # which the next join's FieldRef resolution would reject
+        return ds_in.map_batches(f, batch_format="pyarrow",
+                                 batch_size=4096)
 
-    edges = edges_ds.select_columns(["src_host", "dst_host"]) \
+    # project_blocks, not select_columns: edges_ds is typically an
+    # aggregate output (host_edges) whose empty partitions are
+    # zero-column blocks that the joins below would reject
+    from ..rayutil import project_blocks
+    edges = project_blocks(edges_ds, ["src_host", "dst_host"]) \
         .materialize()
     with _light_aggs():
         outdeg = edges.groupby("src_host") \
@@ -218,7 +226,8 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
                 "rank", pa.array(np.full(len(t), 1.0 / n), pa.float64()))
         # rank ⋈ outdeg once up front: rows WITH outdeg carry it along
         # every iteration (rank_ds schema: host, rank, outdeg; 0 = sink)
-        rank_ds = nodes.map_batches(seed, batch_format="pyarrow").join(
+        rank_ds = nodes.map_batches(seed, batch_format="pyarrow",
+                                    batch_size=4096).join(
             _rename(outdeg, {"src_host": "host"})
             .repartition(num_partitions),
             join_type="left_outer", num_partitions=num_partitions,
@@ -229,8 +238,8 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
             deg = np.where(np.isnan(deg.astype(np.float64)), 0, deg)
             return pa.table({"host": t["host"], "rank": t["rank"],
                              "outdeg": pa.array(deg.astype(np.int64))})
-        rank_ds = rank_ds.map_batches(fix_deg,
-                                      batch_format="pyarrow").materialize()
+        rank_ds = rank_ds.map_batches(fix_deg, batch_format="pyarrow",
+                                      batch_size=4096).materialize()
 
         for _ in range(iters):
             # dangling mass: one scalar to the driver
@@ -252,7 +261,8 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
                         zero_copy_only=False)[keep],
                     "w": pa.array(r[keep] / d[keep], pa.float64())})
             contrib = edges.join(
-                rank_ds.map_batches(weight, batch_format="pyarrow")
+                rank_ds.map_batches(weight, batch_format="pyarrow",
+                                    batch_size=4096)
                        .repartition(num_partitions),
                 join_type="inner", num_partitions=num_partitions,
                 on=("src_host",)) \
@@ -272,7 +282,8 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
                 .repartition(num_partitions),
                 join_type="left_outer", num_partitions=num_partitions,
                 on=("host",)) \
-                .map_batches(fold, batch_format="pyarrow").materialize()
+                .map_batches(fold, batch_format="pyarrow",
+                             batch_size=4096).materialize()
 
     out = rank_ds.select_columns(["host", "rank"]).to_pandas()
     return out.sort_values("host").reset_index(drop=True)
