@@ -123,15 +123,19 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         filter=pc.field("l_shipdate") > cutoff)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # PER-BATCH combiner only (lineitem is clustered by orderkey, so
+        # this collapses most rows in-task); the full-cardinality
+        # groupby over every shipped lineitem would be a ~n_orders-key
+        # hash aggregate BEFORE any selectivity is applied — measured
+        # 180 s vs this plan's join-then-aggregate over only the
+        # BUILDING∩date matches
         rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
         batch = batch.assign(
             revenue_milli=np.floor(rev * 1000).astype("int64"))
         return batch.groupby("l_orderkey", as_index=False).agg(
             revenue_milli=("revenue_milli", "sum"))
 
-    rev = li.map_batches(partial, batch_format="pandas") \
-        .groupby("l_orderkey") \
-        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+    rev_part = li.map_batches(partial, batch_format="pandas")
     from .rayutil import project_blocks
     with light_shuffle_aggregators():
         # join outputs feed further shuffles → project_blocks (explicit
@@ -141,11 +145,15 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
                         on=("o_custkey",), right_on=("c_custkey",)),
             ["o_orderkey", "o_orderdate"])
         joined = project_blocks(
-            rev.join(orders_b, join_type="inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",)),
+            rev_part.join(orders_b, join_type="inner", num_partitions=8,
+                          on=("l_orderkey",), right_on=("o_orderkey",)),
             ["l_orderkey", "revenue_milli", "o_orderdate"])
-        out = joined.sort(["revenue_milli", "l_orderkey"],
-                          descending=[True, False]).limit(10).to_pandas()
+        # final aggregate runs over surviving matches only (~segment ×
+        # date selectivity of the corpus, not every order)
+        agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(
+            Sum("revenue_milli", alias_name="revenue_milli"))
+        out = agg.sort(["revenue_milli", "l_orderkey"],
+                       descending=[True, False]).limit(10).to_pandas()
     out = out.rename(columns={"l_orderkey": "o_orderkey"})
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["revenue_milli"] = out["revenue_milli"].astype("int64")
