@@ -32,13 +32,27 @@ BENCH_CORPUS = dict(num_hosts=12, pages_per_host=8000, hot_host_factor=2)
 def run_bench() -> dict:
     import ray
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # NOTE: no worker_process_setup_hook — a non-default runtime_env
+    # makes the raylet re-resolve the env on every worker launch (~1 s
+    # churn each, measured). The schema-metadata problem is fixed at the
+    # sources instead: stripped schema= override in rayutil.read_parquet
+    # and metadata-free block conversion installed by package import in
+    # every process that runs our UDFs. Ray's INTERNAL shuffle
+    # aggregator actors run no user code, so their single cosmetic
+    # fallback notice is leveled out via the logging-config env var
+    # (tools/ray_data_logging.yaml — workers inherit it at spawn).
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "ray_data_logging.yaml"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from news_crawler_ray.corpus import default_corpus
     from news_crawler_ray.pipelines.bulk import extract_pipeline
     from news_crawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine

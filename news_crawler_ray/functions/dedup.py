@@ -1191,3 +1191,97 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
             .join(sz_b, join_type="inner", num_partitions=8,
                   on=("doc_b",)) \
             .map_batches(finish, batch_format="pyarrow").materialize()
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+_SEG_IDX_BITS = 20   # ≤ ~10^6 segments per document
+
+
+def segment_dedup(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                  text_col: str = "text", sep: str | None = None,
+                  tokens_per_seg: int = 10,
+                  num_buckets: int = 64) -> "rd.Dataset":
+    """C4-style SEGMENT-level dedup (Raffel'20 §2.2 "we discarded all
+    but one of any three-sentence span occurring more than once"; the
+    line-dedup variant used by RefinedWeb): split every document into
+    segments, keep only each distinct segment's GLOBAL first occurrence
+    (ordered by (doc_id, position)), and reassemble the surviving
+    segments back into documents. Documents whose every segment loses
+    vanish from the output — the boilerplate-heavy tail a corpus prep
+    pipeline wants gone.
+
+    Segmenting: ``sep`` splits on a literal separator (newline for real
+    page text); ``sep=None`` uses fixed ``tokens_per_seg``-token windows
+    (the synthetic corpus is single-line, so windows are what collide
+    across documents). Both are deterministic and SQL-replicable.
+
+    Scale shape — exactly two shuffles, both necessary:
+    1. ``groupby(segment).min(pack)`` where ``pack = doc_id << 20 | idx``
+       encodes the (doc_id, idx) lexicographic order in ONE int64 (a
+       native Min aggregate, never per-group Python). The segment TEXT
+       is the group key; it must cross the wire once anyway because the
+       survivor's text is reassembled from the winner row itself —
+       grouping by a hash would need a second full-text join back.
+    2. winners → salted ``groupby(bucket-of-doc_id)`` with one
+       vectorized pandas sort+string-join per bucket (the
+       ``grouped_running_sum`` amortization pattern, not one map_groups
+       call per document).
+
+    In-document repeats are deduped too (second occurrence in the same
+    doc loses to the first) — matching the SQL twin's
+    ``row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1``.
+    """
+    from ray.data.aggregate import Min
+
+    from ..rayutil import salt_bucket
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        out_seg: list[str] = []
+        out_pack: list[int] = []
+        for did, txt in zip(ids, texts):
+            if did >= (1 << (63 - _SEG_IDX_BITS)):
+                raise ValueError(f"segment_dedup: {id_col} {did} too "
+                                 "large for the (doc_id, idx) packing")
+            if sep is not None:
+                segs = [s for s in (txt or "").split(sep) if s != ""]
+            else:
+                ws = (txt or "").split()
+                segs = [" ".join(ws[i:i + tokens_per_seg])
+                        for i in range(0, len(ws), tokens_per_seg)]
+            base = int(did) << _SEG_IDX_BITS
+            for i, s in enumerate(segs):
+                out_seg.append(s)
+                out_pack.append(base | i)
+        return pa.table({"seg": pa.array(out_seg, pa.string()),
+                         "pack": pa.array(out_pack, pa.int64())})
+
+    winners = ds.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("seg").aggregate(Min("pack", alias_name="pack"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        pack = t["pack"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = pack >> _SEG_IDX_BITS
+        idx = pack & ((1 << _SEG_IDX_BITS) - 1)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "seg_idx": pa.array(idx, pa.int64()),
+            "seg": t["seg"],
+            "bucket": pa.array(salt_bucket(ids, num_buckets), pa.int32())})
+
+    joiner = sep if sep is not None else " "
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
+        out = g.groupby(id_col, sort=True)["seg"].agg(joiner.join) \
+            .reset_index().rename(columns={"seg": "clean_text"})
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return winners.map_batches(decode, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(reassemble, batch_format="pandas")

@@ -342,3 +342,43 @@ def approx_quantiles(ds: "rd.Dataset", *, value_col: str,
         "q": pd.Series(qs, dtype="float64"),
         "val": pd.Series([merged.quantile(q) for q in qs],
                          dtype="float64")})
+
+
+def grouped_hll_distinct(ds: "rd.Dataset", *, key_col: str,
+                         value_col: str, p: int = 12) -> pd.DataFrame:
+    """Approximate ``count(DISTINCT value) GROUP BY key`` — the sketch
+    twin of ``windows.grouped_distinct_count`` (pinned against it in
+    tests): per batch, one serialized HLL row PER KEY (vectorized
+    md5-hash of the batch's values, bucketed by key), then a single
+    ``groupby(key)`` whose groups carry ~4 KB sketches instead of value
+    sets — the shuffle volume is O(keys × batches), independent of the
+    value cardinality that breaks exact grouped distinct on hot keys.
+    Driver folds nothing: merge happens in map_groups; the returned
+    frame is one row per key."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_s = [], []
+        for key, g in batch.groupby(key_col, sort=False):
+            h = HyperLogLog(p)
+            h.add(g[value_col].astype(str).to_numpy())
+            out_k.append(key)
+            out_s.append(h.serialize())
+        return pd.DataFrame({key_col: pd.Series(out_k, dtype="object"),
+                             "sketch": pd.Series(out_s, dtype="object")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = HyperLogLog(p)
+        for blob in g["sketch"]:
+            m.merge(HyperLogLog.deserialize(blob))
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n_distinct_approx": [m.estimate()]})
+
+    out = ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(key_col).map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    if key_col not in out.columns:   # empty input → typed empty frame
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "n_distinct_approx": pd.Series(
+                                 [], dtype="float64")})
+    return out.sort_values(key_col).reset_index(drop=True)

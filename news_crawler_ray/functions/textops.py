@@ -13,6 +13,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count
@@ -586,3 +587,86 @@ def mask_pii(ds: "rd.Dataset", *, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         mask, batch_format="pandas")
+
+
+def source_quality_gate(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        group_col: str = "source") -> "rd.Dataset":
+    """Per-source (per-domain) ADAPTIVE quality gate — the
+    RefinedWeb-style two-pass filter: score every document (µ-integerized
+    stopword ratio), compute each source's mean score, and keep the
+    documents at or above their OWN source's mean. A fixed global
+    threshold over-prunes clean domains and under-prunes spam domains;
+    the per-domain mean self-calibrates.
+
+    Scale shape: pass 1 is a pure per-batch map (score) + a per-batch
+    (source, n, Σscore) combiner into a tiny ``groupby(source)`` —
+    the shuffle moves one row per (source, batch). Pass 2 is a native
+    hash join of the doc-level scores against the per-source means
+    (sources number in the millions at web scale — a join, never a
+    driver-side dict broadcast), then a vectorized filter on the pure
+    INTEGER cross-multiplication ``score_mu · n_src ≥ Σscore_mu``
+    (exactly the SQL twin's predicate — no float mean, so no rounding
+    seam between the engines)."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import project_blocks
+
+    en = STOPWORDS["en"]
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        mus = []
+        for text in batch[text_col].fillna(""):
+            words = text.split()
+            n_stop = sum(1 for w in words if w.lower() in en)
+            ratio = n_stop / len(words) if words else 0.0
+            mus.append(int(np.floor(ratio * 1e6 + 0.5)))
+        # typed on EMPTY batches too (the f61a2e2 pattern): an untyped
+        # empty block diverges from the non-empty schema at the shuffle
+        return pd.DataFrame({
+            id_col: pd.Series(batch[id_col].to_numpy(), dtype="int64"),
+            group_col: pd.Series(batch[group_col].to_numpy(),
+                                 dtype="object"),
+            "score_mu": pd.Series(mus, dtype="int64")})
+
+    scored = ds.select_columns([id_col, group_col, text_col]) \
+        .map_batches(score, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(group_col, as_index=False) \
+            .agg(n=("score_mu", "size"), s=("score_mu", "sum"))
+        return pd.DataFrame({
+            group_col: pd.Series(g[group_col].to_numpy(), dtype="object"),
+            "n": pd.Series(g["n"].to_numpy(), dtype="int64"),
+            "s": pd.Series(g["s"].to_numpy(), dtype="int64")})
+
+    means = scored.map_batches(partial, batch_format="pandas") \
+        .groupby(group_col).aggregate(Sum("n", alias_name="n_src"),
+                                      Sum("s", alias_name="sum_mu"))
+    # project_blocks BOTH join inputs: native aggregates emit
+    # zero-column blocks for empty partitions, and one reaching a join
+    # side is an Acero "No match for FieldRef" error (the 808e568 class)
+    means = project_blocks(means, [group_col, "n_src", "sum_mu"]) \
+        .materialize()   # one row per SOURCE — tiny, and needed twice
+    if means.count() == 0:
+        # empty corpus: a zero-block dataset has no schema for the join
+        # to bind FieldRefs against — early-exit with the typed empty
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            group_col: pa.array([], pa.string()),
+            "score_mu": pa.array([], pa.int64())}))
+
+    joined = project_blocks(scored, [id_col, group_col, "score_mu"]) \
+        .join(means, join_type="inner", num_partitions=8,
+              on=(group_col,))
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.multiply_checked(t["score_mu"].cast(pa.int64()),
+                                t["n_src"].cast(pa.int64())),
+            t["sum_mu"].cast(pa.int64()))
+        t = t.filter(keep)
+        return pa.table({id_col: t[id_col], group_col: t[group_col],
+                         "score_mu": t["score_mu"]})
+
+    return joined.map_batches(gate, batch_format="pyarrow")

@@ -422,3 +422,80 @@ def grouped_pearson(ds: "rd.Dataset", *, key_col: str, x_col: str,
     return ds.select_columns([key_col, x_col, y_col]) \
         .map_batches(partial, batch_format="pandas") \
         .groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def hopping_window_agg(ds: "rd.Dataset", *, ts_col: str, value_col: str,
+                       width_s: int = 900, hop_s: int = 300) -> "rd.Dataset":
+    """Hopping (sliding) window aggregate: count + centi-int sum of
+    ``value_col`` per ``width_s``-second window advancing every
+    ``hop_s`` seconds — the streaming-analytics windowed aggregate the
+    reference's continuous loop never needed (it has no windows, §2.9)
+    but any event/metrics pipeline does.
+
+    Each event belongs to exactly ``width_s // hop_s`` windows, so the
+    per-batch map fans each row out ``k`` ways ARITHMETICALLY (numpy
+    tile, no join against a window table) and immediately folds partials
+    per (window, batch) — the shuffle then moves one row per (window,
+    batch), never one per (event, window). Window identity is its start
+    epoch-second; timestamps enter as int64 microseconds so bucket
+    arithmetic is exact (no float epoch).
+
+    ``width_s`` must be a multiple of ``hop_s`` (tumbling = equal)."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"wstart": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        centi = np.floor(v * 100 + 0.5).astype(np.int64)
+        base = us - us % hop_us
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype=np.int64) * hop_us,
+                            len(us))) // 1_000_000
+        centi_k = np.repeat(centi, k)
+        uniq, inv = np.unique(starts, return_inverse=True)
+        return pa.table({
+            "wstart": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=centi_k)
+                          .astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return ds.select_columns([ts_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("wstart").aggregate(Sum("n", alias_name="n_events"),
+                                     Sum("s", alias_name="sum_centi"))
+
+
+def grouped_distinct_count(ds: "rd.Dataset", *, key_col: str,
+                           value_col: str) -> "rd.Dataset":
+    """EXACT ``count(DISTINCT value) GROUP BY key`` — the two-level
+    groupby shape: per-batch local (key, value) dedup (vectorized
+    drop_duplicates, so the shuffle moves distinct pairs per batch, not
+    raw rows) → native ``groupby([key, value]).count()`` co-locates and
+    collapses each distinct pair to ONE row → a second tiny
+    ``groupby(key).count()`` counts pairs per key. Both shuffles carry
+    pair-level rows; nothing ever materializes a per-key value set in
+    one process (the classic OOM of naive grouped distinct on a hot
+    key). The approx twin is ``sketches.grouped_hll`` (one mergeable
+    HLL row per (key, batch)), pinned against this in tests."""
+    from ray.data.aggregate import Count
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[key_col, value_col]].drop_duplicates()
+
+    pairs = ds.select_columns([key_col, value_col]) \
+        .map_batches(local, batch_format="pandas") \
+        .groupby([key_col, value_col]).count()
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t[key_col]})
+
+    return pairs.map_batches(strip, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Count(alias_name="n_distinct"))

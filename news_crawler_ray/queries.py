@@ -2610,6 +2610,191 @@ GROUP BY r.r_name ORDER BY r.r_name
 # Catalog
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Round-3 additions: segment dedup, per-source gate, hopping windows,
+# grouped distinct, argmin-per-group multi-join
+# ---------------------------------------------------------------------------
+
+def q_segment_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4-style segment-level dedup (dedup.segment_dedup): 10-token
+    windows, global first occurrence wins, docs reassembled from the
+    survivors."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = dd.segment_dedup(ds, tokens_per_seg=10).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SEGMENT_DEDUP_SQL = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(ws[(i-1)*10+1:(i-1)*10+10], ' ') AS seg
+  FROM words, UNNEST(generate_series(1, CAST(ceil(length(ws)/10.0) AS BIGINT))) AS t(i)
+  WHERE length(ws) > 0),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_source_quality_gate(sf_dir: str) -> pd.DataFrame:
+    """RefinedWeb-style per-source adaptive quality gate
+    (textops.source_quality_gate): keep docs scoring at or above their
+    own source's mean stopword ratio (µ-integerized, integer
+    cross-multiply predicate — no float mean on either engine)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    with light_shuffle_aggregators():
+        out = to.source_quality_gate(ds).materialize().to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["score_mu"] = out["score_mu"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_SOURCE_GATE_SQL = rf"""
+WITH s AS (
+  SELECT doc_id, source,
+         CAST(floor(CASE WHEN length(words) = 0 THEN 0
+              ELSE length(list_filter(words, x -> list_contains([{_EN_STOPS_SQL}], lower(x))))
+                   / CAST(length(words) AS DOUBLE) END * 1e6 + 0.5) AS BIGINT) AS score_mu
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+        FROM documents)),
+m AS (SELECT source, count(*) AS n_src, sum(score_mu) AS sum_mu
+      FROM s GROUP BY source)
+SELECT s.doc_id, s.source, s.score_mu
+FROM s JOIN m USING (source)
+WHERE s.score_mu * m.n_src >= m.sum_mu
+ORDER BY s.doc_id
+"""
+
+
+def q_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """15-minute windows hopping every 5 minutes over events
+    (windows.hopping_window_agg): count + centi-sum per window start."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    out = wn.hopping_window_agg(ds, ts_col="ts", value_col="value",
+                                width_s=900, hop_s=300).to_pandas()
+    for c in ("wstart", "n_events", "sum_centi"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("wstart").reset_index(drop=True)
+
+
+Q_HOPPING_SQL = """
+WITH x AS (SELECT epoch_us(ts) AS us,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS centi
+           FROM events),
+w AS (SELECT (us - us % 300000000 - 300000000 * k) // 1000000 AS wstart,
+             centi
+      FROM x, UNNEST([0, 1, 2]) AS t(k))
+SELECT wstart, count(*) AS n_events,
+       CAST(sum(centi) AS BIGINT) AS sum_centi
+FROM w GROUP BY wstart ORDER BY wstart
+"""
+
+
+def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped distinct count (windows.grouped_distinct_count):
+    distinct users per event type, two-level groupby — the exact twin
+    the grouped-HLL sketch is pinned against."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "user_id"])
+    out = wn.grouped_distinct_count(ds, key_col="event_type",
+                                    value_col="user_id").to_pandas()
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
+    """Approx distinct users per event type (sketches.
+    grouped_hll_distinct) — pinned against the exact
+    q_distinct_users_by_type twin in tests (rows-only driver check:
+    HLL estimates are approximate by design)."""
+    from .functions.sketches import grouped_hll_distinct
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "user_id"])
+    return grouped_hll_distinct(ds, key_col="event_type",
+                                value_col="user_id")
+
+
+def q_cheapest_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2-shaped argmin-per-group multi-join: each part's
+    cheapest lineitem supplier (min extendedprice, supplier id as
+    tie-break) joined to supplier + nation names.
+
+    The argmin reuses ``windows.latest_per_key`` — the (price, suppkey)
+    lexicographic MIN packs into one int64 whose NEGATION latest_per_key
+    argmaxes; the combiner ships ≤1 row per (part, batch). Then two
+    native hash joins (supplier scales with the corpus; nation rides
+    the same path — 25 rows is not worth a second code shape)."""
+    li = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pack(batch: pd.DataFrame) -> pd.DataFrame:
+        centi = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        return pd.DataFrame({
+            "l_partkey": batch["l_partkey"].astype("int64"),
+            "l_suppkey": batch["l_suppkey"].astype("int64"),
+            "price_centi": centi,
+            "ordv": -(centi * 1_000_000 + batch["l_suppkey"]
+                      .to_numpy(dtype=np.int64))})
+
+    best = wn.latest_per_key(li.map_batches(pack, batch_format="pandas"),
+                             key_col="l_partkey", order_cols=["ordv"])
+    from .rayutil import project_blocks
+    best = project_blocks(best, ["l_partkey", "l_suppkey", "price_centi"])
+
+    supp = read_parquet(_t(sf_dir, "supplier"),
+                        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = read_parquet(_t(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    with light_shuffle_aggregators():
+        joined = best.join(supp, join_type="inner", num_partitions=8,
+                           on=("l_suppkey",), right_on=("s_suppkey",))
+        joined = project_blocks(
+            joined, ["l_partkey", "l_suppkey", "price_centi", "s_name",
+                     "s_nationkey"])
+        out = joined.join(nation, join_type="inner", num_partitions=8,
+                          on=("s_nationkey",),
+                          right_on=("n_nationkey",)).materialize() \
+            .to_pandas()
+    out = out[["l_partkey", "l_suppkey", "price_centi", "s_name",
+               "n_name"]]
+    for c in ("l_partkey", "l_suppkey", "price_centi"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+Q_CHEAPEST_SUPPLIER_SQL = """
+WITH r AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_centi,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY floor(l_extendedprice * 100 + 0.5),
+                                     l_suppkey) AS rn
+  FROM lineitem)
+SELECT r.l_partkey, r.l_suppkey, r.price_centi, s.s_name, n.n_name
+FROM r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rn = 1 ORDER BY r.l_partkey
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -2665,6 +2850,11 @@ QUERIES = {
     "q_price_histogram": q_price_histogram,
     "q_revenue_rollup": q_revenue_rollup,
     "q_bloom_filtered_orders": q_bloom_filtered_orders,
+    "q_segment_dedup": q_segment_dedup,
+    "q_source_quality_gate": q_source_quality_gate,
+    "q_hopping_window": q_hopping_window,
+    "q_distinct_users_by_type": q_distinct_users_by_type,
+    "q_cheapest_supplier": q_cheapest_supplier,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -2680,6 +2870,7 @@ QUERIES = {
     "crawl_host_stats": q_crawl_stats,
     "crawl_host_metadata": q_crawl_host_metadata,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "approx_grouped_distinct": q_grouped_hll_distinct,
     "approx_heavy_hitters": q_heavy_hitters,
     "approx_price_quantiles": q_approx_quantiles,
     "q_mask_pii": q_mask_pii,
@@ -2760,4 +2951,9 @@ ORACLES = {
     "q_price_histogram": Q_PRICE_HISTOGRAM_SQL,
     "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
     "q_bloom_filtered_orders": Q_BLOOM_ORDERS_SQL,
+    "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
+    "q_source_quality_gate": Q_SOURCE_GATE_SQL,
+    "q_hopping_window": Q_HOPPING_SQL,
+    "q_distinct_users_by_type": Q_DISTINCT_USERS_SQL,
+    "q_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
 }

@@ -63,11 +63,45 @@ def read_parquet(path, **kwargs):
     fast path that tries ``set(schemas)`` — read-split unify,
     hash-shuffle/join aggregator actors — then logs ``Failed to hash
     the schemas`` once per block batch and falls back to the slow
-    unify. Stripping the metadata at the read restores the fast path
-    engine-wide (the metadata carries nothing we use: plain columns,
-    range index)."""
+    unify. Two layers: (1) a STRIPPED ``schema=`` override makes the
+    read tasks themselves emit metadata-free blocks (the read-split
+    unify runs inside the ReadParquet task, BEFORE any map of ours can
+    strip — the only place the fix can live is the datasource schema);
+    (2) the explicit strip map keeps the guarantee even when the
+    override can't be derived (directory inputs, caller-supplied
+    schema). The override must be pre-projected to ``columns`` —
+    Ray's parquet datasource rebuilds each batch against the given
+    schema verbatim, and a full-width schema with projected batches is
+    an ArrowInvalid."""
+    if "schema" not in kwargs:
+        try:
+            first = path[0] if isinstance(path, (list, tuple)) else path
+            sch = _pq().read_schema(first).remove_metadata()
+            cols = kwargs.get("columns")
+            if cols is not None:
+                sch = _pa().schema([sch.field(c) for c in cols])
+            kwargs["schema"] = sch
+        except Exception:
+            pass   # directories / odd layouts: the strip map still runs
     return rd.read_parquet(path, **kwargs).map_batches(
         _strip_schema_metadata, batch_format="pyarrow")
+
+
+def _pa():
+    import pyarrow
+    return pyarrow
+
+
+def _pq():
+    import pyarrow.parquet
+    return pyarrow.parquet
+
+
+# NOTE: a worker_process_setup_hook variant of the installs below was
+# tried and reverted: any non-default runtime_env makes the raylet
+# re-resolve the env on every worker launch (~1 s churn per worker,
+# continuous). The stripped schema= override in read_parquet plus the
+# package-import installs cover every block our pipelines produce.
 
 
 def project_blocks(ds, cols: list[str]):

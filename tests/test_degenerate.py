@@ -107,6 +107,9 @@ DOC_OPS = [
      lambda ds: sp.grouped_hash_sample_k(ds, key_col="lang", k=2,
                                          num_buckets=8)),
     ("heavy_hitters", lambda ds: sk.heavy_hitters(ds, k=16)),
+    ("segment_dedup", lambda ds: dd.segment_dedup(ds, tokens_per_seg=5)),
+    ("source_quality_gate",
+     lambda ds: to.source_quality_gate(ds, group_col="lang")),
 ]
 
 EVENT_OPS = [
@@ -138,6 +141,15 @@ EVENT_OPS = [
                                               pct=50)),
     ("approx_quantiles",
      lambda ds: sk.approx_quantiles(ds, value_col="value", qs=[0.5])),
+    ("hopping_window_agg",
+     lambda ds: wn.hopping_window_agg(ds, ts_col="ts", value_col="value",
+                                      width_s=900, hop_s=300)),
+    ("grouped_distinct_count",
+     lambda ds: wn.grouped_distinct_count(ds, key_col="user_id",
+                                          value_col="event_id")),
+    ("grouped_hll_distinct",
+     lambda ds: sk.grouped_hll_distinct(ds, key_col="user_id",
+                                        value_col="event_id")),
 ]
 
 

@@ -962,3 +962,171 @@ class TestMinhashKeepDistributedWiring:
         got = q.q_minhash_dedup_keep(str(tmp_path))
         pd.testing.assert_frame_equal(
             got.astype({"keep": bool}), expected.astype({"keep": bool}))
+
+
+class TestSegmentDedup:
+    def _reference(self, df, tokens_per_seg=10, sep=None, joiner=" "):
+        rows = []
+        for did, txt in zip(df.doc_id, df.text):
+            if sep is not None:
+                segs = [s for s in txt.split(sep) if s != ""]
+            else:
+                ws = txt.split()
+                segs = [" ".join(ws[i:i + tokens_per_seg])
+                        for i in range(0, len(ws), tokens_per_seg)]
+            for i, s in enumerate(segs):
+                rows.append((did, i, s))
+        g = pd.DataFrame(rows, columns=["doc_id", "i", "seg"])
+        g = g.sort_values(["doc_id", "i"]).reset_index(drop=True)
+        g["rn"] = g.groupby("seg").cumcount()
+        kept = g[g.rn == 0]
+        return kept.groupby("doc_id")["seg"].agg(joiner.join) \
+            .reset_index().rename(columns={"seg": "clean_text"})
+
+    def _check(self, ray_session, df, **kw):
+        import ray.data as rd
+        out = dd.segment_dedup(rd.from_pandas(df), **kw).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        joiner = kw.get("sep") if kw.get("sep") is not None else " "
+        ref = self._reference(df, tokens_per_seg=kw.get("tokens_per_seg", 10),
+                              sep=kw.get("sep"), joiner=joiner)
+        ref["doc_id"] = ref["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(
+            out, ref.sort_values("doc_id").reset_index(drop=True))
+
+    def test_token_window_mode(self, ray_session):
+        seg = "alpha beta gamma delta epsilon"
+        df = pd.DataFrame({"doc_id": range(4), "text": [
+            f"{seg} one two three four five",       # owns seg
+            f"{seg} six seven eight nine ten",      # loses seg, keeps tail
+            seg,                                    # fully deduped away
+            "unique words entirely here now",       # untouched
+        ]})
+        self._check(ray_session, df, tokens_per_seg=5)
+        import ray.data as rd
+        out = dd.segment_dedup(rd.from_pandas(df),
+                               tokens_per_seg=5).to_pandas()
+        assert set(out.doc_id) == {0, 1, 3}   # doc 2 vanished
+
+    def test_separator_mode_and_in_doc_repeat(self, ray_session):
+        df = pd.DataFrame({"doc_id": [7, 9], "text": [
+            "para one\npara two\npara one",     # in-doc repeat drops
+            "para two\npara three",             # para two loses to doc 7
+        ]})
+        self._check(ray_session, df, sep="\n")
+        import ray.data as rd
+        out = dd.segment_dedup(rd.from_pandas(df), sep="\n").to_pandas()
+        assert out[out.doc_id == 7].clean_text.iloc[0] == \
+            "para one\npara two"
+        assert out[out.doc_id == 9].clean_text.iloc[0] == "para three"
+
+
+class TestHoppingWindow:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions import windows as wn
+        rng = np.random.RandomState(7)
+        ts = pd.to_datetime(1_700_000_000_000_000
+                            + rng.randint(0, 3_600_000_000, 200), unit="us")
+        val = rng.uniform(0, 100, 200).round(2)
+        df = pd.DataFrame({"ts": ts, "value": val})
+        out = wn.hopping_window_agg(
+            rd.from_arrow(__import__("pyarrow").Table.from_pandas(
+                df, preserve_index=False)),
+            ts_col="ts", value_col="value", width_s=900,
+            hop_s=300).to_pandas().sort_values("wstart") \
+            .reset_index(drop=True)
+        # reference: each event in exactly 3 windows
+        us = df.ts.astype("int64")
+        centi = np.floor(val * 100 + 0.5).astype("int64")
+        rows = []
+        for k in range(3):
+            w = (us - us % 300_000_000 - 300_000_000 * k) // 1_000_000
+            rows.append(pd.DataFrame({"wstart": w, "centi": centi}))
+        ref = pd.concat(rows).groupby("wstart", as_index=False) \
+            .agg(n_events=("centi", "size"), sum_centi=("centi", "sum"))
+        ref = ref.astype({"n_events": "int64", "sum_centi": "int64"})
+        pd.testing.assert_frame_equal(
+            out.astype({"wstart": "int64", "n_events": "int64",
+                        "sum_centi": "int64"}),
+            ref.sort_values("wstart").reset_index(drop=True))
+
+    def test_width_must_divide(self, ray_session):
+        from news_crawler_ray.functions import windows as wn
+        with pytest.raises(ValueError):
+            wn.hopping_window_agg(None, ts_col="ts", value_col="v",
+                                  width_s=700, hop_s=300)
+
+
+class TestGroupedDistinct:
+    def _events(self):
+        rng = np.random.RandomState(11)
+        return pd.DataFrame({
+            "event_type": rng.choice(["a", "b", "c"], 500),
+            "user_id": rng.randint(0, 40, 500)})
+
+    def test_exact_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions import windows as wn
+        df = self._events()
+        out = wn.grouped_distinct_count(
+            rd.from_pandas(df), key_col="event_type",
+            value_col="user_id").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        ref = df.groupby("event_type")["user_id"].nunique() \
+            .reset_index().rename(columns={"user_id": "n_distinct"})
+        assert list(out.event_type) == list(ref.event_type)
+        assert list(out.n_distinct.astype(int)) == list(ref.n_distinct)
+
+    def test_hll_twin_within_envelope(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions import windows as wn
+        from news_crawler_ray.functions.sketches import grouped_hll_distinct
+        df = self._events()
+        exact = wn.grouped_distinct_count(
+            rd.from_pandas(df), key_col="event_type",
+            value_col="user_id").to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        approx = grouped_hll_distinct(rd.from_pandas(df),
+                                      key_col="event_type",
+                                      value_col="user_id")
+        m = exact.merge(approx, on="event_type")
+        rel = (m.n_distinct_approx - m.n_distinct).abs() / m.n_distinct
+        # p=12 HLL: ~1.04/sqrt(4096) ≈ 1.6% std error; 10% envelope
+        assert (rel < 0.10).all(), m
+
+
+class TestSourceQualityGate:
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.extract.textstats import STOPWORDS
+        en = STOPWORDS["en"]
+        rng = np.random.RandomState(3)
+        vocab = ["the", "of", "and", "zebra", "quark", "lattice", "flux"]
+        texts = [" ".join(rng.choice(vocab, rng.randint(3, 20)))
+                 for _ in range(120)]
+        df = pd.DataFrame({
+            "doc_id": range(120),
+            "source": rng.choice(["s1", "s2", "s3"], 120),
+            "text": texts})
+        out = to.source_quality_gate(rd.from_pandas(df)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        def mu(t):
+            ws = t.split()
+            r = sum(1 for w in ws if w.lower() in en) / len(ws) if ws else 0
+            return int(np.floor(r * 1e6 + 0.5))
+
+        ref = df.copy()
+        ref["score_mu"] = ref.text.map(mu)
+        agg = ref.groupby("source").agg(n_src=("score_mu", "size"),
+                                        sum_mu=("score_mu", "sum"))
+        ref = ref.merge(agg, on="source")
+        ref = ref[ref.score_mu * ref.n_src >= ref.sum_mu]
+        assert list(out.doc_id) == list(ref.doc_id)
+        assert list(out.score_mu.astype(int)) == list(ref.score_mu)
+        # the gate is adaptive: every source keeps SOME but not all docs
+        kept = out.groupby("source").size()
+        tot = df.groupby("source").size()
+        for s in tot.index:
+            assert 0 < kept.get(s, 0) < tot[s]
