@@ -8,7 +8,9 @@ outgrows a worker).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data as rd
 
@@ -52,3 +54,55 @@ def asof_join(left: "rd.Dataset", right: "rd.Dataset", *, by: str,
 
     return both.groupby("_bucket").map_groups(per_bucket,
                                               batch_format="pandas")
+
+
+def salted_join(big: "rd.Dataset", small: "rd.Dataset", *, on: str,
+                salt: int = 8, num_partitions: int = 8,
+                id_col: str | None = None) -> "rd.Dataset":
+    """Skew-safe inner join: a HOT key (one key holding a large
+    fraction of the big side) makes a plain hash join serialize on one
+    partition — the aggregator holding that key receives everything.
+    Salting splits each key's big-side rows across ``salt`` sub-keys
+    (deterministic: hash of the row id, or a per-batch row counter) and
+    replicates each small-side row once per sub-key, so the hot key's
+    rows spread over ``salt`` partitions; result rows are identical to
+    the unsalted join (pinned in tests).
+
+    Cost model: small side inflates ``salt``×, big side doesn't move
+    more than before — the right trade exactly when small ≪ big, which
+    is the only regime where a broadcast ISN'T already the answer (too
+    big to ship to every task, small enough that salt× replication is
+    noise next to the big side)."""
+    import zlib
+
+    from ..rayutil import project_blocks
+
+    big_cols = [c for c in big.schema().names]
+    small_cols = [c for c in small.schema().names]
+
+    def add_salt_big(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if id_col is not None and id_col in t.column_names:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = (ids % salt).astype(np.int32)
+        else:
+            s = (np.arange(n) % salt).astype(np.int32)
+        return t.append_column("_salt", pa.array(s, pa.int32()))
+
+    def replicate_small(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = np.repeat(np.arange(n), salt)
+        rep = t.take(pa.array(idx))
+        s = np.tile(np.arange(salt, dtype=np.int32), n)
+        return rep.append_column("_salt", pa.array(s, pa.int32()))
+
+    joined = project_blocks(big.map_batches(add_salt_big,
+                                            batch_format="pyarrow"),
+                            big_cols + ["_salt"]) \
+        .join(project_blocks(small.map_batches(replicate_small,
+                                               batch_format="pyarrow"),
+                             small_cols + ["_salt"]),
+              join_type="inner", num_partitions=num_partitions,
+              on=(on, "_salt"))
+    out_cols = big_cols + [c for c in small_cols if c != on]
+    return project_blocks(joined, out_cols)

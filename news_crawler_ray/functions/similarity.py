@@ -254,3 +254,154 @@ def distributed_kmeans(ds: "rd.Dataset", *, n_clusters: int = 8,
         nz = counts > 0
         cents[nz] = sums[nz] / counts[nz, None]   # empty clusters keep pos
     return cents, counts, inertia
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN (Jégou'11 "Product
+# Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+def train_pq(ds: "rd.Dataset", *, m: int = 8, n_codes: int = 16,
+             iters: int = 8, sample_limit: int = 4096,
+             vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a bounded driver-side sample: the dim is
+    split into ``m`` subspaces and each gets its own ``n_codes``-entry
+    k-means codebook. Codebooks are broadcast-small at ANY corpus scale
+    (m·n_codes·dim/m = n_codes·dim floats — same size class as the IVF
+    centroids), which is the whole point: the corpus is then stored as
+    ``m`` BYTES per vector instead of ``dim·4``, so a 10^10-vector
+    corpus fits the object store for in-memory ADC scans.
+
+    Returns ndarray (m, n_codes, dim//m). Deterministic (seeded sample
+    kmeans per subspace, seed offset by subspace index so subspaces
+    don't share degenerate inits)."""
+    sample = ds.limit(sample_limit).to_pandas()
+    mat = _normalize(np.array(sample[vec_col].to_list(), dtype=np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack([
+        kmeans_centroids(mat[:, j * sub:(j + 1) * sub], n_codes,
+                         iters=iters, seed=seed + j)
+        for j in range(m)])
+
+
+def pq_encode(ds: "rd.Dataset", codebooks: np.ndarray, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "rd.Dataset":
+    """Encode every vector to its ``m``-byte PQ code — one broadcast of
+    the codebooks (``ray.put``), one vectorized distance-argmin per
+    subspace per batch, no shuffle. Output (id, code: binary) is the
+    compressed corpus the ADC scan reads; dim·4/m compression (32x for
+    dim=64, m=8 float32-equivalent)."""
+    cb_ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        from ..rayutil import cached_object
+        cb = cached_object(cb_ref)              # (m, n_codes, sub)
+        mat = _normalize(_as_matrix(batch[vec_col]))
+        m, n_codes, sub = cb.shape
+        n = len(mat)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            x = mat[:, j * sub:(j + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d = -2.0 * (x @ cb[j].T) + (cb[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch[id_col],
+            "code": pa.array([c.tobytes() for c in codes], pa.binary())})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds: "rd.Dataset", codebooks: np.ndarray,
+            query: np.ndarray, k: int = 10,
+            id_col: str = "vec_id") -> pd.DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): one
+    (m × n_codes) query-to-codebook distance table, then every batch
+    scores its codes with two numpy gathers and emits its local top-k —
+    the same broadcast-query partial-top-k merge shape as
+    :func:`cosine_topk`, but over m-byte codes instead of dim·8-byte
+    vectors. Vectors are unit-normalized at encode time, so ADC-L2
+    ranking approximates cosine ranking (||a-b||² = 2-2cos); recall is
+    pinned against :func:`cosine_topk` in tests. Returns (vec_id,
+    adc_dist) ascending, k rows."""
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    q = q / (np.linalg.norm(q) or 1.0)
+    m, n_codes, sub = codebooks.shape
+    table = np.empty((m, n_codes), dtype=np.float64)
+    for j in range(m):
+        diff = codebooks[j] - q[j * sub:(j + 1) * sub][None, :]
+        table[j] = (diff ** 2).sum(axis=1)
+    tab_ref = ray.put(table)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..rayutil import cached_object
+        tab = cached_object(tab_ref)
+        blobs = batch["code"].to_pylist()
+        if not blobs:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        codes = np.frombuffer(b"".join(blobs), dtype=np.uint8) \
+            .reshape(len(blobs), m)
+        dists = tab[np.arange(m)[None, :], codes].sum(axis=1)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        if len(dists) > k:
+            idx = np.argpartition(dists, k)[:k]
+        else:
+            idx = np.arange(len(dists))
+        return pa.table({id_col: pa.array(ids[idx]),
+                         "adc_dist": pa.array(dists[idx])})
+
+    parts = codes_ds.map_batches(partial_topk,
+                                 batch_format="pyarrow").to_pandas()
+    if id_col not in parts.columns:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "adc_dist": pd.Series([], dtype="float64")})
+    return parts.sort_values(["adc_dist", id_col]).head(k) \
+        .reset_index(drop=True)
+
+
+def pq_refine(ds: "rd.Dataset", shortlist_ids, query: np.ndarray,
+              k: int = 10, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact re-rank of an ADC shortlist — the standard PQ+refine
+    design: the compressed scan proposes ``C ≫ k`` candidates, then ONE
+    filtered pass over the full-precision vectors re-ranks just those.
+    The shortlist id set broadcasts (C ids, driver-safe by
+    construction), the filter is per-batch, and the cosine runs on C
+    rows — so full-precision data is touched O(C), not O(corpus)."""
+    import ray as _ray
+    ids = np.asarray(list(shortlist_ids), dtype=np.int64)
+    ids_ref = _ray.put(frozenset(int(i) for i in ids))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        from ..rayutil import cached_object
+        wanted = cached_object(ids_ref)
+        col = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mask = np.fromiter((int(i) in wanted for i in col), dtype=bool,
+                           count=len(col))
+        return batch.filter(pa.array(mask))
+
+    return cosine_topk(ds.map_batches(keep, batch_format="pyarrow"),
+                       query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def pq_ann_topk(ds: "rd.Dataset", query: np.ndarray, k: int = 10,
+                m: int = 16, n_codes: int = 64, refine: int = 50,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> pd.DataFrame:
+    """One-shot PQ ANN: train (bounded sample) → encode (streaming) →
+    ADC shortlist of ``refine`` candidates → exact re-rank
+    (:func:`pq_refine`). ``refine=0`` returns the raw ADC ranking.
+    For repeated queries, train/encode once and call :func:`pq_topk` /
+    :func:`pq_refine` on the materialized codes."""
+    cb = train_pq(ds, m=m, n_codes=n_codes, vec_col=vec_col)
+    codes = pq_encode(ds, cb, id_col=id_col, vec_col=vec_col).materialize()
+    if not refine:
+        return pq_topk(codes, cb, query, k=k, id_col=id_col)
+    short = pq_topk(codes, cb, query, k=max(refine, k), id_col=id_col)
+    return pq_refine(ds, short[id_col].to_numpy(), query, k=k,
+                     id_col=id_col, vec_col=vec_col)

@@ -499,3 +499,38 @@ def grouped_distinct_count(ds: "rd.Dataset", *, key_col: str,
 
     return pairs.map_batches(strip, batch_format="pyarrow") \
         .groupby(key_col).aggregate(Count(alias_name="n_distinct"))
+
+
+def interpolated_quantiles(ds: "rd.Dataset", *, value_col: str,
+                           qs: list[float]) -> pd.DataFrame:
+    """Linearly INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    percentile_cont semantics: position ``h = q·(n-1)``, value
+    ``v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1] - v[⌊h⌋])``) — the companion of
+    :func:`exact_quantiles`, whose element-at-rank definition is a step
+    function. Same distributed shape and the same LOW-CARDINALITY
+    contract: one ``groupby(value).count()`` histogram shuffle (one row
+    per DISTINCT value), driver folds ranks; t-digest is the
+    high-cardinality path."""
+    hist = ds.groupby(value_col).count().to_pandas()
+    if value_col not in hist.columns or not len(hist):
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "val": pd.Series([], dtype="float64")})
+    hist = hist.sort_values(value_col).reset_index(drop=True)
+    counts = hist["count()"].to_numpy(dtype=np.int64)
+    v = hist[value_col].to_numpy(dtype=np.float64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+
+    def at(i: int) -> float:
+        return float(v[int(np.searchsorted(cum, i, side="right"))])
+
+    vals = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        frac = h - lo
+        x0 = at(lo)
+        vals.append(x0 if frac == 0.0 or lo + 1 > n - 1
+                    else x0 + frac * (at(lo + 1) - x0))
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
+                         "val": pd.Series(vals, dtype="float64")})

@@ -108,7 +108,13 @@ def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
     clean = to.decontaminate(
         split.map_batches(not_test, batch_format="pyarrow"),
         eval_grams, n=decontam_n, keep_clean=True)
-    final_docs = clean.union(test_docs)
+    # normalize the decontaminated branch to ARROW blocks before the
+    # union: its pandas-format maps emit pandas blocks while test_docs
+    # is arrow-materialized — same columns, different block type, and
+    # the executor warns on every mixed RefBundle
+    from ..rayutil import project_blocks
+    final_docs = project_blocks(clean, ["doc_id", "text", "split"]) \
+        .union(test_docs)
 
     chunks = to.chunk_documents(final_docs, chunk_size=chunk_size,
                                 stride=stride)

@@ -2718,6 +2718,36 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_interp_quantiles(sf_dir: str) -> pd.DataFrame:
+    """SQL quantile_cont twin (windows.interpolated_quantiles): linear
+    interpolation at h = q·(n-1) over the distributed value-count
+    histogram."""
+    ds = read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+    out = wn.interpolated_quantiles(ds, value_col="l_quantity",
+                                    qs=[0.1, 0.25, 0.5, 0.75, 0.9])
+    out["val"] = out["val"].round(6)
+    return out.reset_index(drop=True)
+
+
+Q_INTERP_QUANTILES_SQL = """
+SELECT q, round(val, 6) AS val FROM (
+  SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+         unnest(quantile_cont(l_quantity,
+                              [0.1, 0.25, 0.5, 0.75, 0.9])) AS val
+  FROM lineitem) ORDER BY q
+"""
+
+
+def q_pq_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """PQ-compressed approximate top-k (similarity.pq_ann_topk, ADC
+    scan over m-byte codes) — recall pinned against the exact
+    cosine_topk twin in tests (rows-only driver check: approximate by
+    design)."""
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    return sim.pq_ann_topk(ds, _query_vec(sf_dir), k=10, m=8, n_codes=32)
+
+
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approx distinct users per event type (sketches.
     grouped_hll_distinct) — pinned against the exact
@@ -2855,6 +2885,7 @@ QUERIES = {
     "q_hopping_window": q_hopping_window,
     "q_distinct_users_by_type": q_distinct_users_by_type,
     "q_cheapest_supplier": q_cheapest_supplier,
+    "q_interp_quantiles": q_interp_quantiles,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -2863,6 +2894,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann_topk": q_ivf_ann,
+    "pq_ann_topk": q_pq_ann_topk,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "crawl_har_ads": q_har_ads,
@@ -2956,4 +2988,5 @@ ORACLES = {
     "q_hopping_window": Q_HOPPING_SQL,
     "q_distinct_users_by_type": Q_DISTINCT_USERS_SQL,
     "q_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
+    "q_interp_quantiles": Q_INTERP_QUANTILES_SQL,
 }

@@ -73,7 +73,12 @@ def read_parquet(path, **kwargs):
     Ray's parquet datasource rebuilds each batch against the given
     schema verbatim, and a full-width schema with projected batches is
     an ArrowInvalid."""
-    if "schema" not in kwargs:
+    if "schema" not in kwargs and not (
+            "filter" in kwargs and kwargs.get("columns") is not None):
+        # columns+filter together are excluded: Ray projects batches to
+        # `columns` but binds the filter against the GIVEN schema, so a
+        # filter on a non-projected column (q1's l_shipdate) fails to
+        # resolve — those reads keep the strip-map-only path
         try:
             first = path[0] if isinstance(path, (list, tuple)) else path
             sch = _pq().read_schema(first).remove_metadata()

@@ -1130,3 +1130,88 @@ class TestSourceQualityGate:
         tot = df.groupby("source").size()
         for s in tot.index:
             assert 0 < kept.get(s, 0) < tot[s]
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.rayutil import read_parquet
+        return read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).materialize()
+
+    def test_codes_are_m_bytes(self, emb_ds):
+        cb = sim.train_pq(emb_ds, m=8, n_codes=16)
+        assert cb.shape == (8, 16, 8)
+        codes = sim.pq_encode(emb_ds, cb).to_pandas()
+        assert len(codes) == emb_ds.count()
+        assert all(len(c) == 8 for c in codes["code"])
+
+    def test_recall_vs_exact(self, emb_ds):
+        """PQ+refine top-10 must recover most of the exact cosine
+        top-10 — the approximate path is pinned to its exact twin, per
+        the suite's sketch-twin convention. The raw ADC shortlist is
+        held to a weaker floor (quantization distortion is the price of
+        16 bytes/vector); the refine pass is what production uses."""
+        import pyarrow.parquet as pq
+        q = np.array(pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet")
+            ["embedding"].to_pylist()[0], dtype=np.float64)
+        exact = sim.cosine_topk(emb_ds, q, k=10)
+        cb = sim.train_pq(emb_ds, m=16, n_codes=64)
+        codes = sim.pq_encode(emb_ds, cb).materialize()
+        adc = sim.pq_topk(codes, cb, q, k=50)
+        # the query vector itself must always be ADC rank-1 (own code)
+        assert adc.vec_id.iloc[0] == 0
+        adc_recall = len(set(exact.vec_id) & set(adc.vec_id.head(10))) / 10
+        assert adc_recall >= 0.4, adc_recall
+        refined = sim.pq_refine(emb_ds, adc.vec_id.to_numpy(), q, k=10)
+        recall = len(set(exact.vec_id) & set(refined.vec_id)) / 10
+        assert recall >= 0.8, (recall, list(refined.vec_id))
+
+    def test_dim_must_divide(self, emb_ds):
+        with pytest.raises(ValueError):
+            sim.train_pq(emb_ds, m=7)
+
+
+class TestInterpolatedQuantiles:
+    def test_matches_numpy_linear(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions import windows as wn
+        rng = np.random.RandomState(5)
+        vals = rng.randint(0, 50, 1000).astype("float64")
+        ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+        qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+        out = wn.interpolated_quantiles(ds, value_col="v", qs=qs)
+        ref = np.quantile(vals, qs, method="linear")
+        assert np.allclose(out.val.to_numpy(), ref), (out.val, ref)
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions import windows as wn
+        ds = rd.from_pandas(pd.DataFrame({"v": pd.Series([],
+                                                         dtype="float64")}))
+        out = wn.interpolated_quantiles(ds, value_col="v", qs=[0.5])
+        assert len(out) == 0 and list(out.columns) == ["q", "val"]
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_under_skew(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.joins import salted_join
+        rng = np.random.RandomState(9)
+        # hot key: one key owns half the big side
+        keys = np.where(rng.rand(2000) < 0.5, 7,
+                        rng.randint(0, 50, 2000)).astype("int64")
+        big = pd.DataFrame({"k": keys, "row_id": np.arange(2000),
+                            "x": rng.randint(0, 100, 2000)})
+        small = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                              "label": [f"L{i}" for i in range(50)]})
+        out = salted_join(rd.from_pandas(big), rd.from_pandas(small),
+                          on="k", salt=8, id_col="row_id").to_pandas() \
+            .sort_values("row_id").reset_index(drop=True)
+        ref = big.merge(small, on="k").sort_values("row_id") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["k", "row_id", "x", "label"]],
+            ref[["k", "row_id", "x", "label"]])
