@@ -94,7 +94,10 @@ def run_bench() -> dict:
                  "q_mask_pii", "q_seq_packing", "q_dup_substrings",
                  "q_seeded_shuffle", "q_incremental_dedup",
                  "q_latest_events", "q_eval_carve",
-                 "q_token_budget_mix"):
+                 "q_token_budget_mix", "q_segment_dedup",
+                 "q_source_quality_gate", "q_hopping_window",
+                 "q_distinct_users_by_type", "q_cheapest_supplier",
+                 "q_interp_quantiles", "pq_ann_topk"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

@@ -2718,6 +2718,16 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_approx_token_freq(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch token frequencies (sketches.approx_token_freq)
+    for a fixed probe list — one-sided error pinned against exact
+    counts in tests (rows-only driver check: approximate by design)."""
+    from .functions.sketches import approx_token_freq
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return approx_token_freq(
+        ds, ["key", "table", "row", "value", "spark"])
+
+
 def q_interp_quantiles(sf_dir: str) -> pd.DataFrame:
     """SQL quantile_cont twin (windows.interpolated_quantiles): linear
     interpolation at h = q·(n-1) over the distributed value-count
@@ -2904,6 +2914,7 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "approx_grouped_distinct": q_grouped_hll_distinct,
     "approx_heavy_hitters": q_heavy_hitters,
+    "approx_token_freq": q_approx_token_freq,
     "approx_price_quantiles": q_approx_quantiles,
     "q_mask_pii": q_mask_pii,
     "q_seq_packing": q_seq_packing,

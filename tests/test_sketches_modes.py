@@ -249,3 +249,47 @@ class TestRoundEngineModes:
         # corpus injected duplicates — compare directly)
         assert results["tasks"]["pages"]["har"].map(list).tolist() == \
             results["dataset"]["pages"]["har"].map(list).tolist()
+
+
+class TestCountMin:
+    def test_one_sided_and_tight_on_fixture(self, ray_session):
+        import ray.data as rd
+        import numpy as np
+        import pandas as pd
+        from news_crawler_ray.functions.sketches import (CountMinSketch,
+                                                         approx_token_freq)
+        rng = np.random.RandomState(13)
+        vocab = [f"tok{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(vocab, 40)) for _ in range(300)]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+        # exact truth
+        from collections import Counter
+        truth = Counter(tok for t in texts for tok in t.split())
+        queries = vocab[:50]
+        out = approx_token_freq(ds, queries, width=2048, depth=4)
+        est = dict(zip(out.token, out.freq_est))
+        n_total = sum(truth.values())
+        for tok in queries:
+            assert est[tok] >= truth[tok], tok          # never undercounts
+            assert est[tok] - truth[tok] <= 0.01 * n_total, tok
+
+    def test_merge_equals_single(self):
+        import numpy as np
+        from news_crawler_ray.functions.sketches import CountMinSketch
+        a, b, c = (CountMinSketch(width=256, depth=3) for _ in range(3))
+        a.add(["x", "y"], np.array([3, 5]))
+        b.add(["y", "z"], np.array([2, 7]))
+        c.add(["x", "y", "y", "z"], np.array([3, 5, 2, 7]))
+        merged = a.merge(b)
+        assert (merged.table == c.table).all()
+        rt = CountMinSketch.deserialize(merged.serialize())
+        assert (rt.table == merged.table).all()
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from news_crawler_ray.functions.sketches import approx_token_freq
+        ds = rd.from_pandas(pd.DataFrame({"text": pd.Series([],
+                                                            dtype="object")}))
+        out = approx_token_freq(ds, ["a"])
+        assert list(out.freq_est) == [0]
