@@ -670,3 +670,115 @@ def source_quality_gate(ds: "rd.Dataset", *, id_col: str = "doc_id",
                          "score_mu": t["score_mu"]})
 
     return joined.map_batches(gate, batch_format="pyarrow")
+
+
+def bigram_logprob_scores(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          num_join_partitions: int = 8) -> "rd.Dataset":
+    """Corpus-LM quality scoring (the CCNet/C4 move: score each doc by
+    a language model trained on the corpus itself — here an add-one
+    Laplace bigram model, the in-repo stand-in for KenLM): per doc, the
+    sum of ln P(w2|w1) over its bigrams, P = (c(w1w2)+1)/(c(w1)+V).
+    Low scores flag gibberish/boilerplate; per-token normalization is
+    ``logprob_micro / n_bigrams`` downstream.
+
+    Distributed shape (the tf-idf pattern at bigram granularity):
+    per-batch partial counts → native unigram/bigram count groupbys
+    (one row per distinct gram per batch crosses the wire) → the doc's
+    bigram rows hash-join the two count tables (both vocabulary-sized —
+    joins, never broadcasts) → per-batch per-doc partial sums → tiny
+    final ``groupby(doc_id)``. Every ln term is floored to int64 MICRO
+    units BEFORE summing, so the aggregate is an order-independent
+    integer sum and the DuckDB oracle decides identically (same double
+    division, same libm ln, same floor).
+
+    Returns (doc_id, n_bigrams, logprob_micro); docs with < 2 tokens
+    are absent (no bigrams — same as the SQL twin)."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import project_blocks
+
+    def doc_bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list = []
+        w1s: list[str] = []
+        w2s: list[str] = []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            ws = text.split()
+            for a, b in zip(ws, ws[1:]):
+                ids_out.append(did)
+                w1s.append(a)
+                w2s.append(b)
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out, dtype="int64"),
+            "w1": pd.Series(w1s, dtype="object"),
+            "w2": pd.Series(w2s, dtype="object")})
+
+    big = ds.select_columns([id_col, text_col]) \
+        .map_batches(doc_bigrams, batch_format="pandas").materialize()
+
+    # unigram counts come from the TEXT, not from the bigram rows —
+    # recounting w1/w2 occurrences there would double-count interior
+    # tokens (each appears as some bigram's w1 AND another's w2)
+    def text_unigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in batch[text_col].fillna(""):
+            c.update(text.split())
+        return pd.DataFrame({"w1": pd.Series(list(c), dtype="object"),
+                             "n": pd.Series(list(c.values()),
+                                            dtype="int64")})
+
+    ucnt = ds.select_columns([text_col]) \
+        .map_batches(text_unigrams, batch_format="pandas") \
+        .groupby("w1").aggregate(Sum("n", alias_name="cu")).materialize()
+    vocab = ucnt.count()
+    if vocab == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "logprob_micro": pa.array([], pa.int64())}))
+
+    def big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    bcnt = big.map_batches(big_partial, batch_format="pandas") \
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="cb"))
+    bcnt = project_blocks(bcnt, ["w1", "w2", "cb"])
+    ucnt_j = project_blocks(ucnt, ["w1", "cu"])
+
+    with light_shuffle_aggregators():
+        joined = project_blocks(big, [id_col, "w1", "w2"]) \
+            .join(bcnt, join_type="inner",
+                  num_partitions=num_join_partitions, on=("w1", "w2"))
+        joined = project_blocks(joined, [id_col, "w1", "cb"])
+        joined = joined.join(ucnt_j, join_type="inner",
+                             num_partitions=num_join_partitions,
+                             on=("w1",)).materialize()
+
+    v = float(vocab)
+
+    def terms(batch: pd.DataFrame) -> pd.DataFrame:
+        p = (batch["cb"].to_numpy(dtype=np.float64) + 1.0) \
+            / (batch["cu"].to_numpy(dtype=np.float64) + v)
+        micro = np.floor(np.log(p) * 1e6).astype(np.int64)
+        g = pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                          "n": 1, "t": micro}) \
+            .groupby(id_col, as_index=False).sum()
+        return pd.DataFrame({
+            id_col: pd.Series(g[id_col].to_numpy(), dtype="int64"),
+            "n": pd.Series(g["n"].to_numpy(), dtype="int64"),
+            "t": pd.Series(g["t"].to_numpy(), dtype="int64")})
+
+    out = joined.map_batches(terms, batch_format="pandas") \
+        .groupby(id_col).aggregate(Sum("n", alias_name="n_bigrams"),
+                                   Sum("t", alias_name="logprob_micro"))
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_bigrams": t["n_bigrams"].cast(pa.int64()),
+            "logprob_micro": t["logprob_micro"].cast(pa.int64())})
+
+    return out.map_batches(typed, batch_format="pyarrow")

@@ -2718,6 +2718,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus-LM quality scoring (textops.bigram_logprob_scores):
+    add-one bigram log-probability per document, per-term µ-integerized
+    before summing so the aggregate is an order-independent integer."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.bigram_logprob_scores(ds).to_pandas()
+    for c in ("doc_id", "n_bigrams", "logprob_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_BIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM toks),
+ucnt AS (SELECT w, count(*) AS cu FROM uni GROUP BY w),
+vocab AS (SELECT count(*) AS v FROM ucnt),
+big AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM toks, UNNEST(generate_series(1, length(ws) - 1)) AS t(i)
+        WHERE length(ws) >= 2),
+terms AS (
+  SELECT b.doc_id,
+         CAST(floor(ln((c.cb + 1.0) / (u.cu + 1.0 * v.v)) * 1e6) AS BIGINT) AS term
+  FROM big b
+  JOIN (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2) c
+    ON c.w1 = b.w1 AND c.w2 = b.w2
+  JOIN ucnt u ON u.w = b.w1, vocab v)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(term) AS BIGINT) AS logprob_micro
+FROM terms GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_approx_token_freq(sf_dir: str) -> pd.DataFrame:
     """Count-min-sketch token frequencies (sketches.approx_token_freq)
     for a fixed probe list — one-sided error pinned against exact
@@ -2896,6 +2930,7 @@ QUERIES = {
     "q_distinct_users_by_type": q_distinct_users_by_type,
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_interp_quantiles": q_interp_quantiles,
+    "q_bigram_logprob": q_bigram_logprob,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3000,4 +3035,5 @@ ORACLES = {
     "q_distinct_users_by_type": Q_DISTINCT_USERS_SQL,
     "q_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
     "q_interp_quantiles": Q_INTERP_QUANTILES_SQL,
+    "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
 }

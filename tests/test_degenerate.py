@@ -110,6 +110,7 @@ DOC_OPS = [
     ("segment_dedup", lambda ds: dd.segment_dedup(ds, tokens_per_seg=5)),
     ("source_quality_gate",
      lambda ds: to.source_quality_gate(ds, group_col="lang")),
+    ("bigram_logprob_scores", lambda ds: to.bigram_logprob_scores(ds)),
 ]
 
 EVENT_OPS = [

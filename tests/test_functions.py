@@ -1215,3 +1215,36 @@ class TestSaltedJoin:
         pd.testing.assert_frame_equal(
             out[["k", "row_id", "x", "label"]],
             ref[["k", "row_id", "x", "label"]])
+
+
+class TestBigramLogprob:
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+        texts = ["a b a b c", "a b", "c c c c", "z"]
+        df = pd.DataFrame({"doc_id": range(4), "text": texts})
+        out = to.bigram_logprob_scores(rd.from_pandas(df)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # single-process reference, identical integerization
+        uni = Counter(t for x in texts for t in x.split())
+        v = len(uni)
+        bi = Counter((a, b) for x in texts
+                     for a, b in zip(x.split(), x.split()[1:]))
+        rows = []
+        for did, x in enumerate(texts):
+            ws = x.split()
+            terms = [int(np.floor(np.log((bi[(a, b)] + 1.0)
+                                         / (uni[a] + 1.0 * v)) * 1e6))
+                     for a, b in zip(ws, ws[1:])]
+            if terms:
+                rows.append((did, len(terms), sum(terms)))
+        ref = pd.DataFrame(rows, columns=["doc_id", "n_bigrams",
+                                          "logprob_micro"]) \
+            .astype("int64")
+        pd.testing.assert_frame_equal(out, ref)
+        # doc 3 ("z", no bigrams) must be absent
+        assert 3 not in set(out.doc_id)
+        # the all-repeat doc scores HIGHER per bigram than the varied one
+        per = out.set_index("doc_id")
+        assert per.loc[2, "logprob_micro"] / per.loc[2, "n_bigrams"] > \
+            per.loc[0, "logprob_micro"] / per.loc[0, "n_bigrams"]
