@@ -413,8 +413,11 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
                          "band": pa.array(bnd, pa.int32()),
                          "band_hash": pa.array(bh, pa.string())})
 
+    # materialized like simhash's seg_ds: band rows feed TWO consumers
+    # (the hot-bucket count and the colliding join) and Ray re-executes
+    # unpinned lineage per consumer — one pass of 32 sha1/doc, not two
     bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow",
-                                batch_size=4096)
+                                batch_size=4096).materialize()
 
     # hot buckets via the native distributed count — LSH buckets are
     # overwhelmingly singletons, so everything downstream of this filter
