@@ -178,30 +178,47 @@ LIMIT 10
 
 
 def q_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    sup = pd.read_parquet(_t(sf_dir, "supplier"),
-                          columns=["s_suppkey", "s_nationkey"])
-    nat = pd.read_parquet(_t(sf_dir, "nation"),
-                          columns=["n_nationkey", "n_name"])
-    s2n = dict(zip(sup.s_suppkey,
-                   sup.s_nationkey.map(dict(zip(nat.n_nationkey, nat.n_name)))))
-    s2n_ref = ray.put(s2n)
-
+    """Per-nation revenue: lineitem pre-aggregates by SUPPLIER inside
+    each batch (≤1 row per (suppkey, batch) crosses the wire), a small
+    ``groupby(l_suppkey)`` folds them, then a native hash join attaches
+    the supplier's nation — supplier SCALES with the corpus, so it is
+    never read whole on the driver or broadcast (the q3/segment-stats
+    ruling). Nation (25 fixed rows) rides the same join: a second code
+    shape for one tiny dim isn't worth it."""
     ds = read_parquet(_t(sf_dir, "lineitem"),
-                         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+                      columns=["l_suppkey", "l_extendedprice",
+                               "l_discount"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached_object(s2n_ref)
         rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        batch = batch.assign(
-            n_name=batch["l_suppkey"].map(m),
-            revenue_milli=np.floor(rev * 1000).astype("int64"))
-        return batch.groupby("n_name", as_index=False).agg(
-            revenue_milli=("revenue_milli", "sum"))
+        g = batch.assign(
+            revenue_milli=np.floor(rev * 1000).astype("int64")) \
+            .groupby("l_suppkey", as_index=False) \
+            .agg(revenue_milli=("revenue_milli", "sum"))
+        return pd.DataFrame({
+            "l_suppkey": pd.Series(g["l_suppkey"].to_numpy(),
+                                   dtype="int64"),
+            "revenue_milli": pd.Series(g["revenue_milli"].to_numpy(),
+                                       dtype="int64")})
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("n_name") \
-        .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
-        .to_pandas()
+    from .rayutil import project_blocks
+    by_supp = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("l_suppkey") \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+    by_supp = project_blocks(by_supp, ["l_suppkey", "revenue_milli"])
+    sup = read_parquet(_t(sf_dir, "supplier"),
+                       columns=["s_suppkey", "s_nationkey"])
+    nat = read_parquet(_t(sf_dir, "nation"),
+                       columns=["n_nationkey", "n_name"])
+    with light_shuffle_aggregators():
+        j = by_supp.join(sup, join_type="inner", num_partitions=8,
+                         on=("l_suppkey",), right_on=("s_suppkey",))
+        j = project_blocks(j, ["revenue_milli", "s_nationkey"])
+        j = j.join(nat, join_type="inner", num_partitions=8,
+                   on=("s_nationkey",), right_on=("n_nationkey",))
+        out = j.groupby("n_name") \
+            .aggregate(Sum("revenue_milli",
+                           alias_name="revenue_milli")).to_pandas()
     out["revenue_milli"] = out["revenue_milli"].astype("int64")
     return out.sort_values("n_name").reset_index(drop=True)
 
@@ -537,9 +554,13 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 # ---------------------------------------------------------------------------
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    emb = pd.read_parquet(_t(sf_dir, "embeddings"))
-    return np.asarray(
-        emb.loc[emb.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    # predicate-pushdown read of ONE row — the embeddings table IS the
+    # corpus at scale; reading it whole for a query vector would be an
+    # O(corpus) driver materialization
+    import pyarrow.parquet as pq
+    emb = pq.read_table(_t(sf_dir, "embeddings"), columns=["embedding"],
+                        filters=[("vec_id", "=", 0)])
+    return np.asarray(emb["embedding"][0].as_py(), dtype=np.float64)
 
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
@@ -2238,68 +2259,99 @@ FROM c ORDER BY doc_id, chunk_idx
 
 def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape (ASIA revenue where customer and supplier share a
-    nation): the one big⋈big edge (lineitem⋈date-filtered orders) is a
-    native distributed hash join; nation/region/customer/supplier are
-    broadcast lookups (``ray.put`` once, probed per batch). At larger
-    customer cardinality the customer map moves to the same native-join
-    path — the threshold is worker heap, not correctness."""
+    nation), all corpus-scaled edges as NATIVE hash joins: date-filtered
+    orders ⋈ customer (attaches the customer's nation), lineitem ⋈ that
+    (the big⋈big edge), supplier-side revenue pre-aggregated per
+    (suppkey, cust-nation) inside each batch then ⋈ supplier. Customer
+    and supplier scale with the corpus, so neither is read whole on the
+    driver or broadcast (the q3/segment-stats ruling). The ONLY
+    broadcast-sized state is the ASIA nation-name map — nation×region
+    is 25×5 FIXED rows, the one genuinely constant-size dim."""
     nat = pd.read_parquet(_t(sf_dir, "nation"))
     reg = pd.read_parquet(_t(sf_dir, "region"))
     asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     asia = asia[asia.r_name == "ASIA"]
     nname = dict(zip(asia.n_nationkey, asia.n_name))
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_nationkey"])
-    c2n = {k: v for k, v in zip(cust.c_custkey, cust.c_nationkey)
-           if v in nname}
-    sup = pd.read_parquet(_t(sf_dir, "supplier"),
-                          columns=["s_suppkey", "s_nationkey"])
-    s2n = {k: v for k, v in zip(sup.s_suppkey, sup.s_nationkey)
-           if v in nname}
-    c2n_ref, s2n_ref = ray.put(c2n), ray.put(s2n)
+    asia_keys = set(nname)
 
-    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    from .rayutil import project_blocks
 
-    def order_side(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached_object(c2n_ref)
-        batch = batch[(batch["o_orderdate"] >= lo) &
-                      (batch["o_orderdate"] < hi)]
-        nk = batch["o_custkey"].map(m)
-        batch = batch.assign(cust_nk=nk)[nk.notna().to_numpy()]
-        return pd.DataFrame({
-            "o_orderkey": batch["o_orderkey"].to_numpy(dtype=np.int64),
-            "cust_nk": batch["cust_nk"].to_numpy(dtype=np.int64)})
-
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
     orders = read_parquet(
-        _t(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(order_side, batch_format="pandas") \
-        .repartition(8)
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi))
+
+    def asia_cust(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["c_nationkey"],
+                        value_set=pa.array(sorted(asia_keys), pa.int32())
+                        .cast(t["c_nationkey"].type))
+        t = t.filter(keep)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "cust_nk": t["c_nationkey"].cast(pa.int64())})
+
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(asia_cust, batch_format="pyarrow")
+
     line = read_parquet(
         _t(sf_dir, "lineitem"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
     with light_shuffle_aggregators():
+        orders = orders.join(cust, join_type="inner", num_partitions=8,
+                             on=("o_custkey",), right_on=("c_custkey",))
+        orders = project_blocks(orders, ["o_orderkey", "cust_nk"])
         joined = line.join(orders, join_type="inner", num_partitions=8,
                            on=("l_orderkey",),
                            right_on=("o_orderkey",)).materialize()
     joined = joined.repartition(32)
 
+    # pre-aggregate revenue per (suppkey, cust-nation) inside each batch
+    # BEFORE the supplier join: the join side shrinks from one row per
+    # lineitem to ≤ (suppliers × 5 nations) per batch
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached_object(s2n_ref)
-        sn = batch["l_suppkey"].map(m)
-        batch = batch[(sn == batch["cust_nk"]).to_numpy()]
-        if not len(batch):
-            return pd.DataFrame({
-                "n_name": pd.Series([], dtype="object"),
-                "revenue_milli": pd.Series([], dtype="int64")})
         rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        batch = batch.assign(
-            n_name=batch["cust_nk"].map(nname),
-            revenue_milli=np.floor(rev * 1000).astype("int64"))
-        return batch.groupby("n_name", as_index=False).agg(
-            revenue_milli=("revenue_milli", "sum"))
+        g = batch.assign(
+            revenue_milli=np.floor(rev * 1000).astype("int64")) \
+            .groupby(["l_suppkey", "cust_nk"], as_index=False) \
+            .agg(revenue_milli=("revenue_milli", "sum"))
+        return pd.DataFrame({
+            "l_suppkey": pd.Series(g["l_suppkey"].to_numpy(),
+                                   dtype="int64"),
+            "cust_nk": pd.Series(g["cust_nk"].to_numpy(), dtype="int64"),
+            "revenue_milli": pd.Series(g["revenue_milli"].to_numpy(),
+                                       dtype="int64")})
 
-    out = joined.map_batches(partial, batch_format="pandas") \
+    by_supp = joined.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_suppkey", "cust_nk"]) \
+        .aggregate(Sum("revenue_milli", alias_name="revenue_milli"))
+    by_supp = project_blocks(by_supp,
+                             ["l_suppkey", "cust_nk", "revenue_milli"])
+    sup = read_parquet(_t(sf_dir, "supplier"),
+                       columns=["s_suppkey", "s_nationkey"])
+    with light_shuffle_aggregators():
+        j = by_supp.join(sup, join_type="inner", num_partitions=8,
+                         on=("l_suppkey",),
+                         right_on=("s_suppkey",)).materialize()
+
+    # local supplier condition + FIXED-size nation-name lookup (arrow
+    # output: a typed empty — pandas object-dtype empties trip Ray's
+    # size estimator into log noise, the corpus_prep is_test pattern)
+    def finish(t: pa.Table) -> pa.Table:
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = t["cust_nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = sn == cn
+        cn = cn[keep]
+        rev = t["revenue_milli"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        return pa.table({
+            "n_name": pa.array([nname[int(k)] for k in cn], pa.string()),
+            "revenue_milli": pa.array(rev, pa.int64())})
+
+    out = j.map_batches(finish, batch_format="pyarrow") \
         .groupby("n_name") \
         .aggregate(Sum("revenue_milli", alias_name="revenue_milli")) \
         .to_pandas()
@@ -2456,19 +2508,25 @@ ORDER BY c_custkey
 
 
 def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
-    """Grouped top-k (k=3 orders by value per market segment):
-    per-batch partial top-k (each batch emits at most k rows per
-    segment) → tiny groupby(segment) final top-k. The shuffle moves
-    k·n_batches rows, never the order table."""
-    cust = pd.read_parquet(_t(sf_dir, "customer"),
-                           columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    """Grouped top-k (k=3 orders by value per market segment): a
+    native hash join attaches each order's segment (customer SCALES
+    with the corpus — joined, never read whole on the driver or
+    broadcast), then per-batch partial top-k (each batch emits at most
+    k rows per segment) → tiny groupby(segment) final top-k. After the
+    join, the shuffle moves k·n_batches rows, never the order table."""
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"])
     ds = read_parquet(_t(sf_dir, "orders"),
-                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+                      columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    from .rayutil import project_blocks
+    with light_shuffle_aggregators():
+        ds = ds.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",),
+                     right_on=("c_custkey",)).materialize()
+    ds = project_blocks(ds, ["o_orderkey", "o_totalprice",
+                             "c_mktsegment"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        m = cached_object(seg_ref)
-        batch = batch.assign(c_mktsegment=batch["o_custkey"].map(m))
         batch = batch.sort_values(
             ["c_mktsegment", "o_totalprice", "o_orderkey"],
             ascending=[True, False, True])
