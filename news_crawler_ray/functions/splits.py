@@ -198,3 +198,50 @@ def grouped_hash_sample_k(ds: "rd.Dataset", *, key_col: str,
 
     return ds.map_batches(add_rank, batch_format="pandas") \
         .groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def weighted_sample_k(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                      weight_col: str, k: int,
+                      salt: str = "wsample-v1") -> pd.DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis'06 A-ES): each row gets priority ``u^(1/w)`` with ``u`` a
+    hash-derived uniform in (0,1], and the k highest priorities win —
+    inclusion probability proportional to weight, no RNG state, no
+    reservoir to synchronize. The hash replaces the RNG: identical
+    selections on any engine, any partitioning, any run.
+
+    Scale shape: per-batch priority + local top-k (the cosine_topk
+    merge pattern — the driver sees k·n_batches candidate rows, never
+    the corpus). ``u`` is built from the first 52 bits of
+    ``md5(salt‖id)`` so the int→double conversion is EXACT (inside the
+    mantissa); the SQL twin computes the identical expression and libm
+    ``pow`` agrees bit-for-bit on identical doubles. Zero/negative
+    weights are excluded (matching the twin's WHERE w > 0)."""
+    two52 = float(1 << 52)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = np.fromiter(
+            (int(hashlib.md5((salt + str(i)).encode())
+                 .hexdigest()[:13], 16) for i in ids),
+            dtype=np.float64, count=len(ids))
+        pri = np.power((h + 1.0) / two52, 1.0 / w)
+        order = np.lexsort((ids, -pri))[:k]
+        return pd.DataFrame({
+            id_col: pd.Series(ids[order], dtype="int64"),
+            weight_col: pd.Series(w[order].astype(np.int64),
+                                  dtype="int64"),
+            "pri": pd.Series(pri[order], dtype="float64")})
+
+    parts = ds.select_columns([id_col, weight_col]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    if id_col not in parts.columns or not len(parts):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             weight_col: pd.Series([], dtype="int64")})
+    top = parts.sort_values(["pri", id_col],
+                            ascending=[False, True]).head(k)
+    return top[[id_col, weight_col]].sort_values(id_col) \
+        .reset_index(drop=True)

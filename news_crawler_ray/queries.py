@@ -2776,6 +2776,34 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sample without replacement
+    (splits.weighted_sample_k, A-ES hash priorities): 50 docs weighted
+    by length — longer docs proportionally likelier, selection
+    identical on both engines because the uniform is hash-derived."""
+    from .functions.splits import weighted_sample_k
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "n_chars"])
+    return weighted_sample_k(ds, id_col="doc_id", weight_col="n_chars",
+                             k=50)
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         pow((('0x' || substr(md5('wsample-v1' || CAST(doc_id AS VARCHAR)),
+                              1, 13))::UBIGINT + 1) / 4503599627370496.0,
+             1.0 / n_chars) AS pri
+  FROM documents WHERE n_chars > 0)
+ORDER BY pri DESC, doc_id LIMIT 50
+"""
+# driver compare is order-insensitive, but match the Ray side's
+# doc_id ordering for readability
+Q_WEIGHTED_SAMPLE_SQL = (
+    "SELECT doc_id, n_chars FROM (" + Q_WEIGHTED_SAMPLE_SQL
+    + ") ORDER BY doc_id")
+
+
 def q_bigram_logprob(sf_dir: str) -> pd.DataFrame:
     """Corpus-LM quality scoring (textops.bigram_logprob_scores):
     add-one bigram log-probability per document, per-term µ-integerized
@@ -2989,6 +3017,7 @@ QUERIES = {
     "q_cheapest_supplier": q_cheapest_supplier,
     "q_interp_quantiles": q_interp_quantiles,
     "q_bigram_logprob": q_bigram_logprob,
+    "q_weighted_sample": q_weighted_sample,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3094,4 +3123,5 @@ ORACLES = {
     "q_cheapest_supplier": Q_CHEAPEST_SUPPLIER_SQL,
     "q_interp_quantiles": Q_INTERP_QUANTILES_SQL,
     "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
+    "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
 }

@@ -1248,3 +1248,38 @@ class TestBigramLogprob:
         per = out.set_index("doc_id")
         assert per.loc[2, "logprob_micro"] / per.loc[2, "n_bigrams"] > \
             per.loc[0, "logprob_micro"] / per.loc[0, "n_bigrams"]
+
+
+class TestWeightedSample:
+    def test_weight_bias_and_determinism(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.splits import weighted_sample_k
+        # 500 light rows (w=10) + 100 heavy rows (w=1000): heavy rows
+        # are 100x likelier per row; a k=60 sample should be mostly
+        # heavy despite being outnumbered 5:1
+        df = pd.DataFrame({
+            "doc_id": range(600),
+            "w": [10] * 500 + [1000] * 100})
+        a = weighted_sample_k(rd.from_pandas(df), id_col="doc_id",
+                              weight_col="w", k=60)
+        b = weighted_sample_k(rd.from_pandas(df), id_col="doc_id",
+                              weight_col="w", k=60)
+        pd.testing.assert_frame_equal(a, b)          # deterministic
+        n_heavy = (a.doc_id >= 500).sum()
+        assert n_heavy >= 45, n_heavy
+        # zero-weight rows can never be selected
+        df.loc[df.doc_id < 500, "w"] = 0
+        c = weighted_sample_k(rd.from_pandas(df), id_col="doc_id",
+                              weight_col="w", k=60)
+        assert (c.doc_id >= 500).all() and len(c) == 60
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.splits import weighted_sample_k
+        df = pd.DataFrame({"doc_id": range(300),
+                           "w": (np.arange(300) % 7 + 1) * 3})
+        a = weighted_sample_k(rd.from_pandas(df), id_col="doc_id",
+                              weight_col="w", k=40)
+        b = weighted_sample_k(rd.from_pandas(df).repartition(13),
+                              id_col="doc_id", weight_col="w", k=40)
+        pd.testing.assert_frame_equal(a, b)
