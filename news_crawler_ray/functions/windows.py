@@ -534,3 +534,49 @@ def interpolated_quantiles(ds: "rd.Dataset", *, value_col: str,
                     else x0 + frac * (at(lo + 1) - x0))
     return pd.DataFrame({"q": pd.Series(qs, dtype="float64"),
                          "val": pd.Series(vals, dtype="float64")})
+
+
+def grouped_mode(ds: "rd.Dataset", *, key_col: str, value_col: str,
+                 num_buckets: int = 64) -> "rd.Dataset":
+    """Most frequent value per key (deterministic tie-break: smallest
+    value) — the categorical profiling aggregate. Two-level shape:
+    per-batch (key, value, n) partials → native
+    ``groupby([key, value]).sum`` collapses each distinct pair to one
+    row → salted argmax over the pair counts (one vectorized pandas
+    sort + drop_duplicates per bucket; same amortization as
+    ``latest_per_key``, which can't be reused directly because the
+    tie-break runs ASCENDING on the value while the count runs
+    DESCENDING). Returns (key, mode_value, n)."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import salt_bucket
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([key_col, value_col], as_index=False).size()
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            value_col: g[value_col].to_numpy(),
+            "n": pd.Series(g["size"].to_numpy(), dtype="int64")})
+
+    pairs = ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby([key_col, value_col]).aggregate(Sum("n", alias_name="n"))
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = salt_bucket(batch[key_col], num_buckets) \
+            if len(batch) else pd.Series([], dtype="int32")
+        return batch
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "n", value_col],
+                          ascending=[True, False, True],
+                          kind="mergesort") \
+            .drop_duplicates(key_col, keep="first")
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            "mode_value": g[value_col].to_numpy(),
+            "n": pd.Series(g["n"].to_numpy(), dtype="int64")})
+
+    return pairs.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(argmax, batch_format="pandas")

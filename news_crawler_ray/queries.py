@@ -2776,6 +2776,28 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_user_mode_event(sf_dir: str) -> pd.DataFrame:
+    """Each user's most frequent event type (windows.grouped_mode,
+    smallest-value tie-break)."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["user_id", "event_type"])
+    out = wn.grouped_mode(ds, key_col="user_id",
+                          value_col="event_type").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_USER_MODE_SQL = """
+SELECT user_id, mode_value, n FROM (
+  SELECT user_id, event_type AS mode_value, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic weighted sample without replacement
     (splits.weighted_sample_k, A-ES hash priorities): 50 docs weighted
@@ -3018,6 +3040,7 @@ QUERIES = {
     "q_interp_quantiles": q_interp_quantiles,
     "q_bigram_logprob": q_bigram_logprob,
     "q_weighted_sample": q_weighted_sample,
+    "q_user_mode_event": q_user_mode_event,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3124,4 +3147,5 @@ ORACLES = {
     "q_interp_quantiles": Q_INTERP_QUANTILES_SQL,
     "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+    "q_user_mode_event": Q_USER_MODE_SQL,
 }

@@ -151,6 +151,9 @@ EVENT_OPS = [
     ("grouped_hll_distinct",
      lambda ds: sk.grouped_hll_distinct(ds, key_col="user_id",
                                         value_col="event_id")),
+    ("grouped_mode",
+     lambda ds: wn.grouped_mode(ds, key_col="user_id",
+                                value_col="event_id")),
 ]
 
 
