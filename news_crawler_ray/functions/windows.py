@@ -475,30 +475,43 @@ def hopping_window_agg(ds: "rd.Dataset", *, ts_col: str, value_col: str,
 
 def grouped_distinct_count(ds: "rd.Dataset", *, key_col: str,
                            value_col: str) -> "rd.Dataset":
-    """EXACT ``count(DISTINCT value) GROUP BY key`` — the two-level
-    groupby shape: per-batch local (key, value) dedup (vectorized
+    """EXACT ``count(DISTINCT value) GROUP BY key`` — PAIR-bucketed
+    reduce: per-batch local (key, value) dedup (vectorized
     drop_duplicates, so the shuffle moves distinct pairs per batch, not
-    raw rows) → native ``groupby([key, value]).count()`` co-locates and
-    collapses each distinct pair to ONE row → a second tiny
-    ``groupby(key).count()`` counts pairs per key. Both shuffles carry
-    pair-level rows; nothing ever materializes a per-key value set in
-    one process (the classic OOM of naive grouped distinct on a hot
-    key). The approx twin is ``sketches.grouped_hll`` (one mergeable
-    HLL row per (key, batch)), pinned against this in tests."""
-    from ray.data.aggregate import Count
+    raw rows), pairs bucketed by a hash of the WHOLE pair (each
+    distinct pair lives in exactly one bucket, so per-bucket distinct
+    counts sum exactly) → one ``groupby(bucket)`` over 64 int keys with
+    a vectorized dedup+count per bucket → a tiny ``groupby(key).sum``.
+    Nothing ever materializes a per-key value set in one process (the
+    classic OOM of naive grouped distinct on a hot key), and no
+    multi-key string groupby reaches Ray's sort-based aggregate — the
+    two-level native-groupby version of this ran 2.6× slower on the
+    same input, all of it in the (key, value) Aggregate. The approx
+    twin is ``sketches.grouped_hll_distinct`` (one mergeable HLL row
+    per (key, batch)), pinned against this in tests."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import salt_bucket
 
     def local(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[[key_col, value_col]].drop_duplicates()
+        b = batch[[key_col, value_col]].drop_duplicates()
+        pair = b[key_col].astype(str) + "\x1f" + b[value_col].astype(str)
+        b = b.copy()
+        b["bucket"] = salt_bucket(pair.to_numpy(), 64) if len(b) \
+            else pd.Series([], dtype="int32")
+        return b
 
-    pairs = ds.select_columns([key_col, value_col]) \
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key_col, value_col])
+        c = d.groupby(key_col, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        c["n"] = c["n"].astype("int64")
+        return c
+
+    return ds.select_columns([key_col, value_col]) \
         .map_batches(local, batch_format="pandas") \
-        .groupby([key_col, value_col]).count()
-
-    def strip(t: pa.Table) -> pa.Table:
-        return pa.table({key_col: t[key_col]})
-
-    return pairs.map_batches(strip, batch_format="pyarrow") \
-        .groupby(key_col).aggregate(Count(alias_name="n_distinct"))
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(key_col).aggregate(Sum("n", alias_name="n_distinct"))
 
 
 def interpolated_quantiles(ds: "rd.Dataset", *, value_col: str,
