@@ -2977,6 +2977,235 @@ WHERE r.rn = 1 ORDER BY r.l_partkey
 """
 
 
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG: microseconds since the user's previous event
+    (windows.grouped_lag — salted buckets, one vectorized groupby.shift
+    per bucket; no per-user groups). First event per user is dropped,
+    matching SQL's NULL elimination."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return t.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    lagged = wn.grouped_lag(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts_us", "event_id"],
+        value_col="ts_us")
+
+    def gaps(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["prev"].notna()]
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype("int64"),
+            "user_id": batch["user_id"].astype("int64"),
+            # prev is float64 but epoch-µs < 2^53, so the cast is exact
+            "gap_us": (batch["ts_us"] - batch["prev"]).astype("int64")})
+
+    out = lagged.map_batches(gaps, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_EVENT_GAPS_SQL = """
+SELECT event_id, user_id, ts_us - prev_us AS gap_us
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events)
+WHERE prev_us IS NOT NULL ORDER BY event_id
+"""
+
+
+def q_event_type_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """Rows whose value is among their event_type's top-3 DISTINCT
+    values, with the dense rank — QUALIFY dense_rank() <= 3 with ties
+    kept (windows.grouped_topk_dense: per-batch local top-k prune, then
+    a salted re-rank; the shuffle moves ≤ k values' rows per
+    (key, batch))."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "event_type", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "value_centi",
+            pa.array(np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    out = wn.grouped_topk_dense(
+        ds.map_batches(to_centi, batch_format="pyarrow"),
+        key_col="event_type", value_col="value_centi", k=3).to_pandas()
+    out = out[["event_id", "event_type", "value_centi", "dense_rank"]] \
+        .astype({"event_id": "int64", "value_centi": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_EVENT_TYPE_DENSE_RANK_SQL = """
+SELECT event_id, event_type, value_centi, CAST(dr AS BIGINT) AS dense_rank
+FROM (SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi,
+             dense_rank() OVER (PARTITION BY event_type
+                                ORDER BY floor(value * 100 + 0.5) DESC)
+               AS dr
+      FROM events)
+WHERE dr <= 3 ORDER BY event_id
+"""
+
+
+def q_extreme_events(sf_dir: str) -> pd.DataFrame:
+    """The 100 lowest- and 100 highest-valued events with their exact
+    global rank (windows.global_rank_by_value: value-range partitions,
+    two-pass count/offset scan — no driver-side sort; the tail filter
+    runs distributed against a broadcast row count)."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "value_centi",
+            pa.array(np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    centi = ds.map_batches(to_centi, batch_format="pyarrow")
+    n = centi.count()
+    ranks = wn.global_rank_by_value(centi, value_col="value_centi",
+                                    id_col="event_id")
+
+    def tails(t: pa.Table) -> pa.Table:
+        r = t["rank"]
+        keep = pc.or_(pc.less(r, 100), pc.greater_equal(r, n - 100))
+        t = t.filter(keep)
+        return t.rename_columns(
+            ["value_rank" if c == "rank" else c for c in t.column_names])
+
+    out = ranks.map_batches(tails, batch_format="pyarrow").to_pandas()
+    out = out[["event_id", "value_centi", "value_rank"]]
+    return out.sort_values("value_rank").reset_index(drop=True)
+
+
+Q_EXTREME_EVENTS_SQL = """
+WITH r AS (SELECT event_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi,
+                  row_number() OVER (ORDER BY floor(value * 100 + 0.5),
+                                     event_id) - 1 AS rn
+           FROM events),
+n AS (SELECT count(*) AS n FROM events)
+SELECT event_id, value_centi, CAST(rn AS BIGINT) AS value_rank
+FROM r, n WHERE rn < 100 OR rn >= n.n - 100 ORDER BY value_rank
+"""
+
+
+def q_order_price_deciles(sf_dir: str) -> pd.DataFrame:
+    """Per-decile order count + revenue, deciles cut by exact global
+    price rank (global_rank_by_value), aggregated with per-batch
+    partials so the final groupby moves ≤ 10 rows per batch."""
+    ds = read_parquet(_t(sf_dir, "orders"),
+                      columns=["o_orderkey", "o_totalprice"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["o_totalprice"]).append_column(
+            "price_centi",
+            pa.array(np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    centi = ds.map_batches(to_centi, batch_format="pyarrow")
+    n = centi.count()
+    ranks = wn.global_rank_by_value(centi, value_col="price_centi",
+                                    id_col="o_orderkey")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "decile": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "sum_price_centi": pd.Series([], dtype="int64")})
+        dec = batch["rank"].to_numpy() * 10 // n
+        g = batch.assign(decile=dec).groupby("decile").agg(
+            n_orders=("rank", "size"),
+            sum_price_centi=("price_centi", "sum")).reset_index()
+        return g.astype({"decile": "int64", "n_orders": "int64",
+                         "sum_price_centi": "int64"})
+
+    out = ranks.map_batches(partial, batch_format="pandas") \
+        .groupby("decile").sum(["n_orders", "sum_price_centi"]) \
+        .to_pandas()
+    out = out.rename(columns={"sum(n_orders)": "n_orders",
+                              "sum(sum_price_centi)": "sum_price_centi"})
+    out = out.astype({"decile": "int64", "n_orders": "int64",
+                      "sum_price_centi": "int64"})
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+Q_ORDER_PRICE_DECILES_SQL = """
+WITH r AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    AS price_centi,
+                  row_number() OVER (ORDER BY floor(o_totalprice * 100
+                                              + 0.5), o_orderkey) - 1
+                    AS rn
+           FROM orders),
+n AS (SELECT count(*) AS n FROM orders)
+SELECT CAST((rn * 10) // n.n AS BIGINT) AS decile,
+       count(*)::BIGINT AS n_orders,
+       sum(price_centi)::BIGINT AS sum_price_centi
+FROM r, n GROUP BY 1 ORDER BY decile
+"""
+
+
+def q_nation_coverage(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two grouped aggregates: nations with rich
+    customers (acctbal > 9900) vs rich suppliers (> 8000), zero-filled
+    on either missing side. Exercises the native full_outer hash join
+    (key columns coalesce) over pre-aggregated (≤ 25-row) inputs — the
+    aggregates shrink each side BEFORE the join shuffle."""
+    cust = read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey"],
+                        filter=pc.field("c_acctbal") > 9900.0)
+    supp = read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"],
+                        filter=pc.field("s_acctbal") > 8000.0)
+
+    def as_key(src: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"nationkey": pc.cast(t[src], pa.int64())})
+        return fn
+
+    def name_count(out_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [out_col if c == "count()" else c
+                 for c in t.column_names])
+        return fn
+
+    c_counts = cust.map_batches(as_key("c_nationkey"),
+                                batch_format="pyarrow") \
+        .groupby("nationkey").count() \
+        .map_batches(name_count("n_customers"), batch_format="pyarrow")
+    s_counts = supp.map_batches(as_key("s_nationkey"),
+                                batch_format="pyarrow") \
+        .groupby("nationkey").count() \
+        .map_batches(name_count("n_suppliers"), batch_format="pyarrow")
+
+    with light_shuffle_aggregators():
+        out = c_counts.join(s_counts, join_type="full_outer",
+                            num_partitions=4,
+                            on=("nationkey",)).materialize().to_pandas()
+    for c in ("n_customers", "n_suppliers"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["nationkey"] = out["nationkey"].astype("int64")
+    out = out[["nationkey", "n_customers", "n_suppliers"]]
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+Q_NATION_COVERAGE_SQL = """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+           FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 8000 GROUP BY 1)
+SELECT COALESCE(c.nationkey, s.nationkey)::BIGINT AS nationkey,
+       COALESCE(c.n_customers, 0)::BIGINT AS n_customers,
+       COALESCE(s.n_suppliers, 0)::BIGINT AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3041,6 +3270,11 @@ QUERIES = {
     "q_bigram_logprob": q_bigram_logprob,
     "q_weighted_sample": q_weighted_sample,
     "q_user_mode_event": q_user_mode_event,
+    "q_event_gaps": q_event_gaps,
+    "q_event_type_dense_rank": q_event_type_dense_rank,
+    "q_extreme_events": q_extreme_events,
+    "q_order_price_deciles": q_order_price_deciles,
+    "q_nation_coverage": q_nation_coverage,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3148,4 +3382,9 @@ ORACLES = {
     "q_bigram_logprob": Q_BIGRAM_LOGPROB_SQL,
     "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
     "q_user_mode_event": Q_USER_MODE_SQL,
+    "q_event_gaps": Q_EVENT_GAPS_SQL,
+    "q_event_type_dense_rank": Q_EVENT_TYPE_DENSE_RANK_SQL,
+    "q_extreme_events": Q_EXTREME_EVENTS_SQL,
+    "q_order_price_deciles": Q_ORDER_PRICE_DECILES_SQL,
+    "q_nation_coverage": Q_NATION_COVERAGE_SQL,
 }

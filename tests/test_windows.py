@@ -375,3 +375,98 @@ class TestGroupedPearson:
         out = wn.grouped_pearson(rd.from_pandas(df), key_col="k",
                                  x_col="x", y_col="y").to_pandas()
         assert len(out) == 1 and np.isnan(out.iloc[0]["corr"])
+
+
+class TestGroupedLag:
+    def test_matches_pandas_shift(self, ray_session, events_df):
+        out = wn.grouped_lag(
+            rd.from_pandas(events_df).repartition(8), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            num_buckets=8).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        ref = events_df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ref["prev"] = ref.groupby("user_id")["value_centi"].shift(1) \
+            .astype("float64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        got, want = out["prev"].to_numpy(), ref["prev"].to_numpy()
+        same = (got == want) | (np.isnan(got) & np.isnan(want))
+        assert same.all()
+
+    def test_lag_never_crosses_keys(self, ray_session):
+        df = pd.DataFrame({"event_id": [0, 1, 2, 3],
+                           "user_id": [1, 1, 2, 2],
+                           "ts": [10, 20, 10, 20],
+                           "value_centi": [100, 200, 7, 8]})
+        out = wn.grouped_lag(
+            rd.from_pandas(df), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            num_buckets=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        prev = out["prev"].tolist()
+        assert np.isnan(prev[0]) and prev[1] == 100.0
+        assert np.isnan(prev[2]) and prev[3] == 7.0
+
+
+class TestGroupedTopkDense:
+    def test_matches_pandas_dense_rank(self, ray_session, events_df):
+        out = wn.grouped_topk_dense(
+            rd.from_pandas(events_df).repartition(8), key_col="user_id",
+            value_col="value_centi", k=3, num_buckets=8).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        dr = events_df.groupby("user_id")["value_centi"] \
+            .rank(method="dense", ascending=False)
+        want = events_df[dr <= 3].copy()
+        want["dense_rank"] = dr[dr <= 3].astype("int64")
+        want = want.sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(want)
+        for c in ("event_id", "user_id", "value_centi", "dense_rank"):
+            assert (out[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_ties_all_kept(self, ray_session):
+        # two rows share the top value: both rank 1, k=1 keeps both
+        df = pd.DataFrame({"id": [0, 1, 2, 3],
+                           "k": [7, 7, 7, 7],
+                           "v": [50, 50, 10, 5]})
+        out = wn.grouped_topk_dense(
+            rd.from_pandas(df).repartition(4), key_col="k",
+            value_col="v", k=1, num_buckets=2).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == [0, 1]
+        assert out["dense_rank"].tolist() == [1, 1]
+
+
+class TestGlobalRankByValue:
+    def test_matches_argsort(self, ray_session, events_df):
+        out = wn.global_rank_by_value(
+            rd.from_pandas(events_df).repartition(8),
+            value_col="value_centi", id_col="event_id",
+            num_parts=16).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        want = events_df.sort_values(["value_centi", "event_id"]) \
+            .reset_index(drop=True)
+        assert (out["event_id"].to_numpy()
+                == want["event_id"].to_numpy()).all()
+        assert (out["rank"].to_numpy()
+                == np.arange(len(want), dtype=np.int64)).all()
+
+    def test_value_ties_break_by_id(self, ray_session):
+        # heavy ties: equal values land in ONE partition, id breaks ties
+        df = pd.DataFrame({"id": np.arange(100, dtype=np.int64)[::-1],
+                           "v": np.repeat([5, 5, 9, 9], 25)
+                          .astype(np.int64)[:100]})
+        out = wn.global_rank_by_value(
+            rd.from_pandas(df).repartition(6), value_col="v",
+            id_col="id", num_parts=8).to_pandas() \
+            .sort_values("rank").reset_index(drop=True)
+        want = df.sort_values(["v", "id"]).reset_index(drop=True)
+        assert (out["id"].to_numpy() == want["id"].to_numpy()).all()
+
+    def test_empty_input_typed(self, ray_session):
+        df = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        out = wn.global_rank_by_value(
+            rd.from_pandas(df), value_col="v", id_col="id")
+        # dataset-level schema stays fully typed (to_pandas on an empty
+        # Dataset drops columns — a Ray quirk, not an operator contract)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"id", "v", "rank"}
