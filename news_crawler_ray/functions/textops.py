@@ -790,3 +790,80 @@ def bigram_logprob_scores(ds: "rd.Dataset", *, id_col: str = "doc_id",
             "logprob_micro": t["logprob_micro"].cast(pa.int64())})
 
     return out.map_batches(typed, batch_format="pyarrow")
+
+
+def source_token_entropy(ds: "rd.Dataset", *, group_col: str = "source",
+                         text_col: str = "text",
+                         num_buckets: int = 64) -> "rd.Dataset":
+    """Shannon entropy of each group's token distribution (nats,
+    floored to milli-units) — the corpus-diversity / mode-collapse
+    probe: a source whose pages repeat one boilerplate template scores
+    near 0, a diverse source near ln(vocab).
+
+    H = ln(N) − Σ_t c_t·ln(c_t) / N, computed from two
+    order-independent integer aggregates per group: N (token count)
+    and Σ floor(ln(c)·c·1e6) over final per-(group, token) counts.
+    Distributed shape (the grouped_distinct_count pair-bucket move,
+    with counts instead of dedup): per-batch partial (group, token)
+    counts → pairs bucketed by a hash of the WHOLE pair (every
+    occurrence of a pair lands in one bucket, so in-bucket sums are
+    final counts — no second vocab-wide shuffle) → per-bucket ln/floor
+    terms fold to one row per (bucket, group) → a tiny
+    ``groupby(group).sum``. The wire carries one row per distinct pair
+    per batch, never raw tokens.
+
+    Returns (group_col, n_tokens, sum_clnc_micro, entropy_milli); the
+    final scalar uses one deterministic double expression shared with
+    the DuckDB twin (same libm ln, same division order, same floor)."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import salt_bucket
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        groups: list = []
+        toks: list[str] = []
+        for g, text in zip(batch[group_col], batch[text_col].fillna("")):
+            for w in text.split():
+                groups.append(g)
+                toks.append(w)
+        b = pd.DataFrame({group_col: pd.Series(groups, dtype="object"),
+                          "tok": pd.Series(toks, dtype="object")})
+        b = b.groupby([group_col, "tok"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        pair = b[group_col].astype(str) + "\x1f" + b["tok"]
+        b["c"] = b["c"].astype("int64")
+        b["bucket"] = salt_bucket(pair.to_numpy(), num_buckets) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby([group_col, "tok"], as_index=False)["c"].sum()
+        c = cnt["c"].to_numpy(dtype=np.float64)
+        cnt["term"] = np.floor(np.log(c) * c * 1e6).astype(np.int64)
+        out = cnt.groupby(group_col, as_index=False).agg(
+            n_part=("c", "sum"), s_part=("term", "sum"))
+        return out.astype({"n_part": "int64", "s_part": "int64"})
+
+    folded = ds.select_columns([group_col, text_col]) \
+        .map_batches(local, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(group_col).aggregate(
+            Sum("n_part", alias_name="n_tokens"),
+            Sum("s_part", alias_name="sum_clnc_micro"))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "sum_clnc_micro": pd.Series([], dtype="int64"),
+                "entropy_milli": pd.Series([], dtype="int64")})
+        n = batch["n_tokens"].to_numpy(dtype=np.float64)
+        s = batch["sum_clnc_micro"].to_numpy(dtype=np.float64)
+        ent = np.floor((np.log(n) - (s / 1e6) / n) * 1000)
+        out = batch[[group_col, "n_tokens", "sum_clnc_micro"]].copy()
+        out["entropy_milli"] = ent.astype(np.int64)
+        return out.astype({"n_tokens": "int64",
+                           "sum_clnc_micro": "int64"})
+
+    return folded.map_batches(finish, batch_format="pandas")

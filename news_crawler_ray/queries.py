@@ -3206,6 +3206,97 @@ ORDER BY nationkey
 """
 
 
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE (all four grouping sets over two keys): revenue at
+    (returnflag, linestatus), each single-key subtotal, and the grand
+    total. Like q_revenue_rollup the fact table is scanned ONCE and
+    partial-aggregated to the finest level; every coarser set folds
+    from the finest grouped result (a few rows on the driver — the
+    fold input is O(|keys product|), not O(rows))."""
+    ds = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_linestatus",
+                               "l_extendedprice", "l_discount"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rev = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        batch = batch.assign(
+            revenue_milli=np.floor(rev * 1000).astype("int64"))
+        return batch.groupby(["l_returnflag", "l_linestatus"],
+                             as_index=False).agg(
+            revenue_milli=("revenue_milli", "sum"),
+            n=("revenue_milli", "size"))
+
+    fine = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("revenue_milli", alias_name="revenue_milli"),
+            Sum("n", alias_name="n")).to_pandas()
+
+    def fold(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False).agg(
+                revenue_milli=("revenue_milli", "sum"), n=("n", "sum"))
+        else:
+            g = pd.DataFrame({"revenue_milli": [fine["revenue_milli"]
+                                                .sum()],
+                              "n": [fine["n"].sum()]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in keys:
+                g[c] = "(all)"
+        return g
+
+    out = pd.concat(
+        [fine, fold(["l_returnflag"]), fold(["l_linestatus"]), fold([])],
+        ignore_index=True)
+    out["revenue_milli"] = out["revenue_milli"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "revenue_milli", "n"]] \
+        .sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+Q_REVENUE_CUBE_SQL = """
+SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+       coalesce(l_linestatus, '(all)') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)) AS BIGINT) AS revenue_milli,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-source token-distribution Shannon entropy
+    (textops.source_token_entropy — pair-bucketed counts, integer
+    Σ c·ln(c) partials; diversity / template-collapse probe)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["source", "text"])
+    out = to.source_token_entropy(ds, group_col="source",
+                                  text_col="text").to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_SOURCE_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+per AS (SELECT source, sum(c) AS n_tokens,
+               sum(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1e6)
+                        AS BIGINT)) AS sum_clnc_micro
+        FROM cnt GROUP BY source)
+SELECT source, n_tokens::BIGINT AS n_tokens,
+       sum_clnc_micro::BIGINT AS sum_clnc_micro,
+       CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+                   - (sum_clnc_micro / 1e6) / n_tokens) * 1000)
+            AS BIGINT) AS entropy_milli
+FROM per ORDER BY source
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3275,6 +3366,8 @@ QUERIES = {
     "q_extreme_events": q_extreme_events,
     "q_order_price_deciles": q_order_price_deciles,
     "q_nation_coverage": q_nation_coverage,
+    "q_revenue_cube": q_revenue_cube,
+    "q_source_entropy": q_source_entropy,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3387,4 +3480,6 @@ ORACLES = {
     "q_extreme_events": Q_EXTREME_EVENTS_SQL,
     "q_order_price_deciles": Q_ORDER_PRICE_DECILES_SQL,
     "q_nation_coverage": Q_NATION_COVERAGE_SQL,
+    "q_revenue_cube": Q_REVENUE_CUBE_SQL,
+    "q_source_entropy": Q_SOURCE_ENTROPY_SQL,
 }

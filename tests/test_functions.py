@@ -1283,3 +1283,58 @@ class TestWeightedSample:
         b = weighted_sample_k(rd.from_pandas(df).repartition(13),
                               id_col="doc_id", weight_col="w", k=40)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSourceTokenEntropy:
+    @staticmethod
+    def _ref(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        rows = []
+        for src, g in df.groupby("source"):
+            cnt = Counter(w for t in g["text"] for w in t.split())
+            n = sum(cnt.values())
+            s = int(sum(int(np.floor(np.log(float(c)) * c * 1e6))
+                        for c in cnt.values()))
+            ent = int(np.floor((np.log(float(n)) - (s / 1e6) / n) * 1000))
+            rows.append({"source": src, "n_tokens": n,
+                         "sum_clnc_micro": s, "entropy_milli": ent})
+        return pd.DataFrame(rows).sort_values("source") \
+            .reset_index(drop=True)
+
+    def test_matches_counter_reference(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.textops import \
+            source_token_entropy
+        rng = np.random.RandomState(11)
+        vocab = [f"w{i}" for i in range(40)]
+        df = pd.DataFrame({
+            "source": [f"s{i % 4}" for i in range(120)],
+            "text": [" ".join(rng.choice(vocab,
+                                          size=rng.randint(3, 30)))
+                     for _ in range(120)]})
+        out = source_token_entropy(
+            rd.from_pandas(df).repartition(6), group_col="source",
+            text_col="text", num_buckets=8).to_pandas() \
+            .sort_values("source").reset_index(drop=True)
+        want = self._ref(df)
+        pd.testing.assert_frame_equal(
+            out[["source", "n_tokens", "sum_clnc_micro",
+                 "entropy_milli"]].astype(
+                {"n_tokens": "int64", "sum_clnc_micro": "int64",
+                 "entropy_milli": "int64"}), want.astype(
+                {"n_tokens": "int64", "sum_clnc_micro": "int64",
+                 "entropy_milli": "int64"}))
+
+    def test_single_repeated_token_is_zero_entropy(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.textops import \
+            source_token_entropy
+        df = pd.DataFrame({"source": ["a", "a"],
+                           "text": ["x x x", "x x"]})
+        out = source_token_entropy(
+            rd.from_pandas(df), group_col="source",
+            text_col="text").to_pandas()
+        # ln(5) - 5·ln(5)/5 = 0 (up to the µ-floor of the Σc·ln(c) term)
+        assert len(out) == 1
+        assert out["n_tokens"].iloc[0] == 5
+        assert abs(out["entropy_milli"].iloc[0]) <= 1
