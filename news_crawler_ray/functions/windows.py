@@ -749,3 +749,72 @@ def global_rank_by_value(ds: "rd.Dataset", *, value_col: str,
     return ds.select_columns([value_col, id_col]) \
         .map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(rank, batch_format="pandas")
+
+
+def grouped_zscore(ds: "rd.Dataset", *, key_col: str, value_col: str,
+                   num_join_partitions: int = 8) -> "rd.Dataset":
+    """Per-key z-score normalization (the feature-scaling / outlier
+    primitive): each row gains ``z_milli`` = ⌊(v − µ_key)/σ_key · 1000⌋
+    with the SAMPLE stddev. Rows of keys with n < 2 or zero variance
+    are dropped (no defined z), matching the SQL twin's WHERE.
+
+    Scale shape: pass 1 folds (n, Σv, Σv²) per (key, batch) into a tiny
+    ``groupby(key)`` — one row per key-batch on the wire; pass 2 is a
+    NATIVE hash join of the rows against the per-key moments (keys
+    number in the millions at web scale — a join, never a driver dict),
+    then one vectorized double expression shared verbatim with the
+    DuckDB twin (same division order, same sqrt, same floor — the
+    moments are exact int64, so both engines see identical doubles).
+
+    Contract: ``value_col`` is int64 (caller integerizes) and Σv² /
+    (Σv)² per key fit int64 — same bound the BIGINT SQL twin has."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import light_shuffle_aggregators, project_blocks
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=batch[key_col].dtype),
+                "n_part": pd.Series([], dtype="int64"),
+                "s_part": pd.Series([], dtype="int64"),
+                "s2_part": pd.Series([], dtype="int64")})
+        v = batch[value_col].to_numpy()
+        g = batch.assign(_v2=v * v).groupby(key_col, as_index=False) \
+            .agg(n_part=(value_col, "size"), s_part=(value_col, "sum"),
+                 s2_part=("_v2", "sum"))
+        return g.astype({"n_part": "int64", "s_part": "int64",
+                         "s2_part": "int64"})
+
+    moments = ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(key_col).aggregate(
+            Sum("n_part", alias_name="n_key"),
+            Sum("s_part", alias_name="s_key"),
+            Sum("s2_part", alias_name="s2_key"))
+
+    with light_shuffle_aggregators():
+        joined = ds.join(moments, join_type="inner",
+                         num_partitions=num_join_partitions,
+                         on=(key_col,)).materialize()
+
+    def zscore(batch: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [c for c in batch.columns
+                    if c not in ("n_key", "s_key", "s2_key")]
+        if not len(batch):
+            out = batch[out_cols].copy()
+            out["z_milli"] = pd.Series([], dtype="int64")
+            return out
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        n = batch["n_key"].to_numpy(dtype=np.int64)
+        s = batch["s_key"].to_numpy(dtype=np.int64)
+        s2 = batch["s2_key"].to_numpy(dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = (s2 - (s * s) / n) / (n - 1)
+            keep = (n >= 2) & (var > 0)
+            z = np.floor((v - s / n) / np.sqrt(var) * 1000)
+        out = batch.loc[keep, out_cols].copy()
+        out["z_milli"] = z[keep].astype(np.int64)
+        return out
+
+    return joined.map_batches(zscore, batch_format="pandas")

@@ -3297,6 +3297,45 @@ FROM per ORDER BY source
 """
 
 
+def q_user_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-user z-score of event values (windows.grouped_zscore:
+    (n, Σv, Σv²) combiner → tiny groupby → native join back — the
+    two-pass normalize-by-group feature-engineering primitive)."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "user_id", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return t.drop_columns(["value"]).append_column(
+            "value_centi",
+            pa.array(np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    out = wn.grouped_zscore(
+        ds.map_batches(to_centi, batch_format="pyarrow"),
+        key_col="user_id", value_col="value_centi").to_pandas()
+    out = out[["event_id", "user_id", "value_centi", "z_milli"]] \
+        .astype({"event_id": "int64", "user_id": "int64",
+                 "value_centi": "int64", "z_milli": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_USER_ZSCORE_SQL = """
+WITH t AS (SELECT event_id, user_id,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+           FROM events),
+m AS (SELECT user_id, count(*) AS n, sum(value_centi) AS s,
+             sum(value_centi * value_centi) AS s2
+      FROM t GROUP BY user_id)
+SELECT t.event_id, t.user_id, t.value_centi,
+       CAST(floor((t.value_centi - s / n)
+                  / sqrt((s2 - (s * s) / n) / (n - 1)) * 1000)
+            AS BIGINT) AS z_milli
+FROM t JOIN m USING (user_id)
+WHERE n >= 2 AND (s2 - (s * s) / n) / (n - 1) > 0
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3368,6 +3407,7 @@ QUERIES = {
     "q_nation_coverage": q_nation_coverage,
     "q_revenue_cube": q_revenue_cube,
     "q_source_entropy": q_source_entropy,
+    "q_user_zscore": q_user_zscore,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3482,4 +3522,5 @@ ORACLES = {
     "q_nation_coverage": Q_NATION_COVERAGE_SQL,
     "q_revenue_cube": Q_REVENUE_CUBE_SQL,
     "q_source_entropy": Q_SOURCE_ENTROPY_SQL,
+    "q_user_zscore": Q_USER_ZSCORE_SQL,
 }

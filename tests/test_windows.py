@@ -470,3 +470,38 @@ class TestGlobalRankByValue:
         # Dataset drops columns — a Ray quirk, not an operator contract)
         assert out.count() == 0
         assert set(out.schema().names) == {"id", "v", "rank"}
+
+
+class TestGroupedZscore:
+    def test_matches_pandas_two_pass(self, ray_session, events_df):
+        out = wn.grouped_zscore(
+            rd.from_pandas(events_df).repartition(8), key_col="user_id",
+            value_col="value_centi").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        df = events_df
+        rows = []
+        for uid, g in df.groupby("user_id"):
+            v = g["value_centi"].to_numpy(dtype=np.int64)
+            n, s, s2 = len(v), int(v.sum()), int((v * v).sum())
+            var = (s2 - (s * s) / n) / (n - 1)
+            if n < 2 or var <= 0:
+                continue
+            z = np.floor((v.astype(np.float64) - s / n)
+                         / np.sqrt(var) * 1000).astype(np.int64)
+            for eid, zz in zip(g["event_id"], z):
+                rows.append((int(eid), int(zz)))
+        want = pd.DataFrame(rows, columns=["event_id", "z_milli"]) \
+            .sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(want)
+        assert (out["event_id"].to_numpy()
+                == want["event_id"].to_numpy()).all()
+        assert (out["z_milli"].to_numpy()
+                == want["z_milli"].to_numpy()).all()
+
+    def test_degenerate_keys_dropped(self, ray_session):
+        # n=1 key and zero-variance key produce no rows; normal key does
+        df = pd.DataFrame({"k": [1, 2, 2, 3, 3, 3],
+                           "v": [5, 7, 7, 1, 2, 9]})
+        out = wn.grouped_zscore(rd.from_pandas(df), key_col="k",
+                                value_col="v").to_pandas()
+        assert set(out["k"]) == {3} and len(out) == 3
