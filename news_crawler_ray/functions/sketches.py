@@ -481,3 +481,71 @@ def approx_token_freq(ds: "rd.Dataset", queries: list[str], *,
     return pd.DataFrame({
         "token": pd.Series(queries, dtype="object"),
         "freq_est": pd.Series(merged.estimate(queries), dtype="int64")})
+
+
+def grouped_heavy_hitters(ds: "rd.Dataset", *, key_col: str,
+                          text_col: str = "text", k: int = 256,
+                          top_n: int | None = None,
+                          num_buckets: int = 64) -> "rd.Dataset":
+    """Per-KEY frequent tokens via mergeable Misra-Gries summaries —
+    the grouped companion of :func:`heavy_hitters` (per-language /
+    per-domain vocabulary profiles). Per batch, each key's token counts
+    are trimmed to ≤ k counters, so the shuffle carries ≤ k rows per
+    (key, batch); summaries are KEY-bucketed (every row of a key lands
+    in one bucket) and merged with one vectorized pandas groupby + one
+    final per-key trim — no two-key native groupby (the pair-hash
+    lesson: Ray's multi-key sort aggregate is the slow path), no per-key
+    map_groups.
+
+    Counts are MG lower bounds; any token with true in-key frequency
+    > N_key/(k+1) is guaranteed present, and counts are exact whenever
+    a key's distinct-token count is ≤ k (no trim ever fires — the
+    property the DuckDB twin relies on at fixture vocabulary).
+    ``top_n`` keeps each key's n leaders (n_min desc, item asc) after
+    the merge. Returns (key_col, item, n_min)."""
+    from collections import Counter
+
+    from ..rayutil import salt_bucket
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        keys_out: list = []
+        items: list[str] = []
+        ns: list[int] = []
+        for key, g in batch.groupby(key_col):
+            counts: Counter = Counter()
+            for t in g[text_col].fillna(""):
+                counts.update(t.split())
+            for item, c in _mg_trim(counts, k).items():
+                keys_out.append(key)
+                items.append(item)
+                ns.append(c)
+        out = pd.DataFrame({
+            key_col: pd.Series(keys_out, dtype="object"),
+            "item": pd.Series(items, dtype="object"),
+            "n": pd.Series(ns, dtype="int64")})
+        out["bucket"] = salt_bucket(out[key_col].to_numpy(),
+                                    num_buckets) if len(out) \
+            else pd.Series([], dtype="int32")
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        merged = g.groupby([key_col, "item"], as_index=False)["n"].sum()
+        for key, kg in merged.groupby(key_col):
+            final = _mg_trim(dict(zip(kg["item"], kg["n"])), k)
+            fin = pd.DataFrame({
+                key_col: key, "item": list(final),
+                "n_min": pd.Series(list(final.values()), dtype="int64")})
+            fin = fin.sort_values(["n_min", "item"],
+                                  ascending=[False, True])
+            rows.append(fin.head(top_n) if top_n else fin)
+        if not rows:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="object"),
+                "item": pd.Series([], dtype="object"),
+                "n_min": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    return ds.select_columns([key_col, text_col]) \
+        .map_batches(summarize, batch_format="pandas") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")

@@ -3336,6 +3336,36 @@ ORDER BY event_id
 """
 
 
+def q_lang_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Per-language top-5 frequent tokens via grouped Misra-Gries
+    (sketches.grouped_heavy_hitters, k=512 — exact at the fixture's
+    31-token vocabulary, same degeneracy the global twin documents;
+    ≤ k rows per (lang, batch) cross the shuffle)."""
+    from .functions.sketches import grouped_heavy_hitters
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    out = grouped_heavy_hitters(ds, key_col="lang", text_col="text",
+                                k=512, top_n=5).to_pandas()
+    return out.sort_values(["lang", "n_min", "item"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+Q_LANG_HEAVY_SQL = r"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS item
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT lang, item, count(*)::BIGINT AS n_min
+        FROM toks GROUP BY lang, item),
+rk AS (SELECT lang, item, n_min,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_min DESC, item) AS rn
+       FROM cnt)
+SELECT lang, item, n_min FROM rk WHERE rn <= 5
+ORDER BY lang, n_min DESC, item
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3408,6 +3438,7 @@ QUERIES = {
     "q_revenue_cube": q_revenue_cube,
     "q_source_entropy": q_source_entropy,
     "q_user_zscore": q_user_zscore,
+    "q_lang_heavy_hitters": q_lang_heavy_hitters,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3523,4 +3554,5 @@ ORACLES = {
     "q_revenue_cube": Q_REVENUE_CUBE_SQL,
     "q_source_entropy": Q_SOURCE_ENTROPY_SQL,
     "q_user_zscore": Q_USER_ZSCORE_SQL,
+    "q_lang_heavy_hitters": Q_LANG_HEAVY_SQL,
 }

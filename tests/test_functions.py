@@ -1338,3 +1338,68 @@ class TestSourceTokenEntropy:
         assert len(out) == 1
         assert out["n_tokens"].iloc[0] == 5
         assert abs(out["entropy_milli"].iloc[0]) <= 1
+
+
+class TestGroupedHeavyHitters:
+    def test_exact_when_vocab_below_k(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+        from news_crawler_ray.functions.sketches import \
+            grouped_heavy_hitters
+        rng = np.random.RandomState(3)
+        vocab = [f"t{i}" for i in range(20)]
+        df = pd.DataFrame({
+            "key": [f"k{i % 3}" for i in range(90)],
+            "text": [" ".join(rng.choice(vocab, size=15))
+                     for _ in range(90)]})
+        out = grouped_heavy_hitters(
+            rd.from_pandas(df).repartition(5), key_col="key",
+            k=64, num_buckets=4).to_pandas()
+        for key, g in df.groupby("key"):
+            want = Counter(w for t in g["text"] for w in t.split())
+            got = dict(zip(out[out.key == key]["item"],
+                           out[out.key == key]["n_min"]))
+            assert got == dict(want), key
+
+    def test_lower_bound_and_guarantee_when_trimmed(self, ray_session):
+        import ray.data as rd
+        from collections import Counter
+        from news_crawler_ray.functions.sketches import \
+            grouped_heavy_hitters
+        rng = np.random.RandomState(9)
+        # one hot token per key (40% of mass) + a long tail >> k
+        rows = []
+        for ki in range(3):
+            toks = []
+            for _ in range(800):
+                toks.append(f"hot{ki}" if rng.rand() < 0.4
+                            else f"tail{rng.randint(0, 500)}")
+            for i in range(0, len(toks), 20):
+                rows.append((f"k{ki}", " ".join(toks[i:i + 20])))
+        df = pd.DataFrame(rows, columns=["key", "text"])
+        out = grouped_heavy_hitters(
+            rd.from_pandas(df).repartition(7), key_col="key",
+            k=16, num_buckets=4).to_pandas()
+        for key, g in df.groupby("key"):
+            true = Counter(w for t in g["text"] for w in t.split())
+            sk = dict(zip(out[out.key == key]["item"],
+                          out[out.key == key]["n_min"]))
+            # counts never exceed the truth
+            assert all(sk[i] <= true[i] for i in sk), key
+            # the > N/(k+1) guarantee holds for the hot token
+            hot = f"hot{key[1:]}"
+            assert true[hot] > sum(true.values()) / 17
+            assert hot in sk, key
+
+    def test_top_n_cut(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.sketches import \
+            grouped_heavy_hitters
+        df = pd.DataFrame({
+            "key": ["a"] * 4,
+            "text": ["x x x y y z", "x y z w", "x q", "r"]})
+        out = grouped_heavy_hitters(
+            rd.from_pandas(df), key_col="key", k=64,
+            top_n=2).to_pandas()
+        assert out["item"].tolist() == ["x", "y"]
+        assert out["n_min"].tolist() == [5, 3]
