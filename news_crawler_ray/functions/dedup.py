@@ -1288,3 +1288,67 @@ def segment_dedup(ds: "rd.Dataset", *, id_col: str = "doc_id",
 
     return winners.map_batches(decode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(reassemble, batch_format="pandas")
+
+
+def dup_pair_matrix(ds: "rd.Dataset", *, text_col: str = "text",
+                    group_col: str = "source",
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Cross-source exact-duplicate matrix: for every unordered source
+    pair (src_a ≤ src_b), the number of duplicate TEXT PAIRS between
+    them — the contamination-flow probe (which feeds syndicate which;
+    a hot diagonal = a source re-posting itself).
+
+    Distributed shape: per-batch partial (md5, source, c) counts →
+    hash-bucketed by the md5 (every row of a hash lands in one bucket,
+    so in-bucket sums are final per-(hash, source) counts) → pairwise
+    products fold per bucket to ≤ |sources|² rows. The driver fold is
+    O(num_buckets · |sources|²) — independent of corpus size; sources
+    at web scale are domains, so for million-domain matrices swap the
+    final fold for the pair-bucketed groupby (grouped_distinct_count
+    pattern). Same-source pairs count C(c,2)."""
+    from ..rayutil import salt_bucket
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+             for t in batch[text_col]]
+        b = pd.DataFrame({"h": pd.Series(h, dtype="object"),
+                          group_col: batch[group_col].to_numpy()})
+        b = b.groupby(["h", group_col], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        b["c"] = b["c"].astype("int64")
+        b["bucket"] = salt_bucket(b["h"].to_numpy(), num_buckets) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby(["h", group_col], as_index=False)["c"].sum()
+        rows: list[tuple[str, str, int]] = []
+        for _, hg in cnt.groupby("h"):
+            srcs = hg.sort_values(group_col)
+            vals = list(zip(srcs[group_col], srcs["c"]))
+            for i, (sa, ca) in enumerate(vals):
+                if ca > 1:
+                    rows.append((sa, sa, ca * (ca - 1) // 2))
+                for sb, cb in vals[i + 1:]:
+                    rows.append((sa, sb, ca * cb))
+        out = pd.DataFrame(rows, columns=["src_a", "src_b", "np"])
+        if not len(out):
+            return pd.DataFrame({
+                "src_a": pd.Series([], dtype="object"),
+                "src_b": pd.Series([], dtype="object"),
+                "np": pd.Series([], dtype="int64")})
+        return out.groupby(["src_a", "src_b"], as_index=False)["np"] \
+            .sum().astype({"np": "int64"})
+
+    parts = ds.select_columns([group_col, text_col]) \
+        .map_batches(local, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "src_a" not in parts.columns or not len(parts):
+        return pd.DataFrame({"src_a": pd.Series([], dtype="object"),
+                             "src_b": pd.Series([], dtype="object"),
+                             "n_dup_pairs": pd.Series([], dtype="int64")})
+    out = parts.groupby(["src_a", "src_b"], as_index=False)["np"].sum() \
+        .rename(columns={"np": "n_dup_pairs"})
+    out["n_dup_pairs"] = out["n_dup_pairs"].astype("int64")
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

@@ -3366,6 +3366,45 @@ ORDER BY lang, n_min DESC, item
 """
 
 
+def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
+    """Cross-source duplicate-LEAD pair matrix: which source pairs
+    share article openings (first 8 whitespace tokens) — the
+    syndication / contamination-flow probe (dedup.dup_pair_matrix:
+    md5-bucketed per-(lead, source) counts, pairwise products folded
+    in-bucket). Full-text exact dups are the degenerate case (the
+    fixture has none at sf0.01 — the lead key is what fires)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["source", "text"])
+
+    def lead(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"].to_numpy(),
+            "lead": pd.Series(
+                [" ".join((t or "").split()[:8])
+                 for t in batch["text"]], dtype="object")})
+
+    return dd.dup_pair_matrix(
+        ds.map_batches(lead, batch_format="pandas"),
+        text_col="lead", group_col="source")
+
+
+Q_CROSS_SOURCE_DUPS_SQL = r"""
+WITH h AS (SELECT array_to_string(
+                    list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')[1:8], ' ') AS h,
+                  source
+           FROM documents),
+c AS (SELECT h, source, count(*) AS c FROM h GROUP BY h, source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.c * b.c AS np
+  FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+  UNION ALL
+  SELECT source, source, c * (c - 1) // 2 FROM c WHERE c > 1)
+SELECT src_a, src_b, sum(np)::BIGINT AS n_dup_pairs
+FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3439,6 +3478,7 @@ QUERIES = {
     "q_source_entropy": q_source_entropy,
     "q_user_zscore": q_user_zscore,
     "q_lang_heavy_hitters": q_lang_heavy_hitters,
+    "q_cross_source_dups": q_cross_source_dups,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3555,4 +3595,5 @@ ORACLES = {
     "q_source_entropy": Q_SOURCE_ENTROPY_SQL,
     "q_user_zscore": Q_USER_ZSCORE_SQL,
     "q_lang_heavy_hitters": Q_LANG_HEAVY_SQL,
+    "q_cross_source_dups": Q_CROSS_SOURCE_DUPS_SQL,
 }

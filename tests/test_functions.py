@@ -1403,3 +1403,34 @@ class TestGroupedHeavyHitters:
             top_n=2).to_pandas()
         assert out["item"].tolist() == ["x", "y"]
         assert out["n_min"].tolist() == [5, 3]
+
+
+class TestDupPairMatrix:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+        from itertools import combinations
+        from news_crawler_ray.functions.dedup import dup_pair_matrix
+        texts = ["aaa", "bbb", "aaa", "ccc", "aaa", "bbb", "ddd"]
+        srcs = ["s1", "s1", "s2", "s2", "s1", "s2", "s3"]
+        df = pd.DataFrame({"source": srcs, "text": texts})
+        out = dup_pair_matrix(rd.from_pandas(df).repartition(3),
+                              text_col="text", group_col="source",
+                              num_buckets=4)
+        want: dict = {}
+        for (i, j) in combinations(range(len(texts)), 2):
+            if texts[i] == texts[j]:
+                a, b = sorted((srcs[i], srcs[j]))
+                want[(a, b)] = want.get((a, b), 0) + 1
+        got = {(r.src_a, r.src_b): int(r.n_dup_pairs)
+               for r in out.itertuples()}
+        assert got == want
+        # "aaa": s1 x2, s2 x1 → (s1,s1)=1, (s1,s2)=2; "bbb": (s1,s2)=1
+        assert got[("s1", "s1")] == 1 and got[("s1", "s2")] == 3
+
+    def test_no_dups_empty(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.dedup import dup_pair_matrix
+        df = pd.DataFrame({"source": ["a", "b"], "text": ["x", "y"]})
+        out = dup_pair_matrix(rd.from_pandas(df))
+        assert len(out) == 0
+        assert list(out.columns) == ["src_a", "src_b", "n_dup_pairs"]
