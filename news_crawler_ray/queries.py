@@ -3405,6 +3405,26 @@ FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b
 """
 
 
+def q_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent documents-table checksum
+    (audit.table_checksum — one (n, partial) row per batch, exact
+    driver fold; the resumable-output equality proof)."""
+    from .functions.audit import table_checksum
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "lang", "source", "text"])
+    return table_checksum(ds, cols=["doc_id", "lang", "source", "text"])
+
+
+Q_TABLE_CHECKSUM_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       CAST(sum(CAST(concat('0x', substr(md5(
+                concat_ws(chr(31), doc_id, lang, source, text)),
+                1, 13)) AS BIGINT)) % 2305843009213693951 AS BIGINT)
+         AS checksum
+FROM documents
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3479,6 +3499,7 @@ QUERIES = {
     "q_user_zscore": q_user_zscore,
     "q_lang_heavy_hitters": q_lang_heavy_hitters,
     "q_cross_source_dups": q_cross_source_dups,
+    "q_table_checksum": q_table_checksum,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3596,4 +3617,5 @@ ORACLES = {
     "q_user_zscore": Q_USER_ZSCORE_SQL,
     "q_lang_heavy_hitters": Q_LANG_HEAVY_SQL,
     "q_cross_source_dups": Q_CROSS_SOURCE_DUPS_SQL,
+    "q_table_checksum": Q_TABLE_CHECKSUM_SQL,
 }

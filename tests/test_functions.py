@@ -1434,3 +1434,28 @@ class TestDupPairMatrix:
         out = dup_pair_matrix(rd.from_pandas(df))
         assert len(out) == 0
         assert list(out.columns) == ["src_a", "src_b", "n_dup_pairs"]
+
+
+class TestTableChecksum:
+    def test_order_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.audit import table_checksum
+        df = pd.DataFrame({"id": np.arange(50, dtype=np.int64),
+                           "t": [f"row {i}" for i in range(50)]})
+        a = table_checksum(rd.from_pandas(df), cols=["id", "t"])
+        b = table_checksum(
+            rd.from_pandas(df.sample(frac=1, random_state=3))
+            .repartition(7), cols=["id", "t"])
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_rows"].iloc[0] == 50
+
+    def test_detects_single_row_change(self, ray_session):
+        import ray.data as rd
+        from news_crawler_ray.functions.audit import table_checksum
+        df = pd.DataFrame({"id": np.arange(20, dtype=np.int64),
+                           "t": [f"row {i}" for i in range(20)]})
+        a = table_checksum(rd.from_pandas(df), cols=["id", "t"])
+        df2 = df.copy(); df2.loc[7, "t"] = "row 7!"
+        b = table_checksum(rd.from_pandas(df2), cols=["id", "t"])
+        assert a["checksum"].iloc[0] != b["checksum"].iloc[0]
+        assert a["n_rows"].iloc[0] == b["n_rows"].iloc[0]
