@@ -97,7 +97,10 @@ def run_bench() -> dict:
                  "q_token_budget_mix", "q_segment_dedup",
                  "q_source_quality_gate", "q_hopping_window",
                  "q_distinct_users_by_type", "q_cheapest_supplier",
-                 "q_interp_quantiles", "pq_ann_topk"):
+                 "q_interp_quantiles", "pq_ann_topk",
+                 "q_event_gaps", "q_extreme_events", "q_user_zscore",
+                 "q_source_entropy", "q_lang_heavy_hitters",
+                 "q_cross_source_dups", "q_table_checksum"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

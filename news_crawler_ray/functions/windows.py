@@ -705,6 +705,12 @@ def global_rank_by_value(ds: "rd.Dataset", *, value_col: str,
             value_col: pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64())}))
 
+    # the op scans its input three times (min/max pre-pass, partition
+    # counts, final rank); materialize the 2-int-column projection ONCE
+    # so the upstream pipeline (parquet read, decode maps) doesn't
+    # re-execute per pass — id-level rows, never the payload
+    ds = ds.select_columns([value_col, id_col]).materialize()
+
     stats = ds.aggregate(Min(value_col), Max(value_col))
     if not stats or stats.get(f"min({value_col})") is None:
         return _typed_empty()   # empty input → typed empty ranks
@@ -721,13 +727,15 @@ def global_rank_by_value(ds: "rd.Dataset", *, value_col: str,
         return pa.table({"part": pa.array(uniq, pa.int64()),
                          "c": pa.array(cnt.astype(np.int64))})
 
-    totals = ds.select_columns([value_col]) \
-        .map_batches(pcounts, batch_format="pyarrow") \
-        .groupby("part").sum("c").to_pandas()
+    from ..rayutil import bucketed_group_sum
+    totals = bucketed_group_sum(
+        ds.select_columns([value_col])
+        .map_batches(pcounts, batch_format="pyarrow"),
+        ["part"], {"c": "sum_c"}).to_pandas()
     if "part" not in totals.columns:   # no counted rows → typed empty
         return _typed_empty()
     totals = totals.sort_values("part").reset_index(drop=True)
-    csum = totals["sum(c)"].cumsum().shift(1, fill_value=0)
+    csum = totals["sum_c"].cumsum().shift(1, fill_value=0)
     offsets_ref = ray.put((totals["part"].to_numpy(dtype=np.int64),
                            csum.to_numpy(dtype=np.int64)))
 
@@ -746,8 +754,7 @@ def global_rank_by_value(ds: "rd.Dataset", *, value_col: str,
             value_col: g[value_col].astype("int64"),
             "rank": base + np.arange(len(g), dtype=np.int64)})
 
-    return ds.select_columns([value_col, id_col]) \
-        .map_batches(add_part, batch_format="pyarrow") \
+    return ds.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(rank, batch_format="pandas")
 
 
@@ -767,10 +774,16 @@ def grouped_zscore(ds: "rd.Dataset", *, key_col: str, value_col: str,
     moments are exact int64, so both engines see identical doubles).
 
     Contract: ``value_col`` is int64 (caller integerizes) and Σv² /
-    (Σv)² per key fit int64 — same bound the BIGINT SQL twin has."""
+    (Σv)² per key fit int64 — same bound the BIGINT SQL twin has.
+    The input is scanned twice (moments, then the join) and ALL its
+    columns ride through the join — prune to id-level columns before
+    calling; the pruned input is materialized once here so the
+    upstream read doesn't re-execute."""
     from ray.data.aggregate import Sum
 
     from ..rayutil import light_shuffle_aggregators, project_blocks
+
+    ds = ds.materialize()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -786,12 +799,15 @@ def grouped_zscore(ds: "rd.Dataset", *, key_col: str, value_col: str,
         return g.astype({"n_part": "int64", "s_part": "int64",
                          "s2_part": "int64"})
 
-    moments = ds.select_columns([key_col, value_col]) \
-        .map_batches(partial, batch_format="pandas") \
-        .groupby(key_col).aggregate(
-            Sum("n_part", alias_name="n_key"),
-            Sum("s_part", alias_name="s_key"),
-            Sum("s2_part", alias_name="s2_key"))
+    # bucketed fold, NOT groupby().aggregate(Sum): the partials number
+    # keys×batches rows and the native aggregate's reduce is ~0.1 ms of
+    # Python per input row (rayutil.bucketed_group_sum docstring)
+    from ..rayutil import bucketed_group_sum
+    moments = bucketed_group_sum(
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pandas"),
+        [key_col], {"n_part": "n_key", "s_part": "s_key",
+                    "s2_part": "s2_key"})
 
     with light_shuffle_aggregators():
         joined = ds.join(moments, join_type="inner",

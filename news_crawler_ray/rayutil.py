@@ -258,3 +258,35 @@ def salt_bucket(values, n: int = 64):
         else:
             out[i] = zlib.crc32(str(v).encode()) % n
     return out
+
+
+def bucketed_group_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
+                       num_buckets: int = 64):
+    """Exact ``SELECT key…, sum(col)… GROUP BY key…`` as a salted-bucket
+    map_groups fold — the replacement for ``groupby(key).aggregate(Sum)``
+    whenever the aggregate's INPUT is more than a few thousand rows:
+    Ray's sort-based aggregate reduce costs ~0.1 ms of Python PER INPUT
+    ROW (measured: 62 k partial rows → 8-12 s, vs ~2 s for the same
+    shuffle through groupby(bucket).map_groups), while the bucket fold
+    shuffles the same rows but reduces them in one vectorized pandas
+    groupby per bucket.
+
+    ``sum_cols`` maps input column → output column name. Keys co-locate
+    by a salt of the FIRST key column (identical key tuples share it by
+    definition). Returns a Dataset of one row per distinct key tuple."""
+    import pandas as pd
+
+    def add_bucket(batch: "pd.DataFrame") -> "pd.DataFrame":
+        batch = batch.copy()
+        batch["bucket"] = salt_bucket(batch[key_cols[0]].to_numpy(),
+                                      num_buckets) if len(batch) \
+            else pd.Series([], dtype="int32")
+        return batch
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(key_cols, as_index=False)[list(sum_cols)].sum()
+        out = out.rename(columns=sum_cols)
+        return out.astype({c: "int64" for c in sum_cols.values()})
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
