@@ -264,12 +264,14 @@ def bucketed_group_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
                        num_buckets: int = 64):
     """Exact ``SELECT key…, sum(col)… GROUP BY key…`` as a salted-bucket
     map_groups fold — the replacement for ``groupby(key).aggregate(Sum)``
-    whenever the aggregate's INPUT is more than a few thousand rows:
-    Ray's sort-based aggregate reduce costs ~0.1 ms of Python PER INPUT
-    ROW (measured: 62 k partial rows → 8-12 s, vs ~2 s for the same
-    shuffle through groupby(bucket).map_groups), while the bucket fold
-    shuffles the same rows but reduces them in one vectorized pandas
-    groupby per bucket.
+    when the aggregate's input is PANDAS blocks with more than a few
+    thousand rows: Ray's sort-aggregate reduce degrades ~12× on pandas
+    blocks (measured: 62 k partial rows → 8-12 s vs 0.5 s for identical
+    data in arrow blocks), while the bucket fold shuffles the same rows
+    but reduces them in one vectorized pandas groupby per bucket (~2 s).
+    If the upstream map can cheaply emit arrow instead, prefer that +
+    the native aggregate; use this when the partial-building map is
+    pandas-idiomatic (multi-column named aggs).
 
     ``sum_cols`` maps input column → output column name. Keys co-locate
     by a salt of the FIRST key column (identical key tuples share it by
