@@ -608,11 +608,14 @@ def grouped_lag(ds: "rd.Dataset", *, key_col: str,
     ``groupby.shift`` per bucket. Lag state never crosses keys, so
     key-locality is the only partitioning requirement.
 
-    ``prev`` is emitted as float64 (pandas shift semantics — the null
-    for each key's first row forces the cast); int64 values up to 2⁵³
-    (every epoch-microsecond timestamp) survive the round-trip exactly,
-    so integer consumers can difference and re-cast losslessly.
-    ``(key, order_cols)`` must uniquely order rows."""
+    For NUMERIC ``value_col`` ``prev`` is emitted as float64 (pandas
+    shift semantics — the null for each key's first row forces the
+    cast); int64 values up to 2⁵³ (every epoch-microsecond timestamp)
+    survive the round-trip exactly, so integer consumers can difference
+    and re-cast losslessly. Non-numeric values (e.g. lagging an
+    event-type string for transition counting) keep their dtype, with
+    None for each key's first row. ``(key, order_cols)`` must uniquely
+    order rows."""
 
     def add_bucket(t: pa.Table) -> pa.Table:
         from ..rayutil import salt_bucket
@@ -624,7 +627,8 @@ def grouped_lag(ds: "rd.Dataset", *, key_col: str,
         g = g.sort_values([key_col] + order_cols, kind="mergesort")
         prev = g.groupby(key_col)[value_col].shift(1)
         out = g[[c for c in g.columns if c != "bucket"]].copy()
-        out["prev"] = prev.astype("float64")
+        out["prev"] = prev.astype("float64") \
+            if pd.api.types.is_numeric_dtype(g[value_col]) else prev
         return out
 
     return ds.map_batches(add_bucket, batch_format="pyarrow") \

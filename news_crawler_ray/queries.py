@@ -3425,6 +3425,245 @@ FROM documents
 """
 
 
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition matrix of the event stream: counts of
+    (previous event_type → event_type) per-user step pairs — the
+    behavioral-sequence profile behind session modeling.
+
+    Distributed shape: windows.grouped_lag of the event_type STRING per
+    user (salted buckets, one vectorized groupby.shift per bucket),
+    then a per-batch value_counts combiner collapses each batch to
+    ≤ n_types² partial rows before the tiny bucketed sum — the shuffle
+    after the lag moves counts, never events."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        return t.drop_columns(["ts"]).append_column("ts_us", ts_us)
+
+    lagged = wn.grouped_lag(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts_us", "event_id"],
+        value_col="event_type")
+
+    def pair_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["prev"].notna()]
+        if not len(b):
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        vc = (b["prev"] + "\x1f" + b["event_type"]).value_counts()
+        return pd.DataFrame({"pair": vc.index.to_numpy(),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    from .rayutil import bucketed_group_sum as _bgs
+    out = _bgs(lagged.map_batches(pair_counts, batch_format="pandas"),
+               ["pair"], {"c": "n"}).to_pandas()
+    prev_cur = out["pair"].str.split("\x1f", expand=True)
+    out = pd.DataFrame({"prev_type": prev_cur[0],
+                        "event_type": prev_cur[1],
+                        "n": out["n"].astype("int64")})
+    return out.sort_values(["prev_type", "event_type"]) \
+        .reset_index(drop=True)
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type ORDER BY prev_type, event_type
+"""
+
+
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Conversion funnel: users whose first 'click' is followed by a
+    'purchase' within one hour, with both timestamps — the A→B
+    within-Δt sequence predicate SQL needs a windowed self-join for.
+
+    Distributed shape: the scan keeps ONLY the two funnel stages
+    (predicate pushed into the parquet read), rows co-locate per user
+    by salted bucket, and one vectorized pandas pass per bucket does
+    first-A / min-B-in-window. The shuffle moves just the two stages'
+    rows; converting users appear once each."""
+    ds = read_parquet(
+        _t(sf_dir, "events"),
+        columns=["ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["click", "purchase"]))
+
+    def prep(t: pa.Table) -> pa.Table:
+        from .rayutil import salt_bucket
+        ts_us = pc.cast(t["ts"], pa.int64())
+        t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
+        return t.append_column(
+            "bucket", pa.array(salt_bucket(t["user_id"]), pa.int32()))
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        first_a = g[g["event_type"] == "click"] \
+            .groupby("user_id")["ts_us"].min().rename("first_click_us")
+        p = g[g["event_type"] == "purchase"][["user_id", "ts_us"]] \
+            .merge(first_a, on="user_id")
+        p = p[(p["ts_us"] >= p["first_click_us"])
+              & (p["ts_us"] <= p["first_click_us"] + 3_600_000_000)]
+        out = p.groupby(["user_id", "first_click_us"], as_index=False)[
+            "ts_us"].min().rename(columns={"ts_us": "first_purchase_us"})
+        return out.astype({"user_id": "int64", "first_click_us": "int64",
+                           "first_purchase_us": "int64"})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(funnel, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENT_FUNNEL_SQL = """
+WITH a AS (SELECT user_id, min(epoch_us(ts)) AS first_click_us
+           FROM events WHERE event_type = 'click' GROUP BY user_id)
+SELECT a.user_id, a.first_click_us,
+       min(epoch_us(e.ts)) AS first_purchase_us
+FROM a JOIN events e
+  ON e.user_id = a.user_id AND e.event_type = 'purchase'
+ AND epoch_us(e.ts) >= a.first_click_us
+ AND epoch_us(e.ts) <= a.first_click_us + 3600000000
+GROUP BY a.user_id, a.first_click_us ORDER BY a.user_id
+"""
+
+
+def q_gap_fill_hours(sf_dir: str) -> pd.DataFrame:
+    """Densified hourly time series: event counts per (hour,
+    event_type) over the corpus's full hour range with missing cells
+    filled as zero — the gap-fill step ahead of any windowed trend
+    model (a plain GROUP BY silently drops empty hours).
+
+    Distributed shape: a per-batch value_counts combiner collapses
+    each batch to ≤ hours_in_batch × n_types partial rows, a salted
+    bucket fold sums them, and only then does the driver densify —
+    the spine (hours × types) IS the query's output, so the only
+    driver-side table is result-sized no matter the event count."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
+    hour_us = 3_600_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"cell": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        h = (b["ts"].astype("int64") // hour_us) * hour_us
+        vc = (h.astype(str) + "\x1f" + b["event_type"]).value_counts()
+        return pd.DataFrame({"cell": vc.index.to_numpy(),
+                             "c": vc.to_numpy(dtype="int64")})
+
+    from .rayutil import bucketed_group_sum as _bgs
+    counts = _bgs(ds.map_batches(partial, batch_format="pandas"),
+                  ["cell"], {"c": "n"}).to_pandas()
+    cell = counts["cell"].str.split("\x1f", expand=True)
+    counts = pd.DataFrame({"hour_us": cell[0].astype("int64"),
+                           "event_type": cell[1],
+                           "n": counts["n"].astype("int64")})
+    lo, hi = counts["hour_us"].min(), counts["hour_us"].max()
+    spine = pd.MultiIndex.from_product(
+        [np.arange(lo, hi + hour_us, hour_us, dtype=np.int64),
+         sorted(counts["event_type"].unique())],
+        names=["hour_us", "event_type"]).to_frame(index=False)
+    out = spine.merge(counts, on=["hour_us", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values(["hour_us", "event_type"]) \
+        .reset_index(drop=True)
+
+
+Q_GAP_FILL_HOURS_SQL = """
+WITH b AS (SELECT min(epoch_us(ts)) // 3600000000 AS lo,
+                  max(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+hours AS (SELECT unnest(generate_series(lo, hi)) * 3600000000 AS hour_us
+          FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT h.hour_us, t.event_type, coalesce(c.n, 0)::BIGINT AS n
+FROM hours h CROSS JOIN types t
+LEFT JOIN c ON c.hour_us = h.hour_us AND c.event_type = t.event_type
+ORDER BY h.hour_us, t.event_type
+"""
+
+
+def q_rrf_orders(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two order rankings — highest total
+    price and earliest order date — into one top-50 leaderboard
+    (the multi-signal result-merging primitive search stacks use,
+    k = 60 per the standard RRF formulation).
+
+    Distributed shape: each ranking is an exact global rank via
+    windows.global_rank_by_value (value-range partitions, two-pass
+    count/offset scan — no driver sort), the two rank tables join
+    natively on orderkey, the fused score is pure integer arithmetic
+    (exact vs the SQL twin), and the top-50 is a distributed
+    sort+limit. Driver sees only the 50-row result."""
+    orders = read_parquet(_t(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_totalprice",
+                                   "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        neg_centi = -np.floor(p * 100 + 0.5).astype(np.int64)
+        date_us = pc.cast(t["o_orderdate"], pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "neg_price_centi": pa.array(neg_centi),
+            "date_us": date_us})
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    by_price = wn.global_rank_by_value(
+        prepped, value_col="neg_price_centi", id_col="o_orderkey")
+    by_date = wn.global_rank_by_value(
+        prepped, value_col="date_us", id_col="o_orderkey")
+
+    def keep_rank(name: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             name: t["rank"]})
+        return f
+
+    with light_shuffle_aggregators():
+        j = by_price.map_batches(keep_rank("rp"), batch_format="pyarrow") \
+            .join(by_date.map_batches(keep_rank("rd"),
+                                      batch_format="pyarrow"),
+                  join_type="inner", num_partitions=8,
+                  on=("o_orderkey",))
+
+        def fuse(t: pa.Table) -> pa.Table:
+            rp = t["rp"].to_numpy(zero_copy_only=False)
+            rd = t["rd"].to_numpy(zero_copy_only=False)
+            score = (10 ** 15 // (60 + rp) + 10 ** 15 // (60 + rd))
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "rrf_score": pa.array(score, pa.int64())})
+
+        out = j.map_batches(fuse, batch_format="pyarrow") \
+            .sort(key=["rrf_score", "o_orderkey"],
+                  descending=[True, False]).limit(50).to_pandas()
+    return out.reset_index(drop=True)
+
+
+Q_RRF_ORDERS_SQL = """
+WITH p AS (SELECT o_orderkey,
+                  row_number() OVER (
+                    ORDER BY -CAST(floor(o_totalprice * 100 + 0.5)
+                                   AS BIGINT), o_orderkey) - 1 AS rp
+           FROM orders),
+d AS (SELECT o_orderkey,
+             row_number() OVER (ORDER BY epoch_us(o_orderdate),
+                                o_orderkey) - 1 AS rd
+      FROM orders)
+SELECT p.o_orderkey AS o_orderkey,
+       1000000000000000 // (60 + rp)
+         + 1000000000000000 // (60 + rd) AS rrf_score
+FROM p JOIN d USING (o_orderkey)
+ORDER BY rrf_score DESC, o_orderkey LIMIT 50
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3500,6 +3739,10 @@ QUERIES = {
     "q_lang_heavy_hitters": q_lang_heavy_hitters,
     "q_cross_source_dups": q_cross_source_dups,
     "q_table_checksum": q_table_checksum,
+    "q_event_transitions": q_event_transitions,
+    "q_event_funnel": q_event_funnel,
+    "q_gap_fill_hours": q_gap_fill_hours,
+    "q_rrf_orders": q_rrf_orders,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3618,4 +3861,8 @@ ORACLES = {
     "q_lang_heavy_hitters": Q_LANG_HEAVY_SQL,
     "q_cross_source_dups": Q_CROSS_SOURCE_DUPS_SQL,
     "q_table_checksum": Q_TABLE_CHECKSUM_SQL,
+    "q_event_transitions": Q_EVENT_TRANSITIONS_SQL,
+    "q_event_funnel": Q_EVENT_FUNNEL_SQL,
+    "q_gap_fill_hours": Q_GAP_FILL_HOURS_SQL,
+    "q_rrf_orders": Q_RRF_ORDERS_SQL,
 }

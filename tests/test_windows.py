@@ -406,6 +406,22 @@ class TestGroupedLag:
         assert np.isnan(prev[0]) and prev[1] == 100.0
         assert np.isnan(prev[2]) and prev[3] == 7.0
 
+    def test_string_values_keep_dtype(self, ray_session):
+        # lagging a STRING column (event-type transitions) must not
+        # float-cast: first row per key is None, others the prior label
+        df = pd.DataFrame({"event_id": [0, 1, 2, 3, 4],
+                           "user_id": [1, 1, 1, 2, 2],
+                           "ts": [10, 20, 30, 10, 20],
+                           "event_type": ["a", "b", "a", "c", "a"]})
+        out = wn.grouped_lag(
+            rd.from_pandas(df).repartition(3), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="event_type",
+            num_buckets=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        got = out["prev"].tolist()
+        assert pd.isna(got[0]) and pd.isna(got[3])
+        assert [got[1], got[2], got[4]] == ["a", "b", "c"]
+
 
 class TestGroupedTopkDense:
     def test_matches_pandas_dense_rank(self, ray_session, events_df):
