@@ -3664,6 +3664,156 @@ ORDER BY rrf_score DESC, o_orderkey LIMIT 50
 """
 
 
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroid, exact: (label, dimension) →
+    vector count + integer-micro component sum — the class-prototype /
+    cluster-seed primitive (kmeans init, nearest-class-mean) as a
+    grouped aggregate over a list<float> column.
+
+    Distributed shape: each batch flattens its list column zero-copy
+    (pc.list_flatten → reshape), integerizes per element, and folds to
+    ONE partial row per (label, dim) via np.add.at — the shuffle moves
+    ≤ labels × dim rows per batch regardless of vector count; the
+    native arrow groupby-sum then folds partials on its fast path
+    (single fused int key, label·1024 + dim)."""
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        flat = pc.list_flatten(t["embedding"]) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(t)
+        micro = np.floor(flat.reshape(len(t), dim) * 1_000_000 + 0.5) \
+            .astype(np.int64)
+        labels = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, micro)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = (np.repeat(uniq, dim) * 1024
+             + np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uniq)))
+        return pa.table({"k": pa.array(k),
+                         "n": pa.array(np.repeat(counts, dim)),
+                         "s": pa.array(sums.ravel())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").sum(["n", "s"]).to_pandas()
+    k = agg["k"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({"label": k // 1024, "idx": k % 1024,
+                        "n_vecs": agg["sum(n)"].astype("int64"),
+                        "sum_micro": agg["sum(s)"].astype("int64")})
+    return out.sort_values(["label", "idx"]).reset_index(drop=True)
+
+
+Q_LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS idx,
+       count(*)::BIGINT AS n_vecs,
+       sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         ::BIGINT AS sum_micro
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY label, idx ORDER BY label, idx
+"""
+
+
+def q_token_pmi_pairs(sf_dir: str) -> pd.DataFrame:
+    """Co-occurrence statistics for the top-50 document-frequency
+    vocabulary: per unordered token pair, the number of documents
+    containing BOTH, plus each side's df — the integer core of
+    PMI / phrase-mining collocation scoring (the log-ratio is a
+    driver-side arithmetic afterthought; keeping the output integral
+    makes the oracle exact).
+
+    Distributed shape: pass 1 computes document frequency with the
+    q_top_tokens crc32-bucket discipline (per-batch distinct-per-doc
+    combiner, per-bucket exact top-50 — the global top-50 is contained
+    in the bucket winners' union); the 50-token vocabulary broadcasts
+    once via ray.put; pass 2 folds each batch to one 50×50 upper-
+    triangle count matrix (numpy, unique pairs per doc) and ships
+    ≤ 1 225 partial rows per batch into a native arrow groupby-sum."""
+    import zlib
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    topk = 50
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in batch["text"].fillna(""):
+            for tok in set(t.split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        return pd.DataFrame({
+            "token": toks,
+            "c": pd.Series(list(counts.values()), dtype="int64"),
+            "bucket": pd.Series(
+                [zlib.crc32(t.encode()) % 64 for t in toks],
+                dtype="int32")})
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["c"].sum()
+        return s.sort_values(["c", "token"],
+                             ascending=[False, True]).head(topk)
+
+    df_top = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_top,
+                                      batch_format="pandas").to_pandas()
+    df_top = df_top.sort_values(["c", "token"],
+                                ascending=[False, True]).head(topk)
+    vocab = sorted(df_top["token"])          # lexicographic index
+    df_of = dict(zip(df_top["token"], df_top["c"].astype(int)))
+    vocab_ref = ray.put({t: i for i, t in enumerate(vocab)})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        vidx = cached_object(vocab_ref)
+        m = np.zeros((topk, topk), dtype=np.int64)
+        for txt in t["text"].to_pylist():
+            ids = sorted({vidx[w] for w in (txt or "").split()
+                          if w in vidx})
+            if len(ids) > 1:
+                ids = np.asarray(ids, dtype=np.int64)
+                ia, ib = np.triu_indices(len(ids), 1)
+                m[ids[ia], ids[ib]] += 1   # unique per doc: no dup adds
+        a, b = np.nonzero(m)
+        return pa.table({"k": pa.array(a * topk + b, pa.int64()),
+                         "c": pa.array(m[a, b])})
+
+    agg = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("k").sum("c").to_pandas()
+    k = agg["k"].to_numpy(dtype=np.int64)
+    va = np.asarray(vocab, dtype=object)
+    out = pd.DataFrame({"token_a": va[k // topk], "token_b": va[k % topk],
+                        "n_ab": agg["sum(c)"].astype("int64")})
+    out["df_a"] = out["token_a"].map(df_of).astype("int64")
+    out["df_b"] = out["token_b"].map(df_of).astype("int64")
+    return out.sort_values(["token_a", "token_b"]).reset_index(drop=True)
+
+
+Q_TOKEN_PMI_PAIRS_SQL = r"""
+WITH dt AS (SELECT DISTINCT doc_id, token
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> '')) AS token
+                  FROM documents)),
+df AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+vocab AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 50),
+dv AS (SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+p AS (SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2)
+SELECT token_a, token_b, n_ab::BIGINT AS n_ab,
+       va.df::BIGINT AS df_a, vb.df::BIGINT AS df_b
+FROM p JOIN vocab va ON va.token = p.token_a
+       JOIN vocab vb ON vb.token = p.token_b
+ORDER BY token_a, token_b
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3743,6 +3893,8 @@ QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_gap_fill_hours": q_gap_fill_hours,
     "q_rrf_orders": q_rrf_orders,
+    "q_label_centroids": q_label_centroids,
+    "q_token_pmi_pairs": q_token_pmi_pairs,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -3865,4 +4017,6 @@ ORACLES = {
     "q_event_funnel": Q_EVENT_FUNNEL_SQL,
     "q_gap_fill_hours": Q_GAP_FILL_HOURS_SQL,
     "q_rrf_orders": Q_RRF_ORDERS_SQL,
+    "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
+    "q_token_pmi_pairs": Q_TOKEN_PMI_PAIRS_SQL,
 }
