@@ -100,7 +100,10 @@ def run_bench() -> dict:
                  "q_interp_quantiles", "pq_ann_topk",
                  "q_event_gaps", "q_extreme_events", "q_user_zscore",
                  "q_source_entropy", "q_lang_heavy_hitters",
-                 "q_cross_source_dups", "q_table_checksum"):
+                 "q_cross_source_dups", "q_table_checksum",
+                 "q_event_transitions", "q_event_funnel",
+                 "q_gap_fill_hours", "q_rrf_orders",
+                 "q_label_centroids", "q_token_pmi_pairs"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

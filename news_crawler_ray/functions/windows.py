@@ -159,6 +159,59 @@ def grouped_quantiles(ds: "rd.Dataset", *, key_col: str, value_col: str,
         .astype({"q": "float64", "val": "float64"})
 
 
+def grouped_mad(ds: "rd.Dataset", *, key_col: str,
+                value_col: str) -> pd.DataFrame:
+    """Exact per-key median and median absolute deviation — the robust
+    location/dispersion pair behind outlier-resistant quality gates
+    (|x − med| > k·MAD filters survive heavy-tailed spam that
+    mean/stddev gates don't).
+
+    Same low-cardinality histogram contract and rank rule as
+    :func:`grouped_quantiles`: median = element at 0-based
+    ``floor((n−1)/2)`` of the key's sorted multiset (lower median, no
+    interpolation), so INTEGER inputs stay integral end-to-end and the
+    SQL twin (row_number window) matches bit-for-bit. Two passes:
+    (key, value) count histogram → per-key median (tiny driver fold,
+    broadcast back), then (key, |value − med|) histogram → per-key MAD.
+    Each shuffle moves one row per distinct (key, value) per block."""
+    import ray
+
+    from ..rayutil import cached_object
+
+    def _fold_median(hist: pd.DataFrame, vcol: str) -> dict:
+        out = {}
+        for key, g in hist.sort_values([key_col, vcol]) \
+                .groupby(key_col, sort=True):
+            counts = g["count()"].to_numpy(dtype=np.int64)
+            vals = g[vcol].to_numpy()
+            idx = (int(counts.sum()) - 1) // 2
+            out[key] = vals[int(np.searchsorted(np.cumsum(counts), idx,
+                                                side="right"))]
+        return out
+
+    hist = ds.groupby([key_col, value_col]).count().to_pandas()
+    if key_col not in hist.columns or not len(hist):
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "med": pd.Series([], dtype="int64"),
+                             "mad": pd.Series([], dtype="int64")})
+    med = _fold_median(hist, value_col)
+    med_ref = ray.put(med)
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = cached_object(med_ref)
+        return pd.DataFrame({
+            key_col: b[key_col],
+            "d": (b[value_col] - b[key_col].map(m)).abs()})
+
+    hist2 = ds.map_batches(dev, batch_format="pandas") \
+        .groupby([key_col, "d"]).count().to_pandas()
+    mad = _fold_median(hist2, "d")
+    keys = sorted(med)
+    return pd.DataFrame({key_col: keys,
+                         "med": [med[k] for k in keys],
+                         "mad": [mad[k] for k in keys]})
+
+
 def hash_sample(ds: "rd.Dataset", *, id_col: str, pct: int = 10,
                 mod: int = 100) -> "rd.Dataset":
     """Deterministic hash-threshold sampling: keep rows where

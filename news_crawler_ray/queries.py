@@ -3814,6 +3814,75 @@ ORDER BY token_a, token_b
 """
 
 
+def q_quantity_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-returnflag location/dispersion: exact median and
+    median absolute deviation of order quantity (windows.grouped_mad —
+    two (key, value)-histogram shuffles, lower-median rank rule, fully
+    integral so the row_number-window SQL twin matches bit-for-bit).
+    The |x−med| > k·MAD outlier gate this feeds survives heavy-tailed
+    spam that mean/stddev quality gates don't."""
+    ds = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_quantity"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": pa.array(np.floor(q + 0.5).astype(np.int64))})
+
+    out = wn.grouped_mad(ds.map_batches(to_int, batch_format="pyarrow"),
+                         key_col="l_returnflag", value_col="qty")
+    out = out.astype({"med": "int64", "mad": "int64"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_QUANTITY_MAD_SQL = """
+WITH t AS (SELECT l_returnflag AS k,
+                  CAST(floor(l_quantity + 0.5) AS BIGINT) AS v
+           FROM lineitem),
+r1 AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) - 1
+                AS rn,
+              count(*) OVER (PARTITION BY k) AS n FROM t),
+med AS (SELECT k, v AS med FROM r1 WHERE rn = (n - 1) // 2),
+d AS (SELECT t.k, abs(t.v - med.med) AS d FROM t JOIN med USING (k)),
+r2 AS (SELECT k, d, row_number() OVER (PARTITION BY k ORDER BY d) - 1
+                AS rn,
+              count(*) OVER (PARTITION BY k) AS n FROM d),
+mad AS (SELECT k, d AS mad FROM r2 WHERE rn = (n - 1) // 2)
+SELECT med.k AS l_returnflag, med.med AS med, mad.mad AS mad
+FROM med JOIN mad USING (k) ORDER BY l_returnflag
+"""
+
+
+def q_docs_all_terms(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive keyword search: documents containing ALL query
+    terms, token-exact (the AND-of-postings primitive of an inverted
+    index, run as a scan predicate). Embarrassingly parallel — a
+    vectorized per-batch set-superset filter, no shuffle at all; the
+    result is id-level rows only."""
+    terms = {"batch", "scan", "join"}
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "text", "lang"])
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["text"].fillna("").map(
+            lambda t: terms.issubset(t.split()))
+        out = b.loc[keep, ["doc_id", "lang"]].copy()
+        return out.astype({"doc_id": "int64"})
+
+    out = ds.map_batches(match, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DOCS_ALL_TERMS_SQL = r"""
+SELECT doc_id, lang FROM documents
+WHERE list_has_all(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> ''),
+                   ['batch', 'scan', 'join'])
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3895,6 +3964,8 @@ QUERIES = {
     "q_rrf_orders": q_rrf_orders,
     "q_label_centroids": q_label_centroids,
     "q_token_pmi_pairs": q_token_pmi_pairs,
+    "q_quantity_mad": q_quantity_mad,
+    "q_docs_all_terms": q_docs_all_terms,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4019,4 +4090,6 @@ ORACLES = {
     "q_rrf_orders": Q_RRF_ORDERS_SQL,
     "q_label_centroids": Q_LABEL_CENTROIDS_SQL,
     "q_token_pmi_pairs": Q_TOKEN_PMI_PAIRS_SQL,
+    "q_quantity_mad": Q_QUANTITY_MAD_SQL,
+    "q_docs_all_terms": Q_DOCS_ALL_TERMS_SQL,
 }

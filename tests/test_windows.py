@@ -423,6 +423,33 @@ class TestGroupedLag:
         assert [got[1], got[2], got[4]] == ["a", "b", "c"]
 
 
+class TestGroupedMad:
+    def test_matches_numpy_lower_median(self, ray_session):
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"k": rng.integers(0, 3, 500),
+                           "v": rng.integers(0, 40, 500)})
+        out = wn.grouped_mad(rd.from_pandas(df).repartition(6),
+                             key_col="k", value_col="v") \
+            .sort_values("k").reset_index(drop=True)
+
+        def lower_med(a):
+            a = np.sort(a)
+            return int(a[(len(a) - 1) // 2])
+
+        for _, row in out.iterrows():
+            vals = df[df["k"] == row["k"]]["v"].to_numpy()
+            med = lower_med(vals)
+            assert row["med"] == med
+            assert row["mad"] == lower_med(np.abs(vals - med))
+
+    def test_empty_input(self, ray_session):
+        empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")})
+        out = wn.grouped_mad(rd.from_pandas(empty),
+                             key_col="k", value_col="v")
+        assert len(out) == 0 and list(out.columns) == ["k", "med", "mad"]
+
+
 class TestGroupedTopkDense:
     def test_matches_pandas_dense_rank(self, ray_session, events_df):
         out = wn.grouped_topk_dense(
