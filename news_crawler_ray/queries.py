@@ -3614,7 +3614,11 @@ def q_rrf_orders(sf_dir: str) -> pd.DataFrame:
             "neg_price_centi": pa.array(neg_centi),
             "date_us": date_us})
 
-    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    # both rank passes scan this 3-int-column projection (and each
+    # scans it multiple times internally); materialize ONCE so the
+    # parquet read + integerize map never re-execute
+    prepped = orders.map_batches(prep, batch_format="pyarrow") \
+        .materialize()
     by_price = wn.global_rank_by_value(
         prepped, value_col="neg_price_centi", id_col="o_orderkey")
     by_date = wn.global_rank_by_value(
