@@ -154,6 +154,13 @@ EVENT_OPS = [
     ("grouped_mode",
      lambda ds: wn.grouped_mode(ds, key_col="user_id",
                                 value_col="event_id")),
+    ("grouped_lag",
+     lambda ds: wn.grouped_lag(ds, key_col="user_id",
+                               order_cols=["ts", "event_id"],
+                               value_col="value", num_buckets=8)),
+    ("grouped_mad",
+     lambda ds: wn.grouped_mad(ds, key_col="user_id",
+                               value_col="ivalue")),
 ]
 
 
