@@ -3887,6 +3887,76 @@ ORDER BY doc_id
 """
 
 
+def q_props_field_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    pull the numeric ``k`` field and aggregate per event type — the
+    sidecar-metadata pattern (fetch headers, HAR annotations, model
+    scores) where a string column carries JSON the schema doesn't.
+
+    Distributed shape: json.loads per row INSIDE a per-batch combiner
+    that immediately folds to one (type, n, sum, min, max) partial row
+    per key per batch — the parse cost parallelizes across the actor
+    pool and the shuffle moves partials only. Missing/null fields
+    degrade to 0-count rows, matching SQL NULL elimination."""
+    import json as _json
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64")})
+        ks = []
+        for p in b["props"]:
+            try:
+                v = _json.loads(p).get("k")
+            except (TypeError, ValueError):
+                v = None
+            ks.append(v)
+        t = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "k": pd.array(ks, dtype="Int64")})
+        t = t[t["k"].notna()]
+        g = t.groupby("event_type")["k"] \
+            .agg(n="count", s="sum", mn="min", mx="max").reset_index()
+        return g.astype({"n": "int64", "s": "int64",
+                         "mn": "int64", "mx": "int64"})
+
+    from .rayutil import salt_bucket
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = salt_bucket(b["event_type"].to_numpy(), 16) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("s", "sum"),
+            min_k=("mn", "min"), max_k=("mx", "max"))
+        return out.astype({"n": "int64", "sum_k": "int64",
+                           "min_k": "int64", "max_k": "int64"})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_PROPS_FIELD_STATS_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT))::BIGINT AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k
+FROM events WHERE props->>'$.k' IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -3970,6 +4040,7 @@ QUERIES = {
     "q_token_pmi_pairs": q_token_pmi_pairs,
     "q_quantity_mad": q_quantity_mad,
     "q_docs_all_terms": q_docs_all_terms,
+    "q_props_field_stats": q_props_field_stats,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4096,4 +4167,5 @@ ORACLES = {
     "q_token_pmi_pairs": Q_TOKEN_PMI_PAIRS_SQL,
     "q_quantity_mad": Q_QUANTITY_MAD_SQL,
     "q_docs_all_terms": Q_DOCS_ALL_TERMS_SQL,
+    "q_props_field_stats": Q_PROPS_FIELD_STATS_SQL,
 }
