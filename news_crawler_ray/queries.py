@@ -3957,6 +3957,92 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_orders_by_dow(sf_dir: str) -> pd.DataFrame:
+    """Calendar-feature derivation without a calendar library: order
+    count + revenue per day-of-week, the date-dimension join collapsed
+    to pure epoch arithmetic (dow = (days_since_epoch + 4) mod 7,
+    Sunday = 0 — exact against SQL's dayofweek()). Per-batch partials
+    fold to ≤ 7 rows each; the final groupby moves nothing."""
+    ds = read_parquet(_t(sf_dir, "orders"),
+                      columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"dow": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        us = pc.cast(t["o_orderdate"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        centi = np.floor(t["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(dow, return_inverse=True)
+        return pa.table({
+            "dow": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=centi)
+                            .astype(np.int64))})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dow").sum(["n", "rev"]).to_pandas()
+    out = out.rename(columns={"sum(n)": "n_orders",
+                              "sum(rev)": "revenue_centi"}) \
+        .astype({"dow": "int64", "n_orders": "int64",
+                 "revenue_centi": "int64"})
+    return out.sort_values("dow").reset_index(drop=True)
+
+
+Q_ORDERS_BY_DOW_SQL = """
+SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS revenue_centi
+FROM orders GROUP BY dow ORDER BY dow
+"""
+
+
+def q_user_dropoffs(sf_dir: str) -> pd.DataFrame:
+    """Session drop-off points: events whose user has NO further event
+    within 30 minutes (LEAD semantics — the churn/abandonment signal).
+    Distributed shape: LEAD is grouped_lag over the REVERSED order
+    (sort keys negated), so the same salted-bucket shift primitive
+    serves both window directions; the filter is then per-batch."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        neg_ts = pc.negate_checked(ts_us)
+        neg_id = pc.negate_checked(t["event_id"])
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts_us": ts_us,
+                         "neg_ts": neg_ts, "neg_id": neg_id})
+
+    lagged = wn.grouped_lag(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["neg_ts", "neg_id"],
+        value_col="ts_us")
+
+    def dropoffs(b: pd.DataFrame) -> pd.DataFrame:
+        nxt = b["prev"]   # reversed order: prev IS the next event's ts
+        keep = nxt.isna() | (nxt - b["ts_us"] > 1_800_000_000)
+        out = b.loc[keep, ["event_id", "user_id"]].copy()
+        return out.astype({"event_id": "int64", "user_id": "int64"})
+
+    out = lagged.map_batches(dropoffs, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_USER_DROPOFFS_SQL = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+  FROM events)
+WHERE nxt IS NULL OR nxt - us > 1800000000 ORDER BY event_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4041,6 +4127,8 @@ QUERIES = {
     "q_quantity_mad": q_quantity_mad,
     "q_docs_all_terms": q_docs_all_terms,
     "q_props_field_stats": q_props_field_stats,
+    "q_orders_by_dow": q_orders_by_dow,
+    "q_user_dropoffs": q_user_dropoffs,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4168,4 +4256,6 @@ ORACLES = {
     "q_quantity_mad": Q_QUANTITY_MAD_SQL,
     "q_docs_all_terms": Q_DOCS_ALL_TERMS_SQL,
     "q_props_field_stats": Q_PROPS_FIELD_STATS_SQL,
+    "q_orders_by_dow": Q_ORDERS_BY_DOW_SQL,
+    "q_user_dropoffs": Q_USER_DROPOFFS_SQL,
 }
