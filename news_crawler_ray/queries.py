@@ -4043,6 +4043,52 @@ WHERE nxt IS NULL OR nxt - us > 1800000000 ORDER BY event_id
 """
 
 
+def q_active_users_7d(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window engagement: DISTINCT active users per 7-day
+    window hopping daily — the rolling-MAU/WAU shape that needs
+    dedup WITHIN each overlapping window (a plain hopping count
+    over-counts repeat visitors).
+
+    Distributed shape: arithmetic 7-way window fan-out per batch with
+    IN-BATCH (window, user) dedup (np.unique on the pair), then
+    windows.grouped_distinct_count — pair-hash-bucketed exact distinct,
+    so no per-window user set ever materializes in one process."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+    day_us = 86_400_000_000
+
+    def fanout(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"wstart_us": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        day = pc.cast(t["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False) // day_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        w = ((day[:, None] - np.arange(7, dtype=np.int64)) * day_us) \
+            .ravel()
+        pairs = np.unique(
+            np.stack([w, np.repeat(uid, 7)], axis=1), axis=0)
+        return pa.table({"wstart_us": pa.array(pairs[:, 0], pa.int64()),
+                         "user_id": pa.array(pairs[:, 1], pa.int64())})
+
+    out = wn.grouped_distinct_count(
+        ds.map_batches(fanout, batch_format="pyarrow"),
+        key_col="wstart_us", value_col="user_id").to_pandas()
+    out = out.rename(columns={"n_distinct": "active_users"}) \
+        .astype({"wstart_us": "int64", "active_users": "int64"})
+    return out.sort_values("wstart_us").reset_index(drop=True)
+
+
+Q_ACTIVE_USERS_7D_SQL = """
+SELECT wstart_us, count(DISTINCT user_id)::BIGINT AS active_users
+FROM (SELECT (epoch_us(ts) // 86400000000 - j) * 86400000000
+               AS wstart_us,
+             user_id
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS j))
+GROUP BY wstart_us ORDER BY wstart_us
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4129,6 +4175,7 @@ QUERIES = {
     "q_props_field_stats": q_props_field_stats,
     "q_orders_by_dow": q_orders_by_dow,
     "q_user_dropoffs": q_user_dropoffs,
+    "q_active_users_7d": q_active_users_7d,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4258,4 +4305,5 @@ ORACLES = {
     "q_props_field_stats": Q_PROPS_FIELD_STATS_SQL,
     "q_orders_by_dow": Q_ORDERS_BY_DOW_SQL,
     "q_user_dropoffs": Q_USER_DROPOFFS_SQL,
+    "q_active_users_7d": Q_ACTIVE_USERS_7D_SQL,
 }
