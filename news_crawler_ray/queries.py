@@ -4089,6 +4089,45 @@ GROUP BY wstart_us ORDER BY wstart_us
 """
 
 
+_BPE_PAT = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+_BPE_RE = __import__("re").compile(_BPE_PAT)
+
+
+def q_bpe_token_stats(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (SURVEY task-brief bullet: whitespace +
+    a BPE-ish regex): per document, the GPT-2-style pre-tokenizer
+    match count (optional leading space + letter-run / digit-run /
+    punctuation-run) alongside the whitespace count — the
+    tokens-per-doc budget signal a real tokenizer would refine.
+    The pattern uses only explicit ASCII classes so Python re and
+    DuckDB's RE2 agree match-for-match (no \\s, no lookahead).
+    Shuffle-free per-batch map; compiled once at module load."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_ws": texts.str.split().str.len().astype("int64"),
+            "n_bpe": pd.Series(
+                [len(_BPE_RE.findall(t)) for t in texts],
+                dtype="int64", index=b.index)})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_BPE_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       CAST(length(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS BIGINT) AS n_ws,
+       CAST(length(regexp_extract_all(text, '{_BPE_PAT}'))
+            AS BIGINT) AS n_bpe
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4176,6 +4215,7 @@ QUERIES = {
     "q_orders_by_dow": q_orders_by_dow,
     "q_user_dropoffs": q_user_dropoffs,
     "q_active_users_7d": q_active_users_7d,
+    "q_bpe_token_stats": q_bpe_token_stats,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4306,4 +4346,5 @@ ORACLES = {
     "q_orders_by_dow": Q_ORDERS_BY_DOW_SQL,
     "q_user_dropoffs": Q_USER_DROPOFFS_SQL,
     "q_active_users_7d": Q_ACTIVE_USERS_7D_SQL,
+    "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
 }
