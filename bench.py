@@ -103,7 +103,9 @@ def run_bench() -> dict:
                  "q_cross_source_dups", "q_table_checksum",
                  "q_event_transitions", "q_event_funnel",
                  "q_gap_fill_hours", "q_rrf_orders",
-                 "q_label_centroids", "q_token_pmi_pairs"):
+                 "q_label_centroids", "q_token_pmi_pairs",
+                 "q_quantity_mad", "q_props_field_stats",
+                 "q_user_dropoffs", "q_active_users_7d"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

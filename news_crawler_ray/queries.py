@@ -3691,6 +3691,7 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
         flat = pc.list_flatten(t["embedding"]) \
             .to_numpy(zero_copy_only=False).astype(np.float64)
         dim = len(flat) // len(t)
+        assert dim < 1024, "fused label*1024+idx key needs dim < 1024"
         micro = np.floor(flat.reshape(len(t), dim) * 1_000_000 + 0.5) \
             .astype(np.int64)
         labels = t["label"].to_numpy(zero_copy_only=False) \
