@@ -398,6 +398,15 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
             "doc_b": pa.array([], pa.int64()),
             "similarity": pa.array([], pa.float64())}))
 
+    # band hash as INT64 (first 8 sha1 bytes), not a hex STRING: every
+    # downstream exchange keys on it, and Ray's sort-aggregate / join
+    # path on string keys measured 21.8 s where the int-int composite
+    # runs in ~1.3 s on the same row count (the simhash segment table).
+    # Same 64-bit collision semantics as the previous 16-hex-char form.
+    def _band_h64(seg: np.ndarray, b: int) -> int:
+        digest = hashlib.sha1(seg.tobytes() + bytes([b])).digest()
+        return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bnd, bh = [], [], []
         for did, sig in zip(batch["doc_id"].to_pylist(),
@@ -405,13 +414,12 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
             arr = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
                 seg = arr[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.sha1(seg.tobytes() + bytes([b])).hexdigest()[:16]
                 ids.append(did)
                 bnd.append(b)
-                bh.append(h)
+                bh.append(_band_h64(seg, b))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "band": pa.array(bnd, pa.int32()),
-                         "band_hash": pa.array(bh, pa.string())})
+                         "band_hash": pa.array(bh, pa.int64())})
 
     # materialized like simhash's seg_ds: band rows feed TWO consumers
     # (the hot-bucket count and the colliding join) and Ray re-executes
@@ -419,22 +427,47 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     bands_ds = sigs.map_batches(to_bands, batch_format="pyarrow",
                                 batch_size=4096).materialize()
 
-    # hot buckets via the native distributed count — LSH buckets are
-    # overwhelmingly singletons, so everything downstream of this filter
-    # touches only the tiny colliding fraction (the round-1 shape ran
-    # map_groups over EVERY bucket: 30x slower on per-group overhead)
-    counts = bands_ds.groupby(["band", "band_hash"]).count()
-    def hot_keys(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t["count()"], 2))
-        return pa.table({"band": t["band"].cast(pa.int32()),
-                         "band_hash": t["band_hash"]})
+    # hot buckets via a SALTED-BUCKET count fold, not the native
+    # groupby: Ray's sort-aggregate over the ROW-LEVEL band table
+    # (32 rows/doc) measured 15 s at 160 k rows — int or string keys
+    # alike — while the same rows through a per-batch pair-count
+    # combiner + 64-int-bucket fold run in 0.4 s (rows, not key type,
+    # drive the cost; simhash's 4-rows/doc table stays native). Exact:
+    # each distinct (band, band_hash) lives in exactly one
+    # band_hash-salt bucket, so per-bucket sums are global sums. LSH
+    # buckets are overwhelmingly singletons, so everything downstream
+    # of the ≥2 filter touches only the tiny colliding fraction (the
+    # round-1 shape ran map_groups over EVERY bucket: 30x slower on
+    # per-group overhead)
+    from ..rayutil import salt_bucket
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "band": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "bucket": pd.Series([], dtype="int32")})
+        g = b.groupby(["band", "band_hash"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        g["band"] = g["band"].astype("int32")
+        g["bucket"] = salt_bucket(g["band_hash"].to_numpy(), 64)
+        return g
+
+    def hot_fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["band", "band_hash"], as_index=False)["c"].sum()
+        s = s[s["c"] >= 2]
+        return pd.DataFrame({"band": s["band"].astype("int32"),
+                             "band_hash": s["band_hash"].astype("int64")})
 
     # hot is materialized (tiny: count-filtered colliding keys only) so
     # a collision-free corpus can SKIP the join entirely — Ray's hash
     # join cannot take a zero-row side (its aggregators build the
     # partition table without a schema → Acero FieldRef error)
-    hot = counts.map_batches(hot_keys,
-                             batch_format="pyarrow").materialize()
+    hot = bands_ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(hot_fold, batch_format="pandas") \
+        .materialize()
     if hot.count() == 0:
         return rd.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
@@ -489,12 +522,11 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
         # here if any earlier band of the two docs also collides
         if band > 0 and mask.any():
             prior = np.zeros(len(ia), dtype=bool)
-            hs = np.empty((n, band), dtype=object)
+            hs = np.empty((n, band), dtype=np.int64)
             for i in range(n):
                 for bb in range(band):
                     seg = mat[i, bb * rows_per_band:(bb + 1) * rows_per_band]
-                    hs[i, bb] = hashlib.sha1(
-                        seg.tobytes() + bytes([bb])).hexdigest()[:16]
+                    hs[i, bb] = _band_h64(seg, bb)
             for bb in range(band):
                 col = hs[:, bb]
                 prior |= col[ia] == col[ib]
