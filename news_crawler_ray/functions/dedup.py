@@ -1117,7 +1117,36 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
     # schema. The repartitioned tables are id-level (pairs/sizes), tiny
     # next to the corpus.
     with _light_join_aggregators():
-        dfreq = sh.groupby("h").count().materialize()
+        # df via per-batch value_counts combiner + 64-bucket fold
+        # rather than the native groupby: the sort-aggregate's cost
+        # tracks input rows × distinct keys (3.4 s over 260 k shingle
+        # rows / 27 k distinct at sf0.1; ~0.5 s bucketed). Exact —
+        # each h lives in one h%64 bucket. Output schema matches the
+        # native count (h, count()) so every consumer below is
+        # unchanged.
+        def _df_partial(b: pd.DataFrame) -> pd.DataFrame:
+            if not len(b):
+                return pd.DataFrame({
+                    "h": pd.Series([], dtype="int64"),
+                    "c": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int32")})
+            vc = b["h"].value_counts()
+            g = pd.DataFrame({"h": vc.index.to_numpy(dtype=np.int64),
+                              "c": vc.to_numpy(dtype="int64")})
+            from ..rayutil import salt_bucket
+            g["bucket"] = salt_bucket(g["h"].to_numpy(), 64)
+            return g
+
+        def _df_fold(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("h", as_index=False)["c"].sum()
+            return pd.DataFrame({
+                "h": s["h"].astype("int64"),
+                "count()": s["c"].astype("int64")})
+
+        dfreq = sh.map_batches(_df_partial, batch_format="pandas") \
+            .groupby("bucket").map_groups(_df_fold,
+                                          batch_format="pandas") \
+            .materialize()
 
         hot = dfreq.map_batches(df_filter, fn_kwargs={"lo": 2},
                                 batch_format="pyarrow").materialize()
