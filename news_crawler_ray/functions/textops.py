@@ -792,6 +792,82 @@ def bigram_logprob_scores(ds: "rd.Dataset", *, id_col: str = "doc_id",
     return out.map_batches(typed, batch_format="pyarrow")
 
 
+def source_kl_divergence(ds: "rd.Dataset", *, group_col: str = "source",
+                         text_col: str = "text",
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """KL(source ‖ corpus) over token distributions (nats, floored to
+    milli-units) — the distribution-shift probe behind source
+    reweighting: a source whose token mix matches the corpus scores
+    ~0, a template-y or off-domain source scores high.
+
+    KL = (Σ_t c·ln c − Σ_t c·ln C_t)/1e6/n + ln N − ln n with both
+    Σ terms as order-independent integer aggregates (per-term
+    floor(·1e6), the :func:`source_token_entropy` convention — one
+    deterministic double expression shared with the DuckDB twin).
+
+    Distributed shape: per-batch (group, token) count partials
+    bucketed by a hash of the TOKEN (not the pair): every source's
+    count for a token lands in the same bucket, so the bucket holds
+    BOTH each final per-(group, token) count and the token's corpus
+    total C_t — no second vocab-wide exchange for the cross-term. One
+    row per distinct (group, token) per batch crosses the wire; the
+    groupby(group) fold is over per-bucket partials."""
+    from ray.data.aggregate import Sum
+
+    from ..rayutil import salt_bucket
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        groups: list = []
+        toks: list[str] = []
+        for g, text in zip(batch[group_col], batch[text_col].fillna("")):
+            for w in text.split():
+                groups.append(g)
+                toks.append(w)
+        b = pd.DataFrame({group_col: pd.Series(groups, dtype="object"),
+                          "tok": pd.Series(toks, dtype="object")})
+        b = b.groupby([group_col, "tok"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        b["c"] = b["c"].astype("int64")
+        b["bucket"] = salt_bucket(b["tok"].to_numpy(), num_buckets) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby([group_col, "tok"], as_index=False)["c"].sum()
+        ct = cnt.groupby("tok")["c"].transform("sum") \
+            .to_numpy(dtype=np.float64)
+        c = cnt["c"].to_numpy(dtype=np.float64)
+        cnt["t1"] = np.floor(np.log(c) * c * 1e6).astype(np.int64)
+        cnt["t2"] = np.floor(np.log(ct) * c * 1e6).astype(np.int64)
+        out = cnt.groupby(group_col, as_index=False).agg(
+            n_part=("c", "sum"), s1_part=("t1", "sum"),
+            s2_part=("t2", "sum"))
+        return out.astype({"n_part": "int64", "s1_part": "int64",
+                           "s2_part": "int64"})
+
+    folded = ds.select_columns([group_col, text_col]) \
+        .map_batches(local, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(group_col).aggregate(
+            Sum("n_part", alias_name="n_tokens"),
+            Sum("s1_part", alias_name="s1"),
+            Sum("s2_part", alias_name="s2")).to_pandas()
+    if group_col not in folded.columns or not len(folded):
+        return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "kl_milli": pd.Series([], dtype="int64")})
+    n = folded["n_tokens"].to_numpy(dtype=np.float64)
+    s1 = folded["s1"].to_numpy(dtype=np.float64)
+    s2 = folded["s2"].to_numpy(dtype=np.float64)
+    big_n = float(folded["n_tokens"].sum())
+    kl = np.floor(((s1 - s2) / 1e6 / n + np.log(big_n) - np.log(n))
+                  * 1000).astype(np.int64)
+    out = pd.DataFrame({group_col: folded[group_col],
+                        "n_tokens": folded["n_tokens"].astype("int64"),
+                        "kl_milli": kl})
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def source_token_entropy(ds: "rd.Dataset", *, group_col: str = "source",
                          text_col: str = "text",
                          num_buckets: int = 64) -> "rd.Dataset":

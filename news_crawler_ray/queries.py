@@ -4129,6 +4129,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_source_kl(sf_dir: str) -> pd.DataFrame:
+    """Per-source KL divergence vs the corpus token distribution
+    (textops.source_kl_divergence — token-hash buckets co-locate each
+    token's per-source counts WITH its corpus total, so the cross-term
+    needs no second vocab-wide exchange; integer per-term floors keep
+    the nats exact against the SQL twin)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["source", "text"])
+    return to.source_kl_divergence(ds, group_col="source",
+                                   text_col="text")
+
+
+Q_SOURCE_KL_SQL = r"""
+WITH tok AS (SELECT source,
+                    unnest(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> '')) AS t
+             FROM documents),
+sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+ct AS (SELECT t, sum(c) AS ct FROM sc GROUP BY t),
+terms AS (SELECT sc.source, sc.c,
+                 CAST(floor(ln(sc.c) * sc.c * 1000000) AS BIGINT) AS t1,
+                 CAST(floor(ln(ct.ct) * sc.c * 1000000) AS BIGINT) AS t2
+          FROM sc JOIN ct USING (t)),
+agg AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+               sum(t1)::BIGINT AS s1, sum(t2)::BIGINT AS s2
+        FROM terms GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS bign FROM agg)
+SELECT source, n_tokens,
+       CAST(floor(((s1 - s2) / 1000000.0 / n_tokens
+                   + ln(bign) - ln(n_tokens)) * 1000) AS BIGINT)
+         AS kl_milli
+FROM agg, tot ORDER BY source
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4217,6 +4252,7 @@ QUERIES = {
     "q_user_dropoffs": q_user_dropoffs,
     "q_active_users_7d": q_active_users_7d,
     "q_bpe_token_stats": q_bpe_token_stats,
+    "q_source_kl": q_source_kl,
     # rows-only
     "crawl_flagship": q_crawl_flagship,
     "crawl_bulk_extract": q_crawl_bulk_extract,
@@ -4348,4 +4384,5 @@ ORACLES = {
     "q_user_dropoffs": Q_USER_DROPOFFS_SQL,
     "q_active_users_7d": Q_ACTIVE_USERS_7D_SQL,
     "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
+    "q_source_kl": Q_SOURCE_KL_SQL,
 }
