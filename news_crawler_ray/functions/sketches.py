@@ -344,6 +344,51 @@ def approx_quantiles(ds: "rd.Dataset", *, value_col: str,
                          dtype="float64")})
 
 
+def grouped_approx_quantiles(ds: "rd.Dataset", *, key_col: str,
+                             value_col: str, qs: list[float],
+                             delta: int = 200) -> pd.DataFrame:
+    """Approximate per-key quantiles — the sketch twin of
+    ``windows.grouped_quantiles`` for HIGH-cardinality or continuous
+    values, where the exact (key, value) histogram is no longer small.
+    Same mergeable shape as :func:`grouped_hll_distinct`: one ~3 KB
+    serialized t-digest row per (key, batch) crosses the wire
+    (value-cardinality independent), one ``groupby(key)`` merges
+    digests per key in map_groups, and the driver sees only
+    keys × qs result rows. Rank error is pinned against the exact
+    twin in tests."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_s = [], []
+        for key, g in batch.groupby(key_col, sort=False):
+            d = TDigest(delta)
+            d.add_values(g[value_col].to_numpy(dtype=np.float64))
+            out_k.append(key)
+            out_s.append(d.serialize())
+        return pd.DataFrame({key_col: pd.Series(out_k, dtype="object"),
+                             "sketch": pd.Series(out_s, dtype="object")})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = TDigest(delta)
+        for blob in g["sketch"]:
+            m.merge(TDigest.deserialize(blob))
+        return pd.DataFrame({
+            key_col: pd.Series([g[key_col].iloc[0]] * len(qs),
+                               dtype="object"),
+            "q": pd.Series(qs, dtype="float64"),
+            "val": pd.Series([m.quantile(q) for q in qs],
+                             dtype="float64")})
+
+    out = ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(key_col).map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    if key_col not in out.columns or not len(out):
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "q": pd.Series([], dtype="float64"),
+                             "val": pd.Series([], dtype="float64")})
+    return out.sort_values([key_col, "q"]).reset_index(drop=True)
+
+
 def grouped_hll_distinct(ds: "rd.Dataset", *, key_col: str,
                          value_col: str, p: int = 12) -> pd.DataFrame:
     """Approximate ``count(DISTINCT value) GROUP BY key`` — the sketch

@@ -4164,6 +4164,20 @@ FROM agg, tot ORDER BY source
 """
 
 
+def q_approx_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag t-digest quantiles of l_extendedprice — the
+    grouped sketch path for continuous per-key distributions
+    (sketches.grouped_approx_quantiles: one digest row per
+    (key, batch), value-cardinality-independent shuffle; per-key rank
+    error pinned vs the exact histogram in tests)."""
+    from .functions.sketches import grouped_approx_quantiles
+    ds = read_parquet(_t(sf_dir, "lineitem"),
+                      columns=["l_returnflag", "l_extendedprice"])
+    return grouped_approx_quantiles(
+        ds, key_col="l_returnflag", value_col="l_extendedprice",
+        qs=[0.25, 0.5, 0.75, 0.9])
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4273,6 +4287,7 @@ QUERIES = {
     "approx_heavy_hitters": q_heavy_hitters,
     "approx_token_freq": q_approx_token_freq,
     "approx_price_quantiles": q_approx_quantiles,
+    "approx_grouped_quantiles": q_approx_grouped_quantiles,
     "q_mask_pii": q_mask_pii,
     "q_seq_packing": q_seq_packing,
     "q_customer_order_counts": q_customer_order_counts,

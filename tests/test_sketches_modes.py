@@ -164,6 +164,39 @@ class TestTDigest:
         assert np.array_equal(d2.weights, d.weights)
         assert d2.quantile(0.5) == d.quantile(0.5)
 
+    def test_grouped_digest_rank_error(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from news_crawler_ray.functions.sketches import (
+            grouped_approx_quantiles)
+        rng = np.random.RandomState(21)
+        keys = rng.randint(0, 3, 30_000)
+        # per-key distinct distributions so a global digest would fail
+        vals = rng.lognormal(mean=2.0 + keys, sigma=1.0, size=30_000)
+        df = pd.DataFrame({"k": keys.astype(str), "v": vals})
+        out = grouped_approx_quantiles(
+            rd.from_pandas(df).repartition(8), key_col="k",
+            value_col="v", qs=[0.25, 0.5, 0.9])
+        assert len(out) == 9
+        for _, row in out.iterrows():
+            kv = df[df["k"] == row["k"]]["v"].to_numpy()
+            rank = (kv < row["val"]).mean()
+            assert abs(rank - row["q"]) < 0.015, tuple(row)
+
+    def test_grouped_digest_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from news_crawler_ray.functions.sketches import (
+            grouped_approx_quantiles)
+        empty = pd.DataFrame({"k": pd.Series([], dtype="object"),
+                              "v": pd.Series([], dtype="float64")})
+        out = grouped_approx_quantiles(rd.from_pandas(empty),
+                                       key_col="k", value_col="v",
+                                       qs=[0.5])
+        assert len(out) == 0 and list(out.columns) == ["k", "q", "val"]
+
     def test_distributed_vs_exact(self, ray_session):
         import ray.data as rd
 
