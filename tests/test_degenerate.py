@@ -161,6 +161,10 @@ EVENT_OPS = [
     ("grouped_mad",
      lambda ds: wn.grouped_mad(ds, key_col="user_id",
                                value_col="ivalue")),
+    ("grouped_approx_quantiles",
+     lambda ds: sk.grouped_approx_quantiles(ds, key_col="user_id",
+                                            value_col="value",
+                                            qs=[0.5])),
 ]
 
 
