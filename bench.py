@@ -105,7 +105,8 @@ def run_bench() -> dict:
                  "q_gap_fill_hours", "q_rrf_orders",
                  "q_label_centroids", "q_token_pmi_pairs",
                  "q_quantity_mad", "q_props_field_stats",
-                 "q_user_dropoffs", "q_active_users_7d"):
+                 "q_user_dropoffs", "q_active_users_7d",
+                 "q_source_kl"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
