@@ -131,23 +131,64 @@ def exact_quantiles(ds: "rd.Dataset", *, value_col: str,
                          "val": pd.Series(vals, dtype="float64")})
 
 
+def _pair_count_hist(ds: "rd.Dataset", key_col: str, value_col: str,
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """(key, value, c) count histogram of row-level data via a
+    per-batch pair-count combiner + salted-bucket fold — the
+    composite-key aggregate rule (BASELINE.md round 3): Ray's
+    sort-aggregate over composite keys costs by INPUT ROWS, not
+    distinct pairs (25 s over 600 k rows / 150 pairs vs ~2 s through
+    this fold). Exact — each distinct pair lives in exactly one
+    value-salt bucket. Shared by grouped_quantiles / grouped_mad."""
+    from ..rayutil import salt_bucket
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            g = b.head(0)[[key_col, value_col]].copy()
+            g["c"] = pd.Series([], dtype="int64")
+            g["bucket"] = pd.Series([], dtype="int32")
+            return g
+        g = b.groupby([key_col, value_col], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        v = g[value_col].to_numpy()
+        if v.dtype.kind == "f":
+            # float values bucket by their BIT PATTERN (equal floats
+            # share bits; −0.0 normalized so it co-buckets with 0.0) —
+            # grouping itself stays on the real values
+            v = np.where(v == 0.0, 0.0, v.astype(np.float64)) \
+                .view(np.int64)
+        g["bucket"] = salt_bucket(v, num_buckets)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby([key_col, value_col], as_index=False)["c"].sum()
+        s["c"] = s["c"].astype("int64")
+        return s
+
+    return ds.select_columns([key_col, value_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+
+
 def grouped_quantiles(ds: "rd.Dataset", *, key_col: str, value_col: str,
                       qs: list[float]) -> pd.DataFrame:
-    """Exact per-key rank quantiles via a (key, value) count histogram —
-    one ``groupby([key, value]).count()`` shuffle moving one row per
-    DISTINCT (key, value); the driver folds n_keys·n_values rows (small
-    by the same low-cardinality contract as :func:`exact_quantiles`).
-    Same index rule: element at 0-based ``floor(q·(n_k-1))`` within each
-    key's sorted multiset."""
-    hist = ds.groupby([key_col, value_col]).count().to_pandas()
-    if key_col not in hist.columns:   # empty input → zero-block output
+    """Exact per-key rank quantiles via a (key, value) count histogram
+    (:func:`_pair_count_hist` — combiner + bucket fold, one row per
+    DISTINCT (key, value) per batch on the wire); the driver folds
+    n_keys·n_values rows (small by the same low-cardinality contract
+    as :func:`exact_quantiles`). Same index rule: element at 0-based
+    ``floor(q·(n_k-1))`` within each key's sorted multiset."""
+    hist = _pair_count_hist(ds, key_col, value_col)
+    if key_col not in hist.columns or not len(hist):
         return pd.DataFrame({key_col: pd.Series([], dtype="object"),
                              "q": pd.Series([], dtype="float64"),
                              "val": pd.Series([], dtype="float64")})
     hist = hist.sort_values([key_col, value_col]).reset_index(drop=True)
     rows = []
     for key, g in hist.groupby(key_col, sort=True):
-        counts = g["count()"].to_numpy(dtype=np.int64)
+        counts = g["c"].to_numpy(dtype=np.int64)
         vals_sorted = g[value_col].to_numpy()
         n = int(counts.sum())
         cum = np.cumsum(counts)
@@ -174,16 +215,15 @@ def grouped_mad(ds: "rd.Dataset", *, key_col: str,
     (key, value) count histogram → per-key median (tiny driver fold,
     broadcast back), then (key, |value − med|) histogram → per-key MAD.
 
-    The histograms are per-batch pair-count combiners + a 64-bucket
-    salted fold, NOT the native ``groupby([key, value]).count()``:
-    Ray's sort-aggregate over composite keys costs by INPUT rows, not
-    distinct pairs (measured 25 s over 600 k lineitem rows with only
-    150 distinct pairs; the combiner+fold runs the same data in ~2 s —
-    the minhash hot-count finding, same fix). Exact: a distinct pair
-    lives in exactly one value-salt bucket."""
+    The histograms go through :func:`_pair_count_hist` (per-batch
+    pair-count combiner + 64-bucket salted fold), NOT the native
+    ``groupby([key, value]).count()`` — the composite-key aggregate
+    rule: the sort-aggregate costs by INPUT rows, not distinct pairs
+    (measured 25 s over 600 k lineitem rows with only 150 distinct
+    pairs; the fold runs the same data in ~2 s)."""
     import ray
 
-    from ..rayutil import cached_object, salt_bucket
+    from ..rayutil import cached_object
 
     def _fold_median(hist: pd.DataFrame, vcol: str) -> dict:
         out = {}
@@ -196,29 +236,7 @@ def grouped_mad(ds: "rd.Dataset", *, key_col: str,
                                                 side="right"))]
         return out
 
-    def _hist(dsx: "rd.Dataset", vcol: str) -> pd.DataFrame:
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            if not len(b):
-                g = b.head(0)[[key_col, vcol]].copy()
-                g["c"] = pd.Series([], dtype="int64")
-                g["bucket"] = pd.Series([], dtype="int32")
-                return g
-            g = b.groupby([key_col, vcol], as_index=False).size() \
-                .rename(columns={"size": "c"})
-            g["c"] = g["c"].astype("int64")
-            g["bucket"] = salt_bucket(g[vcol].to_numpy(), 64)
-            return g
-
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            s = g.groupby([key_col, vcol], as_index=False)["c"].sum()
-            s["c"] = s["c"].astype("int64")
-            return s
-
-        return dsx.map_batches(partial, batch_format="pandas") \
-            .groupby("bucket").map_groups(fold, batch_format="pandas") \
-            .to_pandas()
-
-    hist = _hist(ds, value_col)
+    hist = _pair_count_hist(ds, key_col, value_col)
     if key_col not in hist.columns or not len(hist):
         return pd.DataFrame({key_col: pd.Series([], dtype="object"),
                              "med": pd.Series([], dtype="int64"),
@@ -232,7 +250,8 @@ def grouped_mad(ds: "rd.Dataset", *, key_col: str,
             key_col: b[key_col],
             "d": (b[value_col] - b[key_col].map(m)).abs()})
 
-    hist2 = _hist(ds.map_batches(dev, batch_format="pandas"), "d")
+    hist2 = _pair_count_hist(
+        ds.map_batches(dev, batch_format="pandas"), key_col, "d")
     mad = _fold_median(hist2, "d")
     keys = sorted(med)
     return pd.DataFrame({key_col: keys,
