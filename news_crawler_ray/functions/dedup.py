@@ -402,7 +402,11 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     # downstream exchange keys on it, and Ray's sort-aggregate / join
     # path on string keys measured 21.8 s where the int-int composite
     # runs in ~1.3 s on the same row count (the simhash segment table).
-    # Same 64-bit collision semantics as the previous 16-hex-char form.
+    # The sign-bit mask keeps values non-negative for `% n` bucketing
+    # arithmetic, leaving 63 collision bits (vs the previous 16-hex
+    # form's 64) — band-hash collisions only ADD candidate pairs that
+    # the exact-similarity verify step filters, so the doubled (still
+    # ~1e-19 per pair) collision rate is immaterial.
     def _band_h64(seg: np.ndarray, b: int) -> int:
         digest = hashlib.sha1(seg.tobytes() + bytes([b])).digest()
         return int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF

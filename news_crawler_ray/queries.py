@@ -1878,10 +1878,10 @@ WITH pos AS (
   FROM documents WHERE length(text) >= 30
 ), anch AS (
   SELECT doc_id, substr(text, p, 30) AS win FROM pos
-  WHERE (unicode(substr(text, p, 1)) * 16974593
-       + unicode(substr(text, p + 1, 1)) * 66049
-       + unicode(substr(text, p + 2, 1)) * 257
-       + unicode(substr(text, p + 3, 1))) % 4 = 0
+  WHERE (unicode(substr(text, p, 1))::BIGINT * 16974593
+       + unicode(substr(text, p + 1, 1))::BIGINT * 66049
+       + unicode(substr(text, p + 2, 1))::BIGINT * 257
+       + unicode(substr(text, p + 3, 1))::BIGINT) % 4 = 0
 ), perdoc AS (
   SELECT DISTINCT doc_id, ('0x' || substr(md5(win), 1, 15))::BIGINT AS h
   FROM anch
@@ -3545,17 +3545,27 @@ def q_gap_fill_hours(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
     hour_us = 3_600_000_000
 
+    # arrow-side µs cast (like q_event_transitions/q_event_funnel):
+    # pandas `.astype("int64")` on a datetime64 column yields the
+    # column's STORAGE unit — a ns-coerced batch would silently put
+    # every bucket 1000× off, whereas pc.cast of a timestamp[us] is
+    # unit-pinned by the schema
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
             return pd.DataFrame({"cell": pd.Series([], dtype=object),
                                  "c": pd.Series([], dtype="int64")})
-        h = (b["ts"].astype("int64") // hour_us) * hour_us
+        h = (b["ts_us"] // hour_us) * hour_us
         vc = (h.astype(str) + "\x1f" + b["event_type"]).value_counts()
         return pd.DataFrame({"cell": vc.index.to_numpy(),
                              "c": vc.to_numpy(dtype="int64")})
 
     from .rayutil import bucketed_group_sum as _bgs
-    counts = _bgs(ds.map_batches(partial, batch_format="pandas"),
+    counts = _bgs(ds.map_batches(prep, batch_format="pyarrow")
+                  .map_batches(partial, batch_format="pandas"),
                   ["cell"], {"c": "n"}).to_pandas()
     cell = counts["cell"].str.split("\x1f", expand=True)
     counts = pd.DataFrame({"hour_us": cell[0].astype("int64"),
@@ -3691,7 +3701,10 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
         flat = pc.list_flatten(t["embedding"]) \
             .to_numpy(zero_copy_only=False).astype(np.float64)
         dim = len(flat) // len(t)
-        assert dim < 1024, "fused label*1024+idx key needs dim < 1024"
+        if dim >= 1024:   # not assert: stripped under -O, and a key
+            # collision here CORRUPTS adjacent labels silently
+            raise ValueError(
+                f"fused label*1024+idx key needs dim < 1024, got {dim}")
         micro = np.floor(flat.reshape(len(t), dim) * 1_000_000 + 0.5) \
             .astype(np.int64)
         labels = t["label"].to_numpy(zero_copy_only=False) \
@@ -3917,7 +3930,13 @@ def q_props_field_stats(sf_dir: str) -> pd.DataFrame:
                 v = _json.loads(p).get("k")
             except (TypeError, ValueError):
                 v = None
-            ks.append(v)
+            # non-integral k (2.5, "x") → NULL per row, mirroring the
+            # SQL twin's TRY_CAST semantics — a raw pd.array(...,
+            # "Int64") would raise "cannot safely cast" and kill the
+            # whole query on one bad row (bool excluded: json true/
+            # false is not an integer k)
+            ks.append(v if isinstance(v, int)
+                      and not isinstance(v, bool) else None)
         t = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
                           "k": pd.array(ks, dtype="Int64")})
         t = t[t["k"].notna()]

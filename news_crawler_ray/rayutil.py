@@ -142,6 +142,12 @@ def install_cosmetic_log_filters() -> None:
             lg.addFilter(_KnownCosmeticFilter())
 
 
+# Ray versions on which the PandasBlockAccessor.to_arrow re-wrap below
+# has been verified (suite green, aggregator warnings gone). Prefix
+# match so patch releases of a vetted minor pass.
+_VETTED_RAY = ("2.49.",)
+
+
 def install_pandas_block_metadata_strip() -> None:
     """Make Ray's pandas→arrow BLOCK conversion emit metadata-free
     schemas (idempotent; guarded re-wrap of
@@ -158,9 +164,31 @@ def install_pandas_block_metadata_strip() -> None:
     conversion (which runs in OUR fused map tasks, where this package
     is imported) fixes producer and consumer alike. Metadata-only:
     column buffers untouched, and nothing downstream reads the pandas
-    metadata (plain columns, range index throughout the engine)."""
+    metadata (plain columns, range index throughout the engine).
+
+    VERSION-COUPLED to Ray internals: re-wraps a private accessor
+    method, so it refuses to install on an unvetted Ray rather than
+    silently patching changed internals. Extend ``_VETTED_RAY`` only
+    after re-running the suite (test_robustness pins both the apply
+    path and the loud-failure path)."""
+    import ray
+
+    if not any(ray.__version__.startswith(v) for v in _VETTED_RAY):
+        raise RuntimeError(
+            "install_pandas_block_metadata_strip: Ray "
+            f"{ray.__version__} is not a vetted version {_VETTED_RAY}; "
+            "this patch re-wraps ray.data._internal.pandas_block."
+            "PandasBlockAccessor.to_arrow and must be re-verified "
+            "against the new Ray before being enabled (then add the "
+            "version to _VETTED_RAY in rayutil.py).")
     from ray.data._internal.pandas_block import PandasBlockAccessor
 
+    if not callable(getattr(PandasBlockAccessor, "to_arrow", None)):
+        raise RuntimeError(
+            "install_pandas_block_metadata_strip: PandasBlockAccessor."
+            "to_arrow is missing on this Ray build — the internals this "
+            "patch relies on have changed; re-verify and update "
+            "rayutil.py.")
     if getattr(PandasBlockAccessor.to_arrow, "_ncr_nometa", False):
         return
     orig = PandasBlockAccessor.to_arrow

@@ -2,6 +2,7 @@
 crash on hostile pages, and politeness is an invariant under arbitrary
 op sequences (SURVEY.md §5 item 4)."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from news_crawler_ray.extract import ExtractKernel
@@ -91,3 +92,32 @@ class TestPolitenessInvariant:
                     })
                     outstanding = []
         assert f.in_flight_count() == len(outstanding)
+
+
+class TestRayInternalsPatchGuard:
+    """The PandasBlockAccessor.to_arrow re-wrap (rayutil.py) is coupled
+    to Ray internals; it must APPLY on the vetted Ray and FAIL LOUDLY
+    (not silently mispatch) on any other version."""
+
+    def test_patch_applied_on_vetted_ray(self):
+        import ray
+        from ray.data._internal.pandas_block import PandasBlockAccessor
+
+        from news_crawler_ray.rayutil import _VETTED_RAY
+        assert any(ray.__version__.startswith(v) for v in _VETTED_RAY)
+        # package import installed it (idempotently re-installable)
+        assert getattr(PandasBlockAccessor.to_arrow, "_ncr_nometa", False)
+        from news_crawler_ray.rayutil import \
+            install_pandas_block_metadata_strip
+        install_pandas_block_metadata_strip()   # second call: no-op
+        assert getattr(PandasBlockAccessor.to_arrow, "_ncr_nometa", False)
+
+    def test_patch_refuses_unvetted_ray(self, monkeypatch):
+        import ray
+
+        from news_crawler_ray.rayutil import \
+            install_pandas_block_metadata_strip
+
+        monkeypatch.setattr(ray, "__version__", "99.0.0")
+        with pytest.raises(RuntimeError, match="not a vetted version"):
+            install_pandas_block_metadata_strip()

@@ -206,10 +206,10 @@ pos AS (SELECT s, unnest(range(1, length(s) - 30 + 2)) AS p FROM t
         WHERE length(s) >= 30),
 anch AS (
   SELECT DISTINCT substr(s, p, 30) AS win FROM pos
-  WHERE (unicode(substr(s, p, 1)) * 16974593
-       + unicode(substr(s, p + 1, 1)) * 66049
-       + unicode(substr(s, p + 2, 1)) * 257
-       + unicode(substr(s, p + 3, 1))) % 4 = 0)
+  WHERE (unicode(substr(s, p, 1))::BIGINT * 16974593
+       + unicode(substr(s, p + 1, 1))::BIGINT * 66049
+       + unicode(substr(s, p + 2, 1))::BIGINT * 257
+       + unicode(substr(s, p + 3, 1))::BIGINT) % 4 = 0)
 SELECT coalesce(count(*), 0)::BIGINT,
        coalesce(min(('0x' || substr(md5(win), 1, 15))::BIGINT), 0),
        coalesce(sum(('0x' || substr(md5(win), 1, 15))::BIGINT), 0)

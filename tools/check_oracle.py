@@ -48,6 +48,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     wanted = sys.argv[2:]
 
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "ray_data_logging.yaml"))
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
