@@ -177,6 +177,16 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
     one machine's memory — use host_pagerank whenever the node set
     fits (its per-iteration traffic is batches × sparse partials).
 
+    Iteration shape (round-4 rework, ~2× less fixed cost than the
+    3-hash-op original): ONE inner join + ONE groupby-sum per
+    iteration. The old left_outer fold join and the separate
+    dangling-mass pass are replaced by a UNION: the rank dataset
+    re-enters the aggregation as zero-contribution rows carrying each
+    host's out-degree (so sinks survive and outdeg rides the shuffle),
+    plus one sentinel row per block whose ``c`` is the block's dangling
+    rank mass — the same groupby that folds contributions sums the
+    dangling scalar, which the driver reads back as a single row.
+
     Returns (host, rank) like host_pagerank; tests pin the two forms to
     each other (same formula ⇒ same values to float-fold noise).
     """
@@ -201,6 +211,14 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
     from ..rayutil import project_blocks
     edges = project_blocks(edges_ds, ["src_host", "dst_host"]) \
         .materialize()
+    # partition autoscale: `num_partitions` is the caller's CEILING
+    # (sized for the cluster); below ~64k edge rows per partition each
+    # extra hash-shuffle aggregator costs more in actor spin-up per
+    # iteration than it saves in parallelism, so small graphs clamp
+    # down (the 13-host bench graph runs 2 partitions, a 10^11-edge
+    # URL graph keeps the caller's value)
+    num_partitions = max(2, min(num_partitions,
+                                edges.count() // 65536 + 1))
     with _light_aggs():
         outdeg = edges.groupby("src_host") \
             .aggregate(Count(alias_name="outdeg")).materialize()
@@ -238,52 +256,87 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
             deg = np.where(np.isnan(deg.astype(np.float64)), 0, deg)
             return pa.table({"host": t["host"], "rank": t["rank"],
                              "outdeg": pa.array(deg.astype(np.int64))})
+        # LAZY map over the materialized join output — like the
+        # per-iteration fold below, re-running this node-sized map once
+        # per consumer is cheaper than a dedicated materialize pass
         rank_ds = rank_ds.map_batches(fix_deg, batch_format="pyarrow",
-                                      batch_size=4096).materialize()
+                                      batch_size=4096)
+
+        # sentinel host for the per-block dangling-mass rows;
+        # "~" is not a valid hostname character, so no collision
+        _DANG = "~dangling~"
+
+        def weight(t: pa.Table) -> pa.Table:
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            keep = d > 0
+            return pa.table({
+                "src_host": t["host"].to_numpy(
+                    zero_copy_only=False)[keep],
+                "w": pa.array(r[keep] / d[keep], pa.float64())})
+
+        def as_contrib(t: pa.Table) -> pa.Table:
+            # joined (edges ⋈ weight) rows → (host=dst, c=w, deg=0)
+            return pa.table({
+                "host": t["dst_host"],
+                "c": t["w"],
+                "deg": pa.array(np.zeros(len(t), np.int64))})
+
+        def zero_rows(t: pa.Table) -> pa.Table:
+            # every node re-enters with c=0 carrying its outdeg (sinks
+            # survive the fold; outdeg rides the shuffle instead of a
+            # second join), plus ONE sentinel row per block whose c is
+            # the block's dangling rank mass — the groupby sums these
+            # into the global dangling scalar
+            r = t["rank"].to_numpy(zero_copy_only=False)
+            d = t["outdeg"].to_numpy(zero_copy_only=False)
+            hs = t["host"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "host": pa.array(np.append(hs, _DANG)),
+                "c": pa.array(np.append(np.zeros(len(t)),
+                                        float(r[d == 0].sum())),
+                              pa.float64()),
+                "deg": pa.array(np.append(d.astype(np.int64), 0))})
 
         for _ in range(iters):
-            # dangling mass: one scalar to the driver
-            def dang(t: pa.Table) -> pa.Table:
-                r = t["rank"].to_numpy(zero_copy_only=False)
-                d = t["outdeg"].to_numpy(zero_copy_only=False)
-                return pa.table({"m": pa.array(
-                    [float(r[d == 0].sum())], pa.float64())})
-            dangling = rank_ds.map_batches(
-                dang, batch_format="pyarrow").sum("m")
-            dangling = float(dangling or 0.0)
-
-            def weight(t: pa.Table) -> pa.Table:
-                d = t["outdeg"].to_numpy(zero_copy_only=False)
-                r = t["rank"].to_numpy(zero_copy_only=False)
-                keep = d > 0
-                return pa.table({
-                    "src_host": t["host"].to_numpy(
-                        zero_copy_only=False)[keep],
-                    "w": pa.array(r[keep] / d[keep], pa.float64())})
-            contrib = edges.join(
+            folded = edges.join(
                 rank_ds.map_batches(weight, batch_format="pyarrow",
                                     batch_size=4096)
                        .repartition(num_partitions),
                 join_type="inner", num_partitions=num_partitions,
                 on=("src_host",)) \
-                .groupby("dst_host").aggregate(Sum("w", alias_name="c"))
+                .map_batches(as_contrib, batch_format="pyarrow",
+                             batch_size=4096) \
+                .union(rank_ds.map_batches(zero_rows,
+                                           batch_format="pyarrow",
+                                           batch_size=4096)) \
+                .groupby("host").aggregate(
+                    Sum("c", alias_name="c"),
+                    Sum("deg", alias_name="outdeg")).materialize()
 
+            dang_df = folded.filter(
+                expr=f"host == {_DANG!r}").to_pandas()
+            dangling = float(dang_df["c"].sum())
             base = (1 - damping) / n + damping * dangling / n
 
-            def fold(t: pa.Table) -> pa.Table:
-                c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+            # base is bound per-iteration via the default arg (the fold
+            # stays LAZY: it composes into the next iteration's big
+            # execution instead of costing a materialize pass of its
+            # own — re-running a node-sized map once per consumer is
+            # cheaper than a dedicated driver round-trip)
+            def fold(t: pa.Table, _base=base) -> pa.Table:
+                keep = t["host"].to_numpy(zero_copy_only=False) != _DANG
+                c = t["c"].to_numpy(
+                    zero_copy_only=False).astype(np.float64)[keep]
                 c = np.where(np.isnan(c), 0.0, c)
                 return pa.table({
-                    "host": t["host"],
-                    "rank": pa.array(base + damping * c, pa.float64()),
-                    "outdeg": t["outdeg"]})
-            rank_ds = rank_ds.drop_columns(["rank"]).join(
-                _rename(contrib, {"dst_host": "host"})
-                .repartition(num_partitions),
-                join_type="left_outer", num_partitions=num_partitions,
-                on=("host",)) \
-                .map_batches(fold, batch_format="pyarrow",
-                             batch_size=4096).materialize()
+                    "host": pa.array(t["host"].to_numpy(
+                        zero_copy_only=False)[keep]),
+                    "rank": pa.array(_base + damping * c, pa.float64()),
+                    "outdeg": t["outdeg"].to_numpy(
+                        zero_copy_only=False)[keep]})
+            rank_ds = folded.map_batches(fold, batch_format="pyarrow",
+                                         batch_size=4096)
 
     out = rank_ds.select_columns(["host", "rank"]).to_pandas()
     return out.sort_values("host").reset_index(drop=True)

@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode is REAL for the uncompressed container formats a pure-stdlib +
-numpy parser can handle — 24-bit BI_RGB **BMP**, binary **PPM** (P6)
-and PCM **WAV** (``decode_bmp`` / ``decode_ppm`` / ``decode_wav``
-below, format-sniffed by magic bytes): actual pixel arrays and sample
-frames, golden-tested on known images. Compressed formats (JPEG/PNG/
+Decode is REAL for every format a pure-stdlib + numpy parser can
+handle — 24-bit BI_RGB **BMP**, binary **PPM** (P6), PCM **WAV**
+(``decode_bmp`` / ``decode_ppm`` / ``decode_wav`` below) and baseline
+**JPEG** (the full T.81 sequential decoder in ``jpeg.py``: Huffman
+entropy decode, dequantize, float IDCT, chroma upsample), all
+format-sniffed by magic bytes: actual pixel arrays and sample frames,
+golden-tested. Remaining compressed formats (PNG/progressive-JPEG/
 H.264/…) need PIL/ffmpeg, absent in this container, so those fall back
 to a clearly-marked deterministic FAKE decoder (metadata derived from
 the payload bytes) — while all the Ray-side plumbing is real either
@@ -56,7 +58,7 @@ def fake_decode_meta(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | None."""
+    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'jpeg' | None."""
     p = payload or b""
     if p[:2] == b"BM":
         return "bmp"
@@ -64,6 +66,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
+    if p[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -177,17 +181,21 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def real_decode_meta(payload: bytes) -> dict:
-    """Real metadata for the stdlib-decodable formats; raises
-    ``NotImplementedError`` for anything else (compressed formats need
-    PIL/ffmpeg). Audio maps onto the shared schema as width=height=0
-    and n_frames=sample frames."""
+    """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV +
+    baseline JPEG); raises ``NotImplementedError`` for anything else
+    (remaining compressed formats need PIL/ffmpeg). Audio maps onto the
+    shared schema as width=height=0 and n_frames=sample frames."""
     kind = sniff_format(payload or b"")
     digest = hashlib.sha1(payload or b"").digest()
     base = {"byte_len": len(payload or b""),
             "sha1_prefix": digest[:8].hex(),
             "sample_rate": 0, "n_channels": 0}
-    if kind == "bmp" or kind == "ppm":
-        d = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
+    if kind in ("bmp", "ppm", "jpeg"):
+        if kind == "jpeg":
+            from .jpeg import decode_jpeg   # pure numpy/stdlib baseline
+            d = decode_jpeg(payload)
+        else:
+            d = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
         return {**base, "width": d["width"], "height": d["height"],
                 "n_frames": 1,
                 # checksum of the DECODED pixels — proves real decode
@@ -203,8 +211,9 @@ def real_decode_meta(payload: bytes) -> dict:
                 "pixel_sha1": hashlib.sha1(
                     d["samples"].tobytes()).hexdigest()[:16]}
     raise NotImplementedError(
-        f"real decode supports BMP/PPM/WAV here (got "
-        f"{(payload or b'')[:4]!r}); compressed formats need PIL/ffmpeg")
+        f"real decode supports BMP/PPM/WAV/baseline-JPEG here (got "
+        f"{(payload or b'')[:4]!r}); other compressed formats need "
+        "PIL/ffmpeg")
 
 
 class MediaDecodeStage:
@@ -292,13 +301,20 @@ class ResizeStage:
         self.target_h = target_h
 
     def _real_resize(self, payload: bytes) -> bytes:
-        if sniff_format(payload) != "bmp":
+        kind = sniff_format(payload)
+        if kind == "bmp":
+            d = decode_bmp(payload)
+        elif kind == "jpeg":
+            from .jpeg import decode_jpeg
+            d = decode_jpeg(payload)
+        else:
             raise NotImplementedError(
-                "real resize supports 24-bit BMP here; compressed "
-                "formats need PIL")
-        d = decode_bmp(payload)
+                "real resize supports 24-bit BMP and baseline JPEG "
+                "here; other compressed formats need PIL")
         yi = (np.arange(self.target_h) * d["height"]) // self.target_h
         xi = (np.arange(self.target_w) * d["width"]) // self.target_w
+        # output container is BMP for ALL inputs: lossless, so resizing
+        # a jpeg doesn't pay a second quantization pass
         return encode_bmp(np.ascontiguousarray(d["pixels"][yi][:, xi]))
 
     def _fake_resize(self, payload: bytes) -> bytes:

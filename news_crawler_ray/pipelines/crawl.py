@@ -763,6 +763,7 @@ class CrawlEngine:
                                 "cand_seq64", "cand_key"])
 
         # min-lineage-key winner per canonical url, ordered by lineage
+        enq_refs: list = []
         if len(cand):
             cand = cand.sort_values(["seq64", "url_to_refer"], kind="stable") \
                 .drop_duplicates("url", keep="first") \
@@ -793,7 +794,6 @@ class CrawlEngine:
                         dtype=int, count=len(fresh))
                 else:
                     host_shards = fresh["host"].map(self._host_shard_cached).to_numpy()
-                enq_refs = []
                 for s in np.unique(host_shards):
                     g = fresh.loc[host_shards == s]
                     enq_refs.append(self.frontier[s].enqueue.remote({
@@ -804,7 +804,12 @@ class CrawlEngine:
                         "seq64": g["seq64"].to_list(),
                         "url_to_refer": g["url_to_refer"].to_list(),
                     }))
-                ray.get(enq_refs)
+                # NO ray.get here: the complete RPCs below are submitted
+                # from the same caller, and Ray executes actor tasks per
+                # caller in SUBMISSION order, so each frontier shard
+                # still sees enqueue-before-complete (the order that
+                # fixes retry FIFO positions); one barrier at the end
+                # covers both (saves an RPC round-trip per round)
 
         # work completion (releases politeness budget; retries requeue)
         comp = out.select(["url", "host", "ok", "attempts_count",
@@ -831,6 +836,8 @@ class CrawlEngine:
                 "url_to_refer": g["work_ref"].to_list(),
             }))
         exhausted: set = set()
+        if enq_refs:
+            ray.get(enq_refs)   # joint barrier with completions below
         for r in ray.get(comp_refs):
             exhausted.update(r["exhausted"])
 

@@ -1348,6 +1348,43 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_jpeg_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL baseline-JPEG decode through the media stage: deterministic
+    jpeg payloads are synthesized per doc_id (encoded with the repo's
+    own T.81 encoder — no external data), then MediaDecodeStage with
+    ``real_decode=True`` Huffman-decodes, IDCTs and color-converts real
+    pixels; ``pixel_sha1`` checksums the DECODED array, so a header-only
+    parse cannot fake this. Subset (doc_id % 10 == 0) keeps the
+    per-image Python entropy coder off the hot path at bench scale."""
+    from .functions.jpeg import encode_jpeg
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 10 == 0]
+        payloads = []
+        for i in ids:
+            h, w = 8 + (i // 10) % 3 * 8, 16 + i % 3 * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(yy * 9 + i) % 256, (xx * 7 + i) % 256,
+                           (yy + xx + i) % 256], axis=-1).astype(np.uint8)
+            payloads.append(encode_jpeg(px, subsample=bool(i % 20),
+                                        restart_interval=2))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "mime": pa.array(["image/jpeg"] * n, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.MediaDecodeStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2,
+                     fn_constructor_kwargs={"real_decode": True}) \
+        .to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
@@ -4315,6 +4352,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
+    "media_jpeg_decode": q_media_jpeg_decode,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
