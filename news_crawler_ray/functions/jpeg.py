@@ -418,6 +418,151 @@ def decode_jpeg(payload: bytes) -> dict:
         raise ValueError(f"truncated or corrupt JPEG stream: {ex}") from ex
 
 
+def _ac_first(rdr: _BitReader, dmap, blk, k: int, se: int, al: int,
+              eobrun: int) -> int:
+    """Initial AC scan for one block's band [k..se] (T.81 G.1.2.3; with
+    al=0 and se=63 this IS the baseline AC decoder). Returns the
+    end-of-band run remaining for subsequent blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    while k <= se:
+        rs = rdr.decode(dmap)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16                       # ZRL
+                continue
+            eobrun = (1 << r) - 1             # EOBn
+            if r:
+                eobrun += rdr.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC index overrun")
+        blk[k] = _extend(rdr.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rdr: _BitReader, dmap, blk, k: int, se: int, al: int,
+               eobrun: int) -> int:
+    """Successive-approximation AC refinement (T.81 G.1.2.3): new
+    coefficients arrive as ±1<<al; already-nonzero coefficients receive
+    one correction bit whenever the scan passes over them."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(v: int) -> int:
+        # append the correction bit if this history coefficient hasn't
+        # been refined at this bit position yet
+        if rdr.read_bit() and (v & p1) == 0:
+            return v + (p1 if v >= 0 else m1)
+        return v
+
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode(dmap)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r           # EOBn (this block included)
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                # r == 15: a run of 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad AC-refine symbol")
+                val = p1 if rdr.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    blk[k] = correct(int(blk[k]))
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                        # trailing correction bits
+            if blk[k] != 0:
+                blk[k] = correct(int(blk[k]))
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(d: bytes, pos: int, comps, scomps, ss: int, se: int,
+                 ah: int, al: int, dmaps, restart_interval: int,
+                 coefs, dims) -> int:
+    """Decode one entropy-coded scan into the zigzag-order coefficient
+    arrays. Handles interleaved (multi-component MCU order) and
+    non-interleaved (single-component block raster) scans, restart
+    markers, DC first/refine and AC first/refine — the superset that
+    covers baseline (single scan, ss=0 se=63 ah=al=0) and progressive.
+    Returns the byte offset of the next marker."""
+    rdr = _BitReader(d, pos)
+    idx = {c[0]: i for i, c in enumerate(comps)}
+    preds = {idx[cid]: 0 for cid, _, _ in scomps}
+    eobrun = 0
+    rst, since = 0, 0
+
+    def unit_iter():
+        if len(scomps) > 1:                   # interleaved: MCU order
+            for my in range(dims["mcus_y"]):
+                for mx in range(dims["mcus_x"]):
+                    unit = []
+                    for cid, td, ta in scomps:
+                        ci = idx[cid]
+                        _, ch, cv, _ = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                unit.append((ci, td, ta,
+                                             my * cv + by, mx * ch + bx))
+                    yield unit
+        else:                                 # single comp: block raster
+            cid, td, ta = scomps[0]
+            ci = idx[cid]
+            nbr, nbc = dims["nblocks"][ci]
+            for r in range(nbr):
+                for c in range(nbc):
+                    yield [(ci, td, ta, r, c)]
+
+    for unit in unit_iter():
+        if restart_interval and since == restart_interval:
+            rdr.restart(rst)
+            rst = (rst + 1) % 8
+            preds = {k: 0 for k in preds}
+            eobrun = 0
+            since = 0
+        for ci, td, ta, br, bc in unit:
+            blk = coefs[ci][br, bc]
+            k = ss
+            if ss == 0:                       # DC band
+                if ah == 0:
+                    t = rdr.decode(dmaps[td])
+                    preds[ci] += _extend(rdr.receive(t), t)
+                    blk[0] = preds[ci] << al
+                elif rdr.read_bit():          # DC refinement: one bit
+                    blk[0] |= 1 << al
+                if se == 0:                   # progressive DC-only scan
+                    continue
+                k = 1
+            ac_map = dmaps[0x10 | ta]
+            if ah == 0:
+                eobrun = _ac_first(rdr, ac_map, blk, k, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(rdr, ac_map, blk, k, se, al, eobrun)
+        since += 1
+
+    p = rdr.pos                               # resync to the next marker
+    while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+        p += 1
+    return p
+
+
 def _decode_jpeg(payload: bytes) -> dict:
     d = payload
     if d[:2] != b"\xff\xd8":
@@ -425,10 +570,11 @@ def _decode_jpeg(payload: bytes) -> dict:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     dmaps: dict[int, dict] = {}
-    comps = None     # list of (cid, h, v, tq)
+    comps = None                     # list of (cid, h, v, tq)
     height = width = 0
     restart_interval = 0
-    scan_params = None
+    coefs = None                     # per-comp (brows, bcols, 64) zigzag
+    dims: dict = {}
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -466,7 +612,7 @@ def _decode_jpeg(payload: bytes) -> dict:
                 vals = list(body[o + 17: o + 17 + n])
                 dmaps[tc_th] = _build_decode_map(bits, vals)
                 o += 17 + n
-        elif m == 0xC0 or m == 0xC1:                    # SOF0/1 (baseline)
+        elif m in (0xC0, 0xC1, 0xC2):      # SOF0/1 baseline, SOF2 progressive
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack_from(">HH", body, 1)
@@ -475,78 +621,57 @@ def _decode_jpeg(payload: bytes) -> dict:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG mode (SOF marker 0xFF{m:02X}); only "
-                "baseline sequential is implemented")
+                f"unsupported JPEG mode (SOF marker 0xFF{m:02X}); "
+                "baseline sequential and progressive DCT are implemented")
         elif m == 0xDD:                                 # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif m == 0xDA:                                 # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            sel = {}
+            scomps = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
-                sel[cs] = (tt >> 4, tt & 15)
-            scan_params = sel
-            scan_start = pos
-            break
-        # APPn / COM / others: skipped
-    if comps is None or scan_params is None:
+                scomps.append((cs, tt >> 4, tt & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if coefs is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                dims = {
+                    "mcus_x": -(-width // (8 * hmax)),
+                    "mcus_y": -(-height // (8 * vmax)),
+                    # non-interleaved block grid per comp (T.81 A.1.1:
+                    # ceil of the sampling-scaled size, NOT the padded
+                    # MCU grid)
+                    "nblocks": [
+                        (-(-(-(-height * cv // vmax)) // 8),
+                         -(-(-(-width * ch // hmax)) // 8))
+                        for _, ch, cv, _ in comps],
+                }
+                coefs = [np.zeros((dims["mcus_y"] * cv,
+                                   dims["mcus_x"] * ch, 64), np.int64)
+                         for _, ch, cv, _ in comps]
+            pos = _decode_scan(d, pos, comps, scomps, ss, se, ah, al,
+                               dmaps, restart_interval, coefs, dims)
+        # APPn / COM / DNL / others: skipped
+    if comps is None or coefs is None:
         raise ValueError("missing SOF/SOS segment")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    planes = [np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8))
-              for c in comps]
-    rdr = _BitReader(d, scan_start)
-    preds = [0] * len(comps)
-    rst, since = 0, 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and since == restart_interval:
-                rdr.restart(rst)
-                rst = (rst + 1) % 8
-                preds = [0] * len(comps)
-                since = 0
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                td, ta = scan_params[cid]
-                dmap_dc = dmaps[td]            # Tc=0 keyed as plain Th
-                dmap_ac = dmaps[0x10 | ta]
-                qt = qts[tq]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, np.int64)
-                        t = rdr.decode(dmap_dc)
-                        preds[ci] += _extend(rdr.receive(t), t)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            rs = rdr.decode(dmap_ac)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break                  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(rdr.receive(s), s)
-                            k += 1
-                        coef = np.empty(64, np.int64)
-                        coef[ZIGZAG] = zz              # de-zigzag
-                        blk = _idct(coef.reshape(8, 8) * qt) + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-            since += 1
-
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
-        p = planes[ci]
+        arr = coefs[ci]
+        brows, bcols = arr.shape[0], arr.shape[1]
+        nat = np.empty_like(arr)
+        nat[..., ZIGZAG] = arr                          # de-zigzag
+        blocks = nat.reshape(brows, bcols, 8, 8) * qts[tq]
+        spatial = np.einsum("xu,rcuv,vy->rcxy", _T.T, blocks, _T) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8)
         if ch != hmax or cv != vmax:
             p = p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
         full.append(p[:height, :width])

@@ -78,13 +78,42 @@ class TestJpegRobustness:
         with pytest.raises(ValueError):
             decode_jpeg(payload[:len(payload) // 2])
 
-    def test_progressive_rejected_loudly(self):
-        # minimal stream with an SOF2 marker: must raise, not mis-decode
-        bad = (b"\xff\xd8" + b"\xff\xc2" + (11).to_bytes(2, "big")
+    def test_lossless_rejected_loudly(self):
+        # minimal stream with an SOF3 marker: must raise, not mis-decode
+        bad = (b"\xff\xd8" + b"\xff\xc3" + (11).to_bytes(2, "big")
                + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
                + bytes([1, 1, 0x11, 0]))
-        with pytest.raises(ValueError, match="SOF marker 0xFFC2"):
+        with pytest.raises(ValueError, match="SOF marker 0xFFC3"):
             decode_jpeg(bad)
+
+
+_OS_JPEGS = "/usr/share/doc/nodejs"
+
+
+class TestJpegProgressive:
+    """External fixtures: real PROGRESSIVE (SOF2) files shipped with the
+    OS image — multi-scan spectral selection + successive approximation
+    over a decoder path our encoder cannot produce. The files are white
+    stripes on white, so content is analytically checkable."""
+
+    @pytest.mark.parametrize("name,w,h,mean_min,white_frac", [
+        ("thin-white-stripe.jpg", 493, 58, 225.0, 0.80),
+        ("full-white-stripe.jpg", 493, 312, 245.0, 0.95),
+    ])
+    def test_decode_real_progressive_file(self, name, w, h, mean_min,
+                                          white_frac):
+        import os
+        path = os.path.join(_OS_JPEGS, name)
+        if not os.path.exists(path):
+            pytest.skip("OS fixture jpeg not present")
+        d = decode_jpeg(open(path, "rb").read())
+        assert (d["width"], d["height"]) == (w, h)
+        px = d["pixels"]
+        assert px.shape == (h, w, 3) and px.dtype == np.uint8
+        # near-white imagery; a mis-decoded scan craters these
+        assert float(px.mean()) > mean_min
+        assert float((px.mean(axis=2) >= 245).mean()) > white_frac
+        assert tuple(px[h // 2, w // 2]) == (255, 255, 255)
 
 
 class TestJpegMultimodalWiring:
