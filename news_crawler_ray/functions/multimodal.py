@@ -1,18 +1,23 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode is REAL for every format a pure-stdlib + numpy parser can
-handle — 24-bit BI_RGB **BMP**, binary **PPM** (P6), PCM **WAV**
-(``decode_bmp`` / ``decode_ppm`` / ``decode_wav`` below) and baseline
-**JPEG** (the full T.81 sequential decoder in ``jpeg.py``: Huffman
-entropy decode, dequantize, float IDCT, chroma upsample), all
-format-sniffed by magic bytes: actual pixel arrays and sample frames,
-golden-tested. Remaining compressed formats (PNG/progressive-JPEG/
-H.264/…) need PIL/ffmpeg, absent in this container, so those fall back
-to a clearly-marked deterministic FAKE decoder (metadata derived from
-the payload bytes) — while all the Ray-side plumbing is real either
-way: schemas, small batch sizes for wide binary rows (SURVEY.md §7.4
-item 6), actor signatures, output layout.
+Decode is REAL for every web-image format a pure-stdlib + numpy
+parser can handle — 24-bit BI_RGB **BMP**, binary **PPM** (P6), PCM
+**WAV** (``decode_bmp`` / ``decode_ppm`` / ``decode_wav`` below),
+**JPEG** baseline AND progressive (the full T.81 decoder in
+``jpeg.py``: Huffman entropy decode, spectral selection / successive
+approximation, dequantize, float IDCT, chroma upsample), **PNG**
+(``png.py``: stdlib-zlib inflate, all five scanline filters, every
+legal depth/color combo, palette/alpha/Adam7) and **GIF** incl.
+animation (``gif.py``: LZW, interlace, transparency — real per-frame
+extraction feeds FrameSampleStage), all format-sniffed by magic
+bytes: actual pixel arrays and sample frames, golden-tested. Video
+(H.264/…) needs ffmpeg, absent
+in this container, so it falls back to a clearly-marked deterministic
+FAKE decoder (metadata derived from the payload bytes) — while all the
+Ray-side plumbing is real either way: schemas, small batch sizes for
+wide binary rows (SURVEY.md §7.4 item 6), actor signatures, output
+layout.
 """
 
 from __future__ import annotations
@@ -58,7 +63,7 @@ def fake_decode_meta(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'ppm' | 'wav' | 'jpeg' | None."""
+    """Magic-byte sniff: bmp|ppm|wav|jpeg|png|gif|None."""
     p = payload or b""
     if p[:2] == b"BM":
         return "bmp"
@@ -68,6 +73,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "wav"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -181,23 +190,32 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def real_decode_meta(payload: bytes) -> dict:
-    """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV +
-    baseline JPEG); raises ``NotImplementedError`` for anything else
-    (remaining compressed formats need PIL/ffmpeg). Audio maps onto the
-    shared schema as width=height=0 and n_frames=sample frames."""
+    """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV/
+    JPEG/PNG/GIF); raises ``NotImplementedError`` for anything else
+    (video needs ffmpeg). Audio maps onto the shared schema as
+    width=height=0 and n_frames=sample frames; GIF n_frames is the
+    real animation frame count."""
     kind = sniff_format(payload or b"")
     digest = hashlib.sha1(payload or b"").digest()
     base = {"byte_len": len(payload or b""),
             "sha1_prefix": digest[:8].hex(),
             "sample_rate": 0, "n_channels": 0}
-    if kind in ("bmp", "ppm", "jpeg"):
+    if kind in ("bmp", "ppm", "jpeg", "png", "gif"):
+        n_frames = 1
         if kind == "jpeg":
-            from .jpeg import decode_jpeg   # pure numpy/stdlib baseline
+            from .jpeg import decode_jpeg   # pure numpy/stdlib T.81
             d = decode_jpeg(payload)
+        elif kind == "png":
+            from .png import decode_png     # stdlib zlib + unfilter
+            d = decode_png(payload)
+        elif kind == "gif":
+            from .gif import decode_gif     # pure-python LZW
+            d = decode_gif(payload)
+            n_frames = d["n_frames"]        # REAL animation frame count
         else:
             d = decode_bmp(payload) if kind == "bmp" else decode_ppm(payload)
         return {**base, "width": d["width"], "height": d["height"],
-                "n_frames": 1,
+                "n_frames": n_frames,
                 # checksum of the DECODED pixels — proves real decode
                 # (a header-only parse could fake width/height)
                 "pixel_sha1": hashlib.sha1(
@@ -211,9 +229,8 @@ def real_decode_meta(payload: bytes) -> dict:
                 "pixel_sha1": hashlib.sha1(
                     d["samples"].tobytes()).hexdigest()[:16]}
     raise NotImplementedError(
-        f"real decode supports BMP/PPM/WAV/baseline-JPEG here (got "
-        f"{(payload or b'')[:4]!r}); other compressed formats need "
-        "PIL/ffmpeg")
+        f"real decode supports BMP/PPM/WAV/JPEG/PNG/GIF here (got "
+        f"{(payload or b'')[:4]!r}); video formats need ffmpeg")
 
 
 class MediaDecodeStage:
@@ -257,23 +274,42 @@ class MediaDecodeStage:
 
 
 class FrameSampleStage:
-    """Actor-pool stage: sample every k-th frame of a (fake-decoded)
-    video payload → one row per sampled frame. Real frame extraction is
-    stubbed (no ffmpeg); the explode layout and schema are real."""
+    """Actor-pool stage: sample every k-th frame of an animation → one
+    row per sampled frame. With ``real_decode=True``, GIF payloads are
+    REALLY frame-extracted (per-frame LZW decode; ``frame_hash``
+    checksums the decoded palette-index array) — other formats raise
+    (video needs ffmpeg). Default keeps the deterministic fake for
+    arbitrary payloads; the explode layout and schema are identical."""
 
-    def __init__(self, every_k: int = 10):
+    def __init__(self, every_k: int = 10, real_decode: bool = False):
         self.every_k = every_k
+        self.real_decode = real_decode
+
+    def _rows(self, payload: bytes):
+        if self.real_decode:
+            if sniff_format(payload) != "gif":
+                raise NotImplementedError(
+                    "real frame sampling supports GIF here; video "
+                    "formats need ffmpeg")
+            from .gif import frames
+            for f, fr in enumerate(frames(payload)):
+                if f % self.every_k == 0:
+                    yield f, hashlib.sha1(
+                        fr["indices"].tobytes()).hexdigest()[:16]
+            return
+        meta = fake_decode_meta(payload)
+        for f in range(0, meta["n_frames"], self.every_k):
+            yield f, hashlib.sha1(
+                (payload or b"") + f.to_bytes(4, "big")).hexdigest()[:16]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, hashes = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            meta = fake_decode_meta(payload)
-            for f in range(0, meta["n_frames"], self.every_k):
+            for f, hh in self._rows(payload):
                 ids.append(mid)
                 frames.append(f)
-                hashes.append(hashlib.sha1(
-                    (payload or b"") + f.to_bytes(4, "big")).hexdigest()[:16])
+                hashes.append(hh)
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_idx": pa.array(frames, pa.int32()),
                          "frame_hash": pa.array(hashes, pa.string())})
@@ -307,10 +343,13 @@ class ResizeStage:
         elif kind == "jpeg":
             from .jpeg import decode_jpeg
             d = decode_jpeg(payload)
+        elif kind == "png":
+            from .png import decode_png
+            d = decode_png(payload)
         else:
             raise NotImplementedError(
-                "real resize supports 24-bit BMP and baseline JPEG "
-                "here; other compressed formats need PIL")
+                "real resize supports BMP, JPEG and PNG here; other "
+                "compressed formats need PIL")
         yi = (np.arange(self.target_h) * d["height"]) // self.target_h
         xi = (np.arange(self.target_w) * d["width"]) // self.target_w
         # output container is BMP for ALL inputs: lossless, so resizing

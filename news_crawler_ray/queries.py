@@ -1385,6 +1385,75 @@ def q_media_jpeg_decode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_media_png_decode(sf_dir: str) -> pd.DataFrame:
+    """REAL PNG decode through the media stage (stdlib-zlib codec in
+    functions/png.py): deterministic PNG payloads synthesized per
+    doc_id, decoded to actual pixel arrays (``pixel_sha1`` checksums
+    the decoded array). PNG encode/decode is lossless and cheap, so no
+    subsetting is needed."""
+    from .functions.png import encode_png
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            h, w = 4 + i % 5, 6 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(yy * 31 + i) % 256, (xx * 17 + i) % 256,
+                           (yy * xx + i) % 256], axis=-1).astype(np.uint8)
+            payloads.append(encode_png(px))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "mime": pa.array(["image/png"] * n, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.MediaDecodeStage, batch_format="pyarrow",
+                     batch_size=64, concurrency=2,
+                     fn_constructor_kwargs={"real_decode": True}) \
+        .to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_media_gif_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL animated-GIF frame sampling: deterministic multi-frame GIFs
+    synthesized per doc_id (own LZW encoder), frame-extracted by
+    FrameSampleStage's real path (per-frame LZW decode; frame_hash
+    checksums the decoded index arrays)."""
+    from .functions.gif import encode_gif
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 4 == 0]
+        pal = np.stack([np.arange(16) * 7 % 256, np.arange(16) * 31 % 256,
+                        np.arange(16) * 13 % 256], axis=-1).astype(np.uint8)
+        payloads = []
+        for i in ids:
+            n_frames = 2 + i % 5
+            frs = [((np.add.outer(np.arange(6) * 3, np.arange(8)) + i + f)
+                    % 16).astype(np.uint8) for f in range(n_frames)]
+            payloads.append(encode_gif(frs, pal))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "mime": pa.array(["image/gif"] * n, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.FrameSampleStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=2,
+                     fn_constructor_kwargs={"every_k": 2,
+                                            "real_decode": True}) \
+        .to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
@@ -4353,6 +4422,8 @@ QUERIES = {
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
     "media_jpeg_decode": q_media_jpeg_decode,
+    "media_png_decode": q_media_png_decode,
+    "media_gif_frames": q_media_gif_frames,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,

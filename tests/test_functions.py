@@ -395,8 +395,9 @@ class TestMultimodal:
 
     def test_real_decode_unsupported_format_raises(self):
         stage = mm.MediaDecodeStage(real_decode=True)   # constructs fine
+        # mp4 (ftyp) — video decode needs ffmpeg, must raise loudly
         with pytest.raises(NotImplementedError):
-            mm.real_decode_meta(b"\x89PNG\r\n\x1a\nfakedata")  # compressed
+            mm.real_decode_meta(b"\x00\x00\x00\x18ftypmp42fakedata")
 
     # -- REAL stdlib decode (VERDICT r2 item 5): goldens on actual
     # decoded dimensions/pixels, not hash-derived ones ----------------
