@@ -10,14 +10,17 @@ approximation, dequantize, float IDCT, chroma upsample), **PNG**
 (``png.py``: stdlib-zlib inflate, all five scanline filters, every
 legal depth/color combo, palette/alpha/Adam7) and **GIF** incl.
 animation (``gif.py``: LZW, interlace, transparency — real per-frame
-extraction feeds FrameSampleStage), all format-sniffed by magic
-bytes: actual pixel arrays and sample frames, golden-tested. Video
-(H.264/…) needs ffmpeg, absent
-in this container, so it falls back to a clearly-marked deterministic
-FAKE decoder (metadata derived from the payload bytes) — while all the
-Ray-side plumbing is real either way: schemas, small batch sizes for
-wide binary rows (SURVEY.md §7.4 item 6), actor signatures, output
-layout.
+extraction feeds FrameSampleStage) and **video** in the two
+stdlib-parsable containers (``video.py``: AVI with MJPEG frames —
+each '00dc' chunk decoded by the T.81 decoder — or raw DIB frames,
+and YUV4MPEG2 with BT.601 YUV→RGB), all format-sniffed by magic
+bytes: actual pixel arrays and sample frames, golden-tested.
+Compressed video codecs (H.264/VP9/…) need ffmpeg, absent in this
+container, so payloads outside the formats above fall back to a
+clearly-marked deterministic FAKE decoder (metadata derived from the
+payload bytes) — while all the Ray-side plumbing is real either way:
+schemas, small batch sizes for wide binary rows (SURVEY.md §7.4
+item 6), actor signatures, output layout.
 """
 
 from __future__ import annotations
@@ -63,7 +66,7 @@ def fake_decode_meta(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: bmp|ppm|wav|jpeg|png|gif|None."""
+    """Magic-byte sniff: bmp|ppm|wav|avi|y4m|jpeg|png|gif|None."""
     p = payload or b""
     if p[:2] == b"BM":
         return "bmp"
@@ -71,6 +74,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+        return "avi"
+    if p[:9] == b"YUV4MPEG2":
+        return "y4m"
     if p[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if p[:8] == b"\x89PNG\r\n\x1a\n":
@@ -191,10 +198,11 @@ def decode_wav(payload: bytes) -> dict:
 
 def real_decode_meta(payload: bytes) -> dict:
     """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV/
-    JPEG/PNG/GIF); raises ``NotImplementedError`` for anything else
-    (video needs ffmpeg). Audio maps onto the shared schema as
-    width=height=0 and n_frames=sample frames; GIF n_frames is the
-    real animation frame count."""
+    AVI/Y4M/JPEG/PNG/GIF); raises ``NotImplementedError`` for anything
+    else (compressed video codecs need ffmpeg). Audio maps onto the
+    shared schema as width=height=0 and n_frames=sample frames; GIF
+    n_frames is the real animation frame count; AVI/Y4M n_frames is
+    the real container frame count (sample_rate carries fps)."""
     kind = sniff_format(payload or b"")
     digest = hashlib.sha1(payload or b"").digest()
     base = {"byte_len": len(payload or b""),
@@ -228,9 +236,28 @@ def real_decode_meta(payload: bytes) -> dict:
                 "n_channels": d["n_channels"],
                 "pixel_sha1": hashlib.sha1(
                     d["samples"].tobytes()).hexdigest()[:16]}
+    if kind in ("avi", "y4m"):
+        # real container walk for dims/frame count/fps; pixel_sha1
+        # checksums the DECODED first frame (decoding every frame for
+        # a metadata query would defeat the cheap-walk point — full
+        # per-frame decode lives in FrameSampleStage)
+        from . import video as vd
+        if kind == "avi":
+            d = vd.decode_avi(payload)
+            first = next(vd.avi_frames(payload))["rgb"]
+            n_frames = d["n_frames_movi"]
+        else:
+            d = vd.decode_y4m(payload)
+            first = next(vd.y4m_frames(payload))["rgb"]
+            n_frames = d["n_frames"]
+        return {**base, "width": d["width"], "height": d["height"],
+                "n_frames": n_frames,
+                "sample_rate": d["fps_num"] // max(d["fps_den"], 1),
+                "pixel_sha1": hashlib.sha1(
+                    first.tobytes()).hexdigest()[:16]}
     raise NotImplementedError(
-        f"real decode supports BMP/PPM/WAV/JPEG/PNG/GIF here (got "
-        f"{(payload or b'')[:4]!r}); video formats need ffmpeg")
+        f"real decode supports BMP/PPM/WAV/AVI/Y4M/JPEG/PNG/GIF here "
+        f"(got {(payload or b'')[:4]!r})")
 
 
 class MediaDecodeStage:
@@ -277,9 +304,12 @@ class FrameSampleStage:
     """Actor-pool stage: sample every k-th frame of an animation → one
     row per sampled frame. With ``real_decode=True``, GIF payloads are
     REALLY frame-extracted (per-frame LZW decode; ``frame_hash``
-    checksums the decoded palette-index array) — other formats raise
-    (video needs ffmpeg). Default keeps the deterministic fake for
-    arbitrary payloads; the explode layout and schema are identical."""
+    checksums the decoded palette-index array) and AVI/Y4M video is
+    REALLY frame-decoded (MJPEG via the T.81 decoder / raw DIB / raw
+    planar YUV→RGB; ``frame_hash`` checksums the decoded RGB array) —
+    other formats raise (compressed video codecs need ffmpeg). Default
+    keeps the deterministic fake for arbitrary payloads; the explode
+    layout and schema are identical."""
 
     def __init__(self, every_k: int = 10, real_decode: bool = False):
         self.every_k = every_k
@@ -287,15 +317,25 @@ class FrameSampleStage:
 
     def _rows(self, payload: bytes):
         if self.real_decode:
-            if sniff_format(payload) != "gif":
+            kind = sniff_format(payload)
+            if kind == "gif":
+                from .gif import frames
+                for f, fr in enumerate(frames(payload)):
+                    if f % self.every_k == 0:
+                        yield f, hashlib.sha1(
+                            fr["indices"].tobytes()).hexdigest()[:16]
+            elif kind in ("avi", "y4m"):
+                from . import video as vd
+                it = (vd.avi_frames(payload) if kind == "avi"
+                      else vd.y4m_frames(payload))
+                for fr in it:
+                    if fr["frame_idx"] % self.every_k == 0:
+                        yield fr["frame_idx"], hashlib.sha1(
+                            fr["rgb"].tobytes()).hexdigest()[:16]
+            else:
                 raise NotImplementedError(
-                    "real frame sampling supports GIF here; video "
-                    "formats need ffmpeg")
-            from .gif import frames
-            for f, fr in enumerate(frames(payload)):
-                if f % self.every_k == 0:
-                    yield f, hashlib.sha1(
-                        fr["indices"].tobytes()).hexdigest()[:16]
+                    "real frame sampling supports GIF/AVI/Y4M here "
+                    f"(got {(payload or b'')[:4]!r})")
             return
         meta = fake_decode_meta(payload)
         for f in range(0, meta["n_frames"], self.every_k):

@@ -1454,6 +1454,58 @@ def q_media_gif_frames(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
+    """REAL video frame sampling (functions/video.py): deterministic
+    AVI (alternating MJPEG / raw-DIB streams) and Y4M payloads are
+    synthesized per doc_id, then FrameSampleStage's real path walks
+    the container and decodes every sampled frame (MJPEG chunks
+    through the T.81 decoder, DIB as bottom-up BGR, Y4M as planar
+    BT.601 YUV→RGB); ``frame_hash`` checksums the DECODED RGB arrays.
+    Subset (doc_id % 8 == 0) keeps the per-frame Python entropy coder
+    off the hot path at bench scale."""
+    from .functions.video import encode_avi, encode_y4m, rgb_to_yuv420
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 8 == 0]
+        payloads, mimes = [], []
+        for i in ids:
+            n_frames = 2 + i % 4
+            h, w = 8 + (i // 8) % 2 * 8, 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = [np.stack([(yy * 5 + i + f) % 256,
+                                (xx * 11 + i) % 256,
+                                (yy + xx + f) % 256],
+                               axis=-1).astype(np.uint8)
+                      for f in range(n_frames)]
+            kind = (i // 8) % 3
+            if kind == 0:
+                payloads.append(encode_avi(frames, codec="MJPG"))
+                mimes.append("video/x-msvideo")
+            elif kind == 1:
+                payloads.append(encode_avi(frames, codec="DIB "))
+                mimes.append("video/x-msvideo")
+            else:
+                payloads.append(encode_y4m(
+                    [rgb_to_yuv420(f) for f in frames], w, h))
+                mimes.append("video/x-yuv4mpeg")
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video"] * n, pa.string()),
+            "mime": pa.array(mimes, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.FrameSampleStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2,
+                     fn_constructor_kwargs={"every_k": 2,
+                                            "real_decode": True}) \
+        .to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
@@ -4424,6 +4476,7 @@ QUERIES = {
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_png_decode": q_media_png_decode,
     "media_gif_frames": q_media_gif_frames,
+    "media_video_frames": q_media_video_frames,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
