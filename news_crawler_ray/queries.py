@@ -4355,6 +4355,191 @@ def q_approx_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
         qs=[0.25, 0.5, 0.75, 0.9])
 
 
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention matrix: users grouped by their FIRST
+    active week (the cohort), counted at each later week offset —
+    the engagement-decay shape behind every training-data freshness /
+    user-retention dashboard.
+
+    Distributed shape: one user-bucketed shuffle does ALL the work —
+    per-batch in-batch-unique (user, week) pairs co-locate by a salt
+    of user_id, each bucket computes its users' cohort week (min) and
+    emits per-(cohort, offset) partial counts (users partition across
+    buckets disjointly, so summing cells across buckets is an EXACT
+    distinct-user count); the final fold moves only cell-level rows
+    (≤ cohorts × offsets), never user-level state."""
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+    week_us = 604_800_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "wk": pa.array([], pa.int64())})
+        # explicit µs cast first: a ns-unit ts column (pandas-written
+        # parquet) would otherwise put every week index 1000× off —
+        # the q_gap_fill_hours ADVICE-r3 hazard, pinned by a ns-unit
+        # fixture in tests/test_cohort_paragraph.py
+        wk = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False) // week_us
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table({"user_id": pa.array(uniq[:, 0], pa.int64()),
+                         "wk": pa.array(uniq[:, 1], pa.int64())})
+
+    from .rayutil import bucketed_group_sum, salt_bucket
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = salt_bucket(b["user_id"].to_numpy(), 64) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def cohort_cells(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "wk"])
+        cw = g.groupby("user_id")["wk"].transform("min")
+        cells = pd.DataFrame({"cohort_week_us": cw * week_us,
+                              "week_offset": g["wk"] - cw}) \
+            .value_counts().reset_index(name="u")
+        return cells.astype({"cohort_week_us": "int64",
+                             "week_offset": "int64", "u": "int64"})
+
+    cells = ds.map_batches(pairs, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(cohort_cells, batch_format="pandas")
+    out = bucketed_group_sum(cells, ["cohort_week_us", "week_offset"],
+                             {"u": "n_users"}).to_pandas()
+    return out.sort_values(["cohort_week_us", "week_offset"]) \
+        .reset_index(drop=True)
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH uw AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 604800000000 AS wk
+            FROM events),
+c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+SELECT (c.cw * 604800000000)::BIGINT AS cohort_week_us,
+       (uw.wk - c.cw)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_paragraph_dedup(sf_dir: str) -> pd.DataFrame:
+    """Paragraph-level exact dedup (the sub-document granularity of
+    Lee et al.'22 §3 — boilerplate paragraphs repeat across documents
+    even when no full document duplicates): explode docs into
+    non-blank paragraphs, keep each paragraph's FIRST occurrence in
+    (doc_id, para_idx) order, report per-doc kept/total counts.
+    "Non-blank" means non-EMPTY (the split artifact of 3+ consecutive
+    newlines) — a whitespace-only paragraph is real content here, so
+    the engine and the SQL twin can share one exact rule (Python
+    str.strip() and DuckDB trim()/RE2 \\s disagree on unicode
+    whitespace).
+
+    Distributed shape: paragraphs carry a 60-bit md5 prefix (int64 —
+    string keys degrade Ray's sort-aggregate ~12×, BASELINE.md round-3
+    rule) and a fused (doc_id, para_idx) order key; the winner per
+    hash is a salted-bucket min fold (one row per DISTINCT paragraph
+    crosses that shuffle), survivors come back via a native int-key
+    join, and per-doc counts fold as cell partials — no full-text
+    exchange after the explode."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+        dids, idxs, hs = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            for i, para in enumerate((text or "").split("\n\n")):
+                if not para:
+                    continue
+                h = int(_h.md5(para.encode()).hexdigest()[:15], 16)
+                dids.append(did)
+                idxs.append(i)
+                hs.append(h)
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "para_idx": pa.array(idxs, pa.int32()),
+                         "h": pa.array(hs, pa.int64())})
+
+    from .rayutil import project_blocks, salt_bucket
+
+    # materialized: feeds TWO consumers (winner fold + survivor join);
+    # project_blocks first so empty read blocks that skip the UDF can't
+    # reach the join schemaless (dedup.py:471 rule)
+    paras = project_blocks(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "para_idx", "h"]).materialize()
+
+    # winner per paragraph hash = min fused (doc_id, para_idx) key;
+    # per-batch partial min, then a 64-bucket fold (exact: each h
+    # lives in one bucket)
+    def partial_min(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "fused": pd.Series([], dtype="int64")})
+        if (b["para_idx"] >= 1_000_000).any():
+            raise ValueError("para_idx exceeds fused-key range")
+        fused = b["doc_id"] * 1_000_000 + b["para_idx"]
+        out = pd.DataFrame({"h": b["h"], "fused": fused}) \
+            .groupby("h", as_index=False)["fused"].min()
+        out["bucket"] = salt_bucket(out["h"].to_numpy(), 64)
+        return out
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("h", as_index=False)["fused"].min() \
+            .rename(columns={"fused": "min_fused"})
+
+    # project_blocks around the join: map_groups emits zero-column
+    # blocks for empty salt buckets and the hash join does the same
+    # for empty partitions — both break the next stage's FieldRef /
+    # key-column resolution (the dedup.py:471 rule)
+    winners = project_blocks(
+        paras.map_batches(partial_min, batch_format="pandas")
+        .groupby("bucket").map_groups(fold_min, batch_format="pandas"),
+        ["h", "min_fused"])
+    joined = project_blocks(
+        paras.join(winners, join_type="inner", num_partitions=8,
+                   on=("h",), right_on=("h",)),
+        ["doc_id", "para_idx", "min_fused"])
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_paras": pd.Series([], dtype="int64"),
+                                 "n_kept": pd.Series([], dtype="int64")})
+        fused = b["doc_id"] * 1_000_000 + b["para_idx"]
+        b = pd.DataFrame({"doc_id": b["doc_id"],
+                          "kept": (fused == b["min_fused"]).astype("int64")})
+        g = b.groupby("doc_id", as_index=False) \
+            .agg(n_paras=("kept", "size"), n_kept=("kept", "sum"))
+        return g.astype({"n_paras": "int64", "n_kept": "int64"})
+
+    from .rayutil import bucketed_group_sum
+    out = bucketed_group_sum(
+        joined.map_batches(doc_partial, batch_format="pandas"),
+        ["doc_id"], {"n_paras": "n_paras", "n_kept": "n_kept"}).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_PARAGRAPH_DEDUP_SQL = r"""
+WITH w AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+           FROM documents),
+s AS (SELECT doc_id, unnest(range(0, len(ps))) AS i, ps FROM w),
+p AS (SELECT doc_id, i AS para_idx,
+             ('0x' || substr(md5(ps[i + 1]), 1, 15))::BIGINT AS h,
+             doc_id * 1000000 + i AS fused
+      FROM s WHERE ps[i + 1] <> ''),
+r AS (SELECT doc_id, fused,
+             min(fused) OVER (PARTITION BY h) AS min_fused
+      FROM p)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN fused = min_fused THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4470,6 +4655,8 @@ QUERIES = {
     "q_customer_order_counts": q_customer_order_counts,
     "q_union_distinct_nations": q_union_distinct_nations,
     "q_running_user_totals": q_running_user_totals,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
@@ -4581,4 +4768,6 @@ ORACLES = {
     "q_active_users_7d": Q_ACTIVE_USERS_7D_SQL,
     "q_bpe_token_stats": Q_BPE_TOKEN_STATS_SQL,
     "q_source_kl": Q_SOURCE_KL_SQL,
+    "q_retention_cohorts": Q_RETENTION_COHORTS_SQL,
+    "q_paragraph_dedup": Q_PARAGRAPH_DEDUP_SQL,
 }
