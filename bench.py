@@ -106,7 +106,8 @@ def run_bench() -> dict:
                  "q_label_centroids", "q_token_pmi_pairs",
                  "q_quantity_mad", "q_props_field_stats",
                  "q_user_dropoffs", "q_active_users_7d",
-                 "q_source_kl"):
+                 "q_source_kl", "q_retention_cohorts",
+                 "q_paragraph_dedup", "media_video_frames"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

@@ -33,6 +33,18 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ts_us(t: "pa.Table", col: str = "ts") -> "pa.ChunkedArray":
+    """Timestamp column → epoch MICROseconds, unit-robust: the explicit
+    ``timestamp("us")`` hop makes a ns-unit column (pandas-written
+    parquet) land on the same µs scale the fixture's ``timestamp[us]``
+    schema does — a bare ``pc.cast(..., int64())`` yields the STORAGE
+    unit, silently 1000× off on ns inputs (the q_gap_fill_hours
+    ADVICE-r3 hazard; every DuckDB twin uses ``epoch_us`` which is
+    unit-independent). Pinned by a ns-unit fixture in
+    tests/test_cohort_paragraph.py."""
+    return pc.cast(pc.cast(t[col], pa.timestamp("us")), pa.int64())
+
+
 # ---------------------------------------------------------------------------
 # Relational / aggregation queries (TPC-H-flavored engine exercises)
 # ---------------------------------------------------------------------------
@@ -3144,7 +3156,7 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
                       columns=["event_id", "ts", "user_id"])
 
     def to_us(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t["ts"], pa.int64())
+        ts_us = _ts_us(t)
         return t.drop_columns(["ts"]).append_column("ts_us", ts_us)
 
     lagged = wn.grouped_lag(
@@ -3597,7 +3609,7 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
                       columns=["event_id", "ts", "user_id", "event_type"])
 
     def to_us(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t["ts"], pa.int64())
+        ts_us = _ts_us(t)
         return t.drop_columns(["ts"]).append_column("ts_us", ts_us)
 
     lagged = wn.grouped_lag(
@@ -3653,7 +3665,7 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
 
     def prep(t: pa.Table) -> pa.Table:
         from .rayutil import salt_bucket
-        ts_us = pc.cast(t["ts"], pa.int64())
+        ts_us = _ts_us(t)
         t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
         return t.append_column(
             "bucket", pa.array(salt_bucket(t["user_id"]), pa.int32()))
@@ -3703,13 +3715,12 @@ def q_gap_fill_hours(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "event_type"])
     hour_us = 3_600_000_000
 
-    # arrow-side µs cast (like q_event_transitions/q_event_funnel):
-    # pandas `.astype("int64")` on a datetime64 column yields the
-    # column's STORAGE unit — a ns-coerced batch would silently put
-    # every bucket 1000× off, whereas pc.cast of a timestamp[us] is
-    # unit-pinned by the schema
+    # arrow-side unit-robust µs cast (see _ts_us): pandas
+    # `.astype("int64")` on a datetime64 column yields the column's
+    # STORAGE unit — a ns-coerced batch would silently put every
+    # bucket 1000× off
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table({"ts_us": pc.cast(t["ts"], pa.int64()),
+        return pa.table({"ts_us": _ts_us(t),
                          "event_type": t["event_type"]})
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -4189,7 +4200,7 @@ def q_user_dropoffs(sf_dir: str) -> pd.DataFrame:
                       columns=["event_id", "ts", "user_id"])
 
     def prep(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t["ts"], pa.int64())
+        ts_us = _ts_us(t)
         neg_ts = pc.negate_checked(ts_us)
         neg_id = pc.negate_checked(t["event_id"])
         return pa.table({"event_id": t["event_id"],
@@ -4238,7 +4249,7 @@ def q_active_users_7d(sf_dir: str) -> pd.DataFrame:
         if not len(t):
             return pa.table({"wstart_us": pa.array([], pa.int64()),
                              "user_id": pa.array([], pa.int64())})
-        day = pc.cast(t["ts"], pa.int64()) \
+        day = _ts_us(t) \
             .to_numpy(zero_copy_only=False) // day_us
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         w = ((day[:, None] - np.arange(7, dtype=np.int64)) * day_us) \
@@ -4375,11 +4386,7 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
         if not len(t):
             return pa.table({"user_id": pa.array([], pa.int64()),
                              "wk": pa.array([], pa.int64())})
-        # explicit µs cast first: a ns-unit ts column (pandas-written
-        # parquet) would otherwise put every week index 1000× off —
-        # the q_gap_fill_hours ADVICE-r3 hazard, pinned by a ns-unit
-        # fixture in tests/test_cohort_paragraph.py
-        wk = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()) \
+        wk = _ts_us(t) \
             .to_numpy(zero_copy_only=False) // week_us
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         uniq = np.unique(np.stack([uid, wk], axis=1), axis=0)

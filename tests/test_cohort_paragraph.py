@@ -37,6 +37,21 @@ def _oracle(sf_dir: str, table: str, sql: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
+class TestTsUsHelper:
+    def test_unit_robust(self):
+        from news_crawler_ray.queries import _ts_us
+        us_vals = [1_700_000_000_000_000, 1_700_000_123_456_789]
+        t_us = pa.table({"ts": pa.array(us_vals, pa.timestamp("us"))})
+        t_ns = pa.table({"ts": pa.array([v * 1000 for v in us_vals],
+                                        pa.timestamp("ns"))})
+        t_s = pa.table({"ts": pa.array([v // 1_000_000 for v in us_vals],
+                                       pa.timestamp("s"))})
+        assert _ts_us(t_us).to_pylist() == us_vals
+        assert _ts_us(t_ns).to_pylist() == us_vals
+        assert _ts_us(t_s).to_pylist() == [v // 1_000_000 * 1_000_000
+                                           for v in us_vals]
+
+
 class TestParagraphDedupParity:
     def test_multi_paragraph_corpus(self, ray_session, tmp_path):
         docs = [
