@@ -196,6 +196,54 @@ def decode_wav(payload: bytes) -> dict:
             .reshape(n_samples, n_channels)}
 
 
+def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Inverse of :func:`decode_wav`: (n_samples, n_channels) int16 →
+    16-bit PCM WAV bytes (fixture/round-trip encoder)."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_channels = samples.shape[1]
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      n_channels * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class AudioStatsStage:
+    """Actor-pool stage: WAV payload → REAL per-clip sample statistics
+    (decode_wav → vectorized numpy over the actual PCM arrays): peak
+    amplitude, RMS (milli-units of full scale), duration in ms, plus a
+    checksum of the decoded samples. The audio analogue of
+    MediaDecodeStage's real image path — a header-only parse cannot
+    produce ``rms_milli``/``sample_sha1``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        peaks, rmss, durs, srs, chans, shas = [], [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            d = decode_wav(payload)
+            s = d["samples"].astype(np.float64) / 32768.0
+            peaks.append(int(np.abs(d["samples"]).max()) if s.size else 0)
+            rmss.append(int(round(float(np.sqrt(np.mean(s * s))) * 1000))
+                        if s.size else 0)
+            durs.append(d["n_samples"] * 1000 // d["sample_rate"])
+            srs.append(d["sample_rate"])
+            chans.append(d["n_channels"])
+            shas.append(hashlib.sha1(
+                d["samples"].tobytes()).hexdigest()[:16])
+        return pa.table({
+            "media_id": batch["media_id"],
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_channels": pa.array(chans, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "peak": pa.array(peaks, pa.int32()),
+            "rms_milli": pa.array(rmss, pa.int64()),
+            "sample_sha1": pa.array(shas, pa.string()),
+        })
+
+
 def real_decode_meta(payload: bytes) -> dict:
     """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV/
     AVI/Y4M/JPEG/PNG/GIF); raises ``NotImplementedError`` for anything

@@ -1518,6 +1518,48 @@ def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def q_media_audio_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL PCM-audio analysis through the media stage: deterministic
+    16-bit WAV clips (sine + harmonic, amplitude/frequency/channel
+    count keyed off doc_id) are synthesized per doc, then
+    AudioStatsStage decodes the actual sample arrays and computes
+    peak / RMS / duration with vectorized numpy — the audio analogue
+    of the image queries' decoded-pixel checksums."""
+    from .functions.multimodal import encode_wav
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 5 == 0]
+        payloads = []
+        for i in ids:
+            sr = 8000
+            n = 800 + (i % 5) * 400
+            tt = np.arange(n, dtype=np.float64) / sr
+            freq = 220.0 + (i % 16) * 55.0
+            amp = 0.2 + (i % 4) * 0.2
+            wave = amp * np.sin(2 * np.pi * freq * tt) \
+                + 0.1 * np.sin(2 * np.pi * 3 * freq * tt)
+            mono = np.clip(np.round(wave * 32767), -32768,
+                           32767).astype(np.int16)
+            ch = 1 + i % 2
+            samples = np.stack([mono] * ch, axis=1) if ch > 1 \
+                else mono[:, None]
+            payloads.append(encode_wav(samples, sr))
+        n_rows = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio"] * n_rows, pa.string()),
+            "mime": pa.array(["audio/wav"] * n_rows, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.AudioStatsStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=2) \
+        .to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_frame_sample(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     media = mm.media_dataset_from_documents(ds)
@@ -4671,6 +4713,7 @@ QUERIES = {
     "media_png_decode": q_media_png_decode,
     "media_gif_frames": q_media_gif_frames,
     "media_video_frames": q_media_video_frames,
+    "media_audio_stats": q_media_audio_stats,
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
