@@ -66,10 +66,12 @@ def fake_decode_meta(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: bmp|ppm|wav|avi|y4m|jpeg|png|gif|None."""
+    """Magic-byte sniff: bmp|ppm|wav|avi|y4m|mp4|jpeg|png|gif|None."""
     p = payload or b""
     if p[:2] == b"BM":
         return "bmp"
+    if len(p) >= 12 and p[4:8] == b"ftyp":
+        return "mp4"
     if p[:2] == b"P6":
         return "ppm"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
@@ -284,7 +286,7 @@ def real_decode_meta(payload: bytes) -> dict:
                 "n_channels": d["n_channels"],
                 "pixel_sha1": hashlib.sha1(
                     d["samples"].tobytes()).hexdigest()[:16]}
-    if kind in ("avi", "y4m"):
+    if kind in ("avi", "y4m", "mp4"):
         # real container walk for dims/frame count/fps; pixel_sha1
         # checksums the DECODED first frame (decoding every frame for
         # a metadata query would defeat the cheap-walk point — full
@@ -294,6 +296,11 @@ def real_decode_meta(payload: bytes) -> dict:
             d = vd.decode_avi(payload)
             first = next(vd.avi_frames(payload))["rgb"]
             n_frames = d["n_frames_movi"]
+        elif kind == "mp4":
+            from . import mp4 as m4
+            d = m4.decode_mp4(payload)
+            first = next(m4.mp4_frames(payload))["rgb"]
+            n_frames = d["n_frames"]
         else:
             d = vd.decode_y4m(payload)
             first = next(vd.y4m_frames(payload))["rgb"]
@@ -304,8 +311,8 @@ def real_decode_meta(payload: bytes) -> dict:
                 "pixel_sha1": hashlib.sha1(
                     first.tobytes()).hexdigest()[:16]}
     raise NotImplementedError(
-        f"real decode supports BMP/PPM/WAV/AVI/Y4M/JPEG/PNG/GIF here "
-        f"(got {(payload or b'')[:4]!r})")
+        f"real decode supports BMP/PPM/WAV/AVI/Y4M/MP4/JPEG/PNG/GIF "
+        f"here (got {(payload or b'')[:4]!r})")
 
 
 class MediaDecodeStage:
@@ -352,10 +359,11 @@ class FrameSampleStage:
     """Actor-pool stage: sample every k-th frame of an animation → one
     row per sampled frame. With ``real_decode=True``, GIF payloads are
     REALLY frame-extracted (per-frame LZW decode; ``frame_hash``
-    checksums the decoded palette-index array) and AVI/Y4M video is
-    REALLY frame-decoded (MJPEG via the T.81 decoder / raw DIB / raw
-    planar YUV→RGB; ``frame_hash`` checksums the decoded RGB array) —
-    other formats raise (compressed video codecs need ffmpeg). Default
+    checksums the decoded palette-index array) and AVI/Y4M/MP4 video
+    is REALLY frame-decoded (MJPEG via the T.81 decoder / raw DIB /
+    raw planar YUV→RGB / jpeg-sample-entry MP4; ``frame_hash``
+    checksums the decoded RGB array) — other formats raise
+    (compressed bitstream codecs need ffmpeg). Default
     keeps the deterministic fake for arbitrary payloads; the explode
     layout and schema are identical."""
 
@@ -372,17 +380,20 @@ class FrameSampleStage:
                     if f % self.every_k == 0:
                         yield f, hashlib.sha1(
                             fr["indices"].tobytes()).hexdigest()[:16]
-            elif kind in ("avi", "y4m"):
-                from . import video as vd
-                it = (vd.avi_frames(payload) if kind == "avi"
-                      else vd.y4m_frames(payload))
-                for fr in it:
+            elif kind in ("avi", "y4m", "mp4"):
+                if kind == "avi":
+                    from .video import avi_frames as it_fn
+                elif kind == "mp4":
+                    from .mp4 import mp4_frames as it_fn
+                else:
+                    from .video import y4m_frames as it_fn
+                for fr in it_fn(payload):
                     if fr["frame_idx"] % self.every_k == 0:
                         yield fr["frame_idx"], hashlib.sha1(
                             fr["rgb"].tobytes()).hexdigest()[:16]
             else:
                 raise NotImplementedError(
-                    "real frame sampling supports GIF/AVI/Y4M here "
+                    "real frame sampling supports GIF/AVI/Y4M/MP4 here "
                     f"(got {(payload or b'')[:4]!r})")
             return
         meta = fake_decode_meta(payload)

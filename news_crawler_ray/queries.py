@@ -1467,14 +1467,17 @@ def q_media_gif_frames(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
-    """REAL video frame sampling (functions/video.py): deterministic
-    AVI (alternating MJPEG / raw-DIB streams) and Y4M payloads are
-    synthesized per doc_id, then FrameSampleStage's real path walks
-    the container and decodes every sampled frame (MJPEG chunks
-    through the T.81 decoder, DIB as bottom-up BGR, Y4M as planar
-    BT.601 YUV→RGB); ``frame_hash`` checksums the DECODED RGB arrays.
-    Subset (doc_id % 8 == 0) keeps the per-frame Python entropy coder
-    off the hot path at bench scale."""
+    """REAL video frame sampling (functions/video.py + mp4.py):
+    deterministic AVI (alternating MJPEG / raw-DIB streams), Y4M and
+    MP4 (jpeg-sample-entry ISO BMFF) payloads are synthesized per
+    doc_id, then FrameSampleStage's real path walks the container and
+    decodes every sampled frame (MJPEG chunks through the T.81
+    decoder, DIB as bottom-up BGR, Y4M as planar BT.601 YUV→RGB, MP4
+    samples via the stsc/stco/stsz offset expansion); ``frame_hash``
+    checksums the DECODED RGB arrays. Subset (doc_id % 8 == 0) keeps
+    the per-frame Python entropy coder off the hot path at bench
+    scale."""
+    from .functions.mp4 import encode_mp4
     from .functions.video import encode_avi, encode_y4m, rgb_to_yuv420
 
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
@@ -1491,17 +1494,20 @@ def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
                                 (yy + xx + f) % 256],
                                axis=-1).astype(np.uint8)
                       for f in range(n_frames)]
-            kind = (i // 8) % 3
+            kind = (i // 8) % 4
             if kind == 0:
                 payloads.append(encode_avi(frames, codec="MJPG"))
                 mimes.append("video/x-msvideo")
             elif kind == 1:
                 payloads.append(encode_avi(frames, codec="DIB "))
                 mimes.append("video/x-msvideo")
-            else:
+            elif kind == 2:
                 payloads.append(encode_y4m(
                     [rgb_to_yuv420(f) for f in frames], w, h))
                 mimes.append("video/x-yuv4mpeg")
+            else:
+                payloads.append(encode_mp4(frames))
+                mimes.append("video/mp4")
         n = len(ids)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
