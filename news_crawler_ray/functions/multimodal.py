@@ -66,7 +66,8 @@ def fake_decode_meta(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte sniff: bmp|ppm|wav|avi|y4m|mp4|jpeg|png|gif|None."""
+    """Magic-byte sniff:
+    bmp|ppm|wav|au|aiff|avi|y4m|mp4|jpeg|png|gif|None."""
     p = payload or b""
     if p[:2] == b"BM":
         return "bmp"
@@ -76,6 +77,10 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
+    if p[:4] == b".snd":
+        return "au"
+    if p[:4] == b"FORM" and p[8:12] == b"AIFF":
+        return "aiff"
     if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
         return "avi"
     if p[:9] == b"YUV4MPEG2":
@@ -214,18 +219,32 @@ def encode_wav(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _decode_audio(kind: str, payload: bytes) -> dict:
+    """Dispatch WAV/AU/AIFF to the matching decoder; all three return
+    the same {sample_rate, n_channels, n_samples, samples} shape."""
+    if kind == "wav":
+        return decode_wav(payload)
+    from . import audio as aud
+    if kind == "au":
+        return aud.decode_au(payload)
+    if kind == "aiff":
+        return aud.decode_aiff(payload)
+    raise ValueError(f"not an audio payload (sniffed {kind!r})")
+
+
 class AudioStatsStage:
-    """Actor-pool stage: WAV payload → REAL per-clip sample statistics
-    (decode_wav → vectorized numpy over the actual PCM arrays): peak
-    amplitude, RMS (milli-units of full scale), duration in ms, plus a
-    checksum of the decoded samples. The audio analogue of
-    MediaDecodeStage's real image path — a header-only parse cannot
-    produce ``rms_milli``/``sample_sha1``."""
+    """Actor-pool stage: audio payload (PCM WAV, Sun AU incl. G.711
+    µ-law/A-law, AIFF) → REAL per-clip sample statistics (decode →
+    vectorized numpy over the actual PCM arrays): peak amplitude, RMS
+    (milli-units of full scale), duration in ms, plus a checksum of
+    the decoded samples. The audio analogue of MediaDecodeStage's real
+    image path — a header-only parse cannot produce
+    ``rms_milli``/``sample_sha1``."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         peaks, rmss, durs, srs, chans, shas = [], [], [], [], [], []
         for payload in batch["payload"].to_pylist():
-            d = decode_wav(payload)
+            d = _decode_audio(sniff_format(payload), payload)
             s = d["samples"].astype(np.float64) / 32768.0
             peaks.append(int(np.abs(d["samples"]).max()) if s.size else 0)
             rmss.append(int(round(float(np.sqrt(np.mean(s * s))) * 1000))
@@ -247,10 +266,11 @@ class AudioStatsStage:
 
 
 def real_decode_meta(payload: bytes) -> dict:
-    """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV/
-    AVI/Y4M/JPEG/PNG/GIF); raises ``NotImplementedError`` for anything
-    else (compressed video codecs need ffmpeg). Audio maps onto the
-    shared schema as width=height=0 and n_frames=sample frames; GIF
+    """Real metadata for the stdlib-decodable formats (BMP/PPM/WAV/AU/
+    AIFF/AVI/Y4M/MP4/JPEG/PNG/GIF); raises ``NotImplementedError`` for
+    anything else (compressed bitstream codecs need ffmpeg). Audio maps
+    onto the shared schema as width=height=0 and n_frames=sample
+    frames; GIF
     n_frames is the real animation frame count; AVI/Y4M n_frames is
     the real container frame count (sample_rate carries fps)."""
     kind = sniff_format(payload or b"")
@@ -278,8 +298,8 @@ def real_decode_meta(payload: bytes) -> dict:
                 # (a header-only parse could fake width/height)
                 "pixel_sha1": hashlib.sha1(
                     d["pixels"].tobytes()).hexdigest()[:16]}
-    if kind == "wav":
-        d = decode_wav(payload)
+    if kind in ("wav", "au", "aiff"):
+        d = _decode_audio(kind, payload)
         return {**base, "width": 0, "height": 0,
                 "n_frames": d["n_samples"],
                 "sample_rate": d["sample_rate"],

@@ -1525,19 +1525,23 @@ def q_media_video_frames(sf_dir: str) -> pd.DataFrame:
 
 
 def q_media_audio_stats(sf_dir: str) -> pd.DataFrame:
-    """REAL PCM-audio analysis through the media stage: deterministic
-    16-bit WAV clips (sine + harmonic, amplitude/frequency/channel
-    count keyed off doc_id) are synthesized per doc, then
-    AudioStatsStage decodes the actual sample arrays and computes
-    peak / RMS / duration with vectorized numpy — the audio analogue
-    of the image queries' decoded-pixel checksums."""
+    """REAL audio analysis through the media stage: deterministic
+    clips (sine + harmonic, amplitude/frequency/channel count keyed
+    off doc_id) are synthesized per doc across four container/codec
+    shapes — 16-bit PCM WAV, Sun AU µ-law (G.711-companded, so the
+    stats reflect the REAL companding loss), 16-bit PCM AU, and AIFF
+    — then AudioStatsStage sniffs each payload, decodes the actual
+    sample arrays and computes peak / RMS / duration with vectorized
+    numpy — the audio analogue of the image queries' decoded-pixel
+    checksums."""
+    from .functions.audio import encode_aiff, encode_au
     from .functions.multimodal import encode_wav
 
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
 
     def synth(t: pa.Table) -> pa.Table:
         ids = [i for i in t["doc_id"].to_pylist() if i % 5 == 0]
-        payloads = []
+        payloads, mimes = [], []
         for i in ids:
             sr = 8000
             n = 800 + (i % 5) * 400
@@ -1551,13 +1555,25 @@ def q_media_audio_stats(sf_dir: str) -> pd.DataFrame:
             ch = 1 + i % 2
             samples = np.stack([mono] * ch, axis=1) if ch > 1 \
                 else mono[:, None]
-            payloads.append(encode_wav(samples, sr))
+            kind = (i // 5) % 4
+            if kind == 0:
+                payloads.append(encode_wav(samples, sr))
+                mimes.append("audio/wav")
+            elif kind == 1:
+                payloads.append(encode_au(samples, sr, encoding="ulaw"))
+                mimes.append("audio/basic")
+            elif kind == 2:
+                payloads.append(encode_au(samples, sr, encoding="pcm16"))
+                mimes.append("audio/basic")
+            else:
+                payloads.append(encode_aiff(samples, sr))
+                mimes.append("audio/aiff")
         n_rows = len(ids)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "media_type": pa.array(["audio"] * n_rows, pa.string()),
-            "mime": pa.array(["audio/wav"] * n_rows, pa.string())})
+            "mime": pa.array(mimes, pa.string())})
 
     out = ds.map_batches(synth, batch_format="pyarrow") \
         .map_batches(mm.AudioStatsStage, batch_format="pyarrow",
