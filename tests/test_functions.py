@@ -395,8 +395,12 @@ class TestMultimodal:
 
     def test_real_decode_unsupported_format_raises(self):
         stage = mm.MediaDecodeStage(real_decode=True)   # constructs fine
-        # mp4 (ftyp) — video decode needs ffmpeg, must raise loudly
+        # Ogg container — no stdlib codec for it, must raise loudly
         with pytest.raises(NotImplementedError):
+            mm.real_decode_meta(b"OggS" + b"\x00" * 24)
+        # sniffs as mp4 (ftyp) but carries no moov: the real container
+        # parse (functions/mp4.py) must fail loudly, not fake metadata
+        with pytest.raises(ValueError):
             mm.real_decode_meta(b"\x00\x00\x00\x18ftypmp42fakedata")
 
     # -- REAL stdlib decode (VERDICT r2 item 5): goldens on actual

@@ -94,5 +94,10 @@ class TestGifMultimodalWiring:
         assert [f for f, _ in rows] == [0, 3, 6]
         assert rows[1][1] == hashlib.sha1(
             frs[3].tobytes()).hexdigest()[:16]
-        with pytest.raises(NotImplementedError):
+        # mp4 is a real format now (functions/mp4.py): a bogus ftyp
+        # payload fails the container parse loudly; a format with no
+        # codec at all still raises NotImplementedError
+        with pytest.raises(ValueError):
             list(stage._rows(b"\x00\x00\x00\x18ftypmp42xx"))
+        with pytest.raises(NotImplementedError):
+            list(stage._rows(b"OggS" + b"\x00" * 24))
