@@ -29,6 +29,23 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS = dict(num_hosts=12, pages_per_host=8000, hot_host_factor=2)
 
 
+def _clock_probe(budget_s: float = 0.2) -> int:
+    """Single-process md5 ops/s — a host CLOCK probe. Load average
+    cannot distinguish "busy with this bench" from "hypervisor is
+    shaping the clock" (both read ~10); this pins the hour's
+    single-core speed so a 2x-slow run is self-documenting. Quiet-box
+    band on this host: ~560-620k ops/s; shaped windows read ~45-60%
+    of that."""
+    import hashlib
+    buf = b"x" * 600
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < budget_s:
+        for _ in range(2000):
+            buf = hashlib.md5(buf).digest() * 38
+        n += 2000
+    return round(n / (time.perf_counter() - t0))
+
+
 def run_bench() -> dict:
     import ray
 
@@ -146,6 +163,10 @@ def run_bench() -> dict:
         # self-documenting instead of reading as a regression
         "host_visible_cpus": os.cpu_count(),
         "host_load_1m": round(os.getloadavg()[0], 2),
+        # single-core clock probe (see _clock_probe): quiet band
+        # ~560-620k; a shaped hour reads far below and explains a
+        # uniformly slow run better than load can
+        "host_md5_ops_1p": _clock_probe(),
         "crawl_pages": summary["pages_written"],
         "crawl_pages_per_sec": round(summary["pages_written"] / crawl_sec, 1),
         "crawl_frontier_ops_per_sec": round(
