@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 __all__ = ["decode_au", "encode_au", "decode_aiff", "encode_aiff",
            "ulaw_expand_table", "alaw_expand_table",
            "linear_to_ulaw", "linear_to_alaw"]
@@ -103,6 +105,7 @@ _AU_ENCODINGS = {1: (8, "ulaw"), 2: (8, "pcm8"), 3: (16, "pcm16"),
 _AU_CODES = {"ulaw": 1, "pcm8": 2, "pcm16": 3, "alaw": 27}
 
 
+@typed_decode("au")
 def decode_au(payload: bytes) -> dict:
     """AU bytes → real samples (same shape as decode_wav). Supports
     8-bit µ-law / A-law (G.711-expanded to int16), 8-bit signed PCM
@@ -184,6 +187,7 @@ def _f80_unpack(raw: bytes) -> float:
     return sign * mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
 
 
+@typed_decode("aiff")
 def decode_aiff(payload: bytes) -> dict:
     """AIFF bytes → real samples (same shape as decode_wav): IFF chunk
     walk, COMM (channels / frames / bits / 80-bit-extended rate), SSND

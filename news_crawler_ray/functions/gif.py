@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 
 def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
     """GIF LZW: LSB-first bitstream, growing code width, 12-bit cap."""
@@ -77,6 +79,7 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
+@typed_decode("gif")
 def frames(payload: bytes):
     """Yield per-frame dicts: {x, y, w, h, indices: uint8 (h, w),
     palette: (n,3) uint8, transparent: int|None, interlaced: bool}."""
@@ -145,6 +148,7 @@ def frames(payload: bytes):
             raise ValueError(f"unknown GIF block 0x{b:02X}")
 
 
+@typed_decode("gif")
 def decode_gif(payload: bytes) -> dict:
     """GIF bytes → {width, height, pixels: uint8 (h, w, 3) RGB of the
     FIRST frame (transparency over white), n_frames: real frame count}."""

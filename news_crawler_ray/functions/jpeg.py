@@ -29,6 +29,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 # -- shared constants (ITU-T T.81 / JFIF, public) ---------------------------
 
 ZIGZAG = np.array([
@@ -407,6 +409,7 @@ def expected_decode(px: np.ndarray, *, subsample: bool = False) -> np.ndarray:
 
 # -- decoder ----------------------------------------------------------------
 
+@typed_decode("jpeg")
 def decode_jpeg(payload: bytes) -> dict:
     """Baseline JFIF bytes → {width, height, pixels: uint8 (h, w, 3) RGB
     (grayscale replicated to 3 channels)}. Raises ValueError on

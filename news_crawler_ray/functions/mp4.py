@@ -30,6 +30,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 __all__ = ["encode_mp4", "decode_mp4", "mp4_frames"]
 
 
@@ -271,6 +273,7 @@ def is_mp4(payload: bytes) -> bool:
     return len(payload) >= 12 and payload[4:8] == b"ftyp"
 
 
+@typed_decode("mp4")
 def decode_mp4(payload: bytes) -> dict:
     """MP4 bytes → {width, height, n_frames, fps_num, fps_den, codec,
     brand} (full container walk; per-frame pixels via
@@ -292,6 +295,7 @@ def decode_mp4(payload: bytes) -> dict:
             "n_samples_sized": len(meta.get("sizes", []))}
 
 
+@typed_decode("mp4")
 def mp4_frames(payload: bytes):
     """Yield per-frame dicts {frame_idx, rgb} with REAL decoded pixels
     for ``jpeg``-sample-entry tracks (each sample a standalone JFIF

@@ -29,6 +29,8 @@ import hashlib
 import struct
 
 import numpy as np
+
+from .codecguard import typed_decode
 import pyarrow as pa
 
 import ray.data as rd
@@ -94,6 +96,7 @@ def sniff_format(payload: bytes) -> str | None:
     return None
 
 
+@typed_decode("bmp")
 def decode_bmp(payload: bytes) -> dict:
     """24-bit uncompressed (BI_RGB) BMP → real pixels.
 
@@ -139,6 +142,7 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + body
 
 
+@typed_decode("ppm")
 def decode_ppm(payload: bytes) -> dict:
     """Binary PPM (P6, maxval ≤ 255) → real pixels (h, w, 3) RGB."""
     if payload[:2] != b"P6":
@@ -166,6 +170,7 @@ def decode_ppm(payload: bytes) -> dict:
             "pixels": np.ascontiguousarray(px)}
 
 
+@typed_decode("wav")
 def decode_wav(payload: bytes) -> dict:
     """PCM WAV → real samples.
 

@@ -27,6 +27,8 @@ import zlib
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # (color_type) -> channels
@@ -82,6 +84,7 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@typed_decode("png")
 def decode_png(payload: bytes) -> dict:
     """PNG bytes → {width, height, pixels: uint8 (h, w, 3) RGB}.
     Alpha composites over white; palette and tRNS honored; 16-bit

@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from .codecguard import typed_decode
+
 __all__ = [
     "encode_y4m", "decode_y4m", "y4m_frames",
     "encode_avi", "decode_avi", "avi_frames",
@@ -141,6 +143,7 @@ def _y4m_header(payload: bytes) -> dict:
     return meta
 
 
+@typed_decode("y4m")
 def decode_y4m(payload: bytes) -> dict:
     """Y4M bytes → {width, height, fps_num, fps_den, colorspace,
     n_frames} (container walk; per-frame pixels via
@@ -160,6 +163,7 @@ def decode_y4m(payload: bytes) -> dict:
     return meta
 
 
+@typed_decode("y4m")
 def y4m_frames(payload: bytes):
     """Yield per-frame dicts {frame_idx, y, u, v, rgb} — raw planes
     plus the BT.601 RGB conversion (u/v None and rgb grayscale-
@@ -303,6 +307,7 @@ def _avi_headers(payload: bytes) -> dict:
     return meta
 
 
+@typed_decode("avi")
 def decode_avi(payload: bytes) -> dict:
     """AVI bytes → {width, height, n_frames, fps_num, fps_den, codec,
     has_index} (header + movi walk; per-frame pixels via
@@ -315,6 +320,7 @@ def decode_avi(payload: bytes) -> dict:
     return meta
 
 
+@typed_decode("avi")
 def avi_frames(payload: bytes):
     """Yield per-frame dicts {frame_idx, rgb} with REAL decoded pixels:
     MJPG chunks through functions/jpeg.py, DIB chunks as bottom-up BGR."""
