@@ -3531,6 +3531,65 @@ FROM per ORDER BY source
 """
 
 
+def q_unicode_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source unicode hygiene: doc counts, non-ASCII and non-NFC
+    doc counts, codepoint and utf-8 byte totals — the normalization
+    audit ahead of tokenizer training (un-normalized text splits one
+    grapheme across several token ids).
+
+    Distributed shape: a per-batch combiner emits one row per source
+    per batch (ASCII-ness is the vectorized chars==bytes arrow check;
+    the per-row NFC probe runs ONLY on non-ASCII rows — ASCII is NFC
+    by definition — so the Python unicodedata call is off the hot
+    path on mostly-ASCII corpora), then a native groupby-sum folds
+    the ≤ sources×batches partial rows."""
+    import unicodedata
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        bts = pc.cast(pc.binary_length(t["text"]), pa.int64())
+        ascii_mask = pc.equal(chars, bts).to_numpy(zero_copy_only=False)
+        nonnfc = np.zeros(len(t), dtype=np.int64)
+        idx = np.nonzero(~ascii_mask)[0]
+        if len(idx):
+            sub = t["text"].take(pa.array(idx)).to_pylist()
+            for j, s in zip(idx, sub):
+                if not unicodedata.is_normalized("NFC", s):
+                    nonnfc[j] = 1
+        df = pd.DataFrame({
+            "source": t["source"].to_pylist(),
+            "n_docs": np.ones(len(t), dtype=np.int64),
+            "n_nonascii_docs": (~ascii_mask).astype(np.int64),
+            "n_nonnfc_docs": nonnfc,
+            "total_chars": chars.to_numpy(zero_copy_only=False),
+            "total_bytes": bts.to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False)
+
+    cols = ["n_docs", "n_nonascii_docs", "n_nonnfc_docs",
+            "total_chars", "total_bytes"]
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source") \
+        .aggregate(*[Sum(c, alias_name=c) for c in cols]) \
+        .to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_UNICODE_STATS_SQL = r"""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN strlen(text) <> length(text)
+                THEN 1 ELSE 0 END)::BIGINT AS n_nonascii_docs,
+       sum(CASE WHEN nfc_normalize(text) <> text
+                THEN 1 ELSE 0 END)::BIGINT AS n_nonnfc_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       sum(strlen(text))::BIGINT AS total_bytes
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_user_zscore(sf_dir: str) -> pd.DataFrame:
     """Per-user z-score of event values (windows.grouped_zscore:
     (n, Σv, Σv²) combiner → tiny groupby → native join back — the
@@ -4682,6 +4741,7 @@ QUERIES = {
     "q_nation_coverage": q_nation_coverage,
     "q_revenue_cube": q_revenue_cube,
     "q_source_entropy": q_source_entropy,
+    "q_unicode_stats": q_unicode_stats,
     "q_user_zscore": q_user_zscore,
     "q_lang_heavy_hitters": q_lang_heavy_hitters,
     "q_cross_source_dups": q_cross_source_dups,
@@ -4822,6 +4882,7 @@ ORACLES = {
     "q_nation_coverage": Q_NATION_COVERAGE_SQL,
     "q_revenue_cube": Q_REVENUE_CUBE_SQL,
     "q_source_entropy": Q_SOURCE_ENTROPY_SQL,
+    "q_unicode_stats": Q_UNICODE_STATS_SQL,
     "q_user_zscore": Q_USER_ZSCORE_SQL,
     "q_lang_heavy_hitters": Q_LANG_HEAVY_SQL,
     "q_cross_source_dups": Q_CROSS_SOURCE_DUPS_SQL,

@@ -15,7 +15,7 @@ paths:
 
 Injection is a pure function of doc_id, so the output is stable across
 runs and machines.  Snippets are shared between docs (same snippet for
-the same ``doc_id % 3``) so duplicated-substring windows CONTAINING
+the same ``doc_id % 4``) so duplicated-substring windows CONTAINING
 non-ASCII actually occur across documents, and a PII tail with accented
 context exercises the masking regexes beyond ASCII.
 """
@@ -36,6 +36,10 @@ SNIPPETS = [
     " déjà-vu résumé naïve coöperate ñandú über straße émigré ",
     " 中文文本处理需要正确的码点运算 한국어 텍스트 日本語のテキスト ",
     " mixed 🎉 astral 𝄞 plane ẞß αβγδ вопрос ответ 🚀 payload 🎯 end ",
+    # NOT NFC-normalized: decomposed e + COMBINING ACUTE (U+0301) and
+    # decomposed n + COMBINING TILDE — exercises the engines' NFC
+    # detectors against each other (unicodedata vs DuckDB's utf8proc)
+    " café mañana déjà vu ",
 ]
 
 PII_TAIL = " contacté: andré.müller@exämple-mail.de ou +33-1-555-0000 fin"
@@ -43,7 +47,7 @@ PII_TAIL = " contacté: andré.müller@exämple-mail.de ou +33-1-555-0000 fin"
 
 def inject(doc_id: int, text: str) -> str:
     if doc_id % 5 == 0:
-        snip = SNIPPETS[doc_id % 3]
+        snip = SNIPPETS[doc_id % 4]
         pos = min(50, len(text))
         text = text[:pos] + snip + text[pos:]
     if doc_id % 11 == 0:
