@@ -188,6 +188,26 @@ def _parse_stbl(payload: bytes, pos: int, end: int) -> dict:
             out["sizes"] = ([fixed] * count if fixed
                             else list(struct.unpack_from(
                                 f">{count}I", payload, p + 8)))
+        elif fc == b"stz2":
+            # compact sizes: 24-bit reserved, 8-bit field_size (4/8/16),
+            # then sample_count packed entries (14496-12 §8.7.3.3)
+            _, p = _full_body(payload, b)
+            field_size = payload[p + 3]
+            (count,) = struct.unpack_from(">I", payload, p + 4)
+            raw = payload[p + 8:]
+            if field_size == 4:
+                nibbles = np.frombuffer(
+                    raw[: (count + 1) // 2], np.uint8)
+                sizes = np.empty(2 * len(nibbles), np.int64)
+                sizes[0::2], sizes[1::2] = nibbles >> 4, nibbles & 0x0F
+                out["sizes"] = sizes[:count].tolist()
+            elif field_size in (8, 16):
+                dt = np.uint8 if field_size == 8 else ">u2"
+                out["sizes"] = np.frombuffer(
+                    raw[: count * field_size // 8], dt) \
+                    .astype(np.int64).tolist()
+            else:
+                raise ValueError(f"bad stz2 field size {field_size}")
         elif fc in (b"stco", b"co64"):
             _, p = _full_body(payload, b)
             (n_ent,) = struct.unpack_from(">I", payload, p)

@@ -108,3 +108,43 @@ class TestMultimodalWiring:
         for f, hh in rows:
             exp = expected_decode(frames[f], subsample=False)
             assert hh == hashlib.sha1(exp.tobytes()).hexdigest()[:16]
+
+
+class TestStz2:
+    """Compact sample-size box (14496-12 §8.7.3.3): rewrite a valid
+    file's stsz as an equivalent stz2 and require decode parity."""
+
+    def test_16bit_stz2_parity(self):
+        frames = _rgb_frames(3, 8, 8, seed=21)
+        p = m4.encode_mp4(frames)
+        ref = [f["rgb"] for f in m4.mp4_frames(p)]
+        i = p.index(b"stsz") - 4
+        size = struct.unpack_from(">I", p, i)[0]
+        _, count = struct.unpack_from(">II", p, i + 12)
+        sizes = struct.unpack_from(f">{count}I", p, i + 20)
+        body = (b"\x00" * 4 + b"\x00\x00\x00" + bytes([16])
+                + struct.pack(">I", count)
+                + struct.pack(f">{count}H", *sizes))
+        stz2 = struct.pack(">I", 8 + len(body)) + b"stz2" + body
+        p2 = bytearray(p[:i] + stz2 + p[i + size:])
+        delta = len(stz2) - size
+        for four in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+            j = p2.index(four) - 4
+            struct.pack_into(">I", p2, j,
+                             struct.unpack_from(">I", p2, j)[0] + delta)
+        assert m4.decode_mp4(bytes(p2))["n_samples_sized"] == count
+        got = [f["rgb"] for f in m4.mp4_frames(bytes(p2))]
+        assert all(np.array_equal(a, b) for a, b in zip(got, ref))
+
+    def test_4bit_nibble_unpack(self):
+        body = (b"\x00" * 4 + b"\x00\x00\x00" + bytes([4])
+                + struct.pack(">I", 3) + bytes([0x5A, 0x70]))
+        box = struct.pack(">I", 8 + len(body)) + b"stz2" + body
+        assert m4._parse_stbl(box, 0, len(box))["sizes"] == [5, 10, 7]
+
+    def test_bad_field_size_raises(self):
+        body = (b"\x00" * 4 + b"\x00\x00\x00" + bytes([7])
+                + struct.pack(">I", 1) + b"\x09")
+        box = struct.pack(">I", 8 + len(body)) + b"stz2" + body
+        with pytest.raises(ValueError):
+            m4._parse_stbl(box, 0, len(box))
