@@ -46,6 +46,17 @@ def _clock_probe(budget_s: float = 0.2) -> int:
     return round(n / (time.perf_counter() - t0))
 
 
+def _clock_probe_mp(nproc: int) -> int:
+    """All-core md5 ops/s via the same kernel as tools/scaling_control
+    (spawn pool, one warm + one timed wave) — pins the clock the
+    bench's parallel stages actually saw."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__))))
+    from tools.scaling_control import run as _ctl_run
+    _ctl_run(nproc, iters=2_000, waves=1)      # warm the pool path
+    return round(_ctl_run(nproc, iters=20_000, waves=2))
+
+
 def run_bench() -> dict:
     import ray
 
@@ -163,10 +174,15 @@ def run_bench() -> dict:
         # self-documenting instead of reading as a regression
         "host_visible_cpus": os.cpu_count(),
         "host_load_1m": round(os.getloadavg()[0], 2),
-        # single-core clock probe (see _clock_probe): quiet band
-        # ~560-620k; a shaped hour reads far below and explains a
-        # uniformly slow run better than load can
+        # clock probes (see _clock_probe): the 1-proc probe pins the
+        # few-cores-busy clock (quiet/boosted band ~560-620k ops/s);
+        # the 32-proc probe pins the ALL-core clock the bench actually
+        # ran at (quiet band ~11-13M total). The pair separates
+        # "boosted-but-all-core-shaped" (1p high / 32p low — the run
+        # was slow through no fault of the code) from a genuine
+        # regression (both in-band, run slow anyway).
         "host_md5_ops_1p": _clock_probe(),
+        "host_md5_ops_32p": _clock_probe_mp(32),
         "crawl_pages": summary["pages_written"],
         "crawl_pages_per_sec": round(summary["pages_written"] / crawl_sec, 1),
         "crawl_frontier_ops_per_sec": round(
