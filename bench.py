@@ -185,6 +185,9 @@ def run_bench() -> dict:
         "host_md5_ops_32p": _clock_probe_mp(32),
         "crawl_pages": summary["pages_written"],
         "crawl_pages_per_sec": round(summary["pages_written"] / crawl_sec, 1),
+        # driver-observed Amdahl breakdown of the crawl round loop
+        # (dequeue / wave / commit / finalize / page_write / round_log)
+        "crawl_phase_secs": summary.get("phase_secs", {}),
         "crawl_frontier_ops_per_sec": round(
             (summary["enqueued_total"] + summary["pages_written"]) / crawl_sec, 1),
         "bulk_pages": n_extracted,

@@ -41,6 +41,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -396,6 +398,10 @@ class CrawlEngine:
         self.cfg = cfg
         self.round = 0
         self.metrics: list[dict] = []
+        # cumulative driver-side wall time per round-loop phase; the
+        # round barrier makes these additive, so summary()["phase_secs"]
+        # is a faithful Amdahl breakdown of crawl wall time
+        self.phase_secs: dict[str, float] = {}
         self._seed_store = None
         self._host_shard_memo: dict[str, int] = {}
         self._rss_last_update: dict[str, str] = {}   # feed_url → iso ts
@@ -565,14 +571,24 @@ class CrawlEngine:
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()]))
 
+    @contextmanager
+    def _phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phase_secs[name] = (self.phase_secs.get(name, 0.0)
+                                     + time.perf_counter() - t0)
+
     # -- round loop ----------------------------------------------------
     def run(self) -> dict:
         cfg = self.cfg
         while self.round < cfg.max_rounds:
             now_ms = self.round * cfg.round_ms
-            work = _merge_batches(ray.get([
-                f.dequeue.remote(now_ms, cfg.dequeue_per_shard)
-                for f in self.frontier]))
+            with self._phase("dequeue"):
+                work = _merge_batches(ray.get([
+                    f.dequeue.remote(now_ms, cfg.dequeue_per_shard)
+                    for f in self.frontier]))
             n_work = len(work["url"])
             if n_work == 0:
                 pending = sum(ray.get([f.pending_count.remote()
@@ -582,7 +598,8 @@ class CrawlEngine:
                 self.round += 1   # politeness interval blocking: advance clock
                 continue
             self._process_round(work)
-            self._commit_round(n_work)
+            with self._phase("round_log"):
+                self._commit_round(n_work)
             self.round += 1
             if cfg.rss_discovery and self._pending_feed_urls:
                 # feeds advertised by pages of the just-committed round:
@@ -639,25 +656,29 @@ class CrawlEngine:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         bs = max(32, min(cfg.batch_size,
                          -(-table.num_rows // (2 * ncpu))))
-        refs = []
-        for off in range(0, table.num_rows, bs):
-            refs.append(_round_batch_task.remote(
-                table.slice(off, bs), self.corpus_refs,
-                cfg.only_webnews, cfg.additional_data_fn))
-        parts = ray.get(refs)
+        with self._phase("wave"):
+            refs = []
+            for off in range(0, table.num_rows, bs):
+                refs.append(_round_batch_task.remote(
+                    table.slice(off, bs), self.corpus_refs,
+                    cfg.only_webnews, cfg.additional_data_fn))
+            parts = ray.get(refs)
         if cfg.rss_discovery:
-            for p in parts:
-                if p.num_rows:
-                    self._pending_feed_urls.update(
-                        _distinct_feed_urls(p)["feed_url"].to_pylist())
+            with self._phase("rss_discover"):
+                for p in parts:
+                    if p.num_rows:
+                        self._pending_feed_urls.update(
+                            _distinct_feed_urls(p)["feed_url"].to_pylist())
         page = self._commit_discoveries(parts)
         if page.num_rows:
-            if cfg.page_sink_fn is not None:
-                cfg.page_sink_fn(page, round_dir)
-            else:
-                os.makedirs(round_dir, exist_ok=True)
-                pq.write_table(page,
-                               os.path.join(round_dir, "part-0.parquet"))
+            with self._phase("page_write"):
+                if cfg.page_sink_fn is not None:
+                    cfg.page_sink_fn(page, round_dir)
+                else:
+                    os.makedirs(round_dir, exist_ok=True)
+                    pq.write_table(page,
+                                   os.path.join(round_dir,
+                                                "part-0.parquet"))
 
     def _process_round_dataset(self, table: pa.Table, round_dir: str):
         """Streaming round for large work sets: the whole round — fetch,
@@ -681,7 +702,9 @@ class CrawlEngine:
                             fn_kwargs={"only_webnews": cfg.only_webnews},
                             batch_format="pyarrow",
                             batch_size=cfg.batch_size)
-               ).materialize()   # the round working set, reused by both passes
+               )
+        with self._phase("wave"):
+            out = out.materialize()   # round working set, reused by both passes
 
         # S8 auto-discovery: distinct advertised feed urls (task-side
         # dedup; the driver sees only feed urls, never page rows)
@@ -692,6 +715,7 @@ class CrawlEngine:
 
         # pass 1: discoveries — min-lineage winner per url, then
         # task-side seen-check + enqueue
+        commit_t0 = time.perf_counter()
         (out.map_batches(_flatten_cands, batch_format="pyarrow")
             .map_batches(_bucket_cands, batch_format="pyarrow")
             .groupby("bucket")
@@ -703,20 +727,23 @@ class CrawlEngine:
                                     "round_added": self.round + 1},
                          batch_format="pyarrow")
             .count())   # consume (tiny count rows) → commit barrier
+        self.phase_secs["commit"] = (self.phase_secs.get("commit", 0.0)
+                                     + time.perf_counter() - commit_t0)
 
         # pass 2: completion + finalize + streaming parquet sink
-        pages = out.map_batches(_complete_finalize_batch,
-                                fn_kwargs={"frontier": self.frontier,
-                                           "salt_hosts": cfg.salt_hosts},
-                                batch_format="pyarrow",
-                                batch_size=cfg.batch_size)
-        if cfg.page_sink_fn is not None:
-            tbl = pa.concat_tables(
-                [ray.get(r) for r in pages.to_arrow_refs()])
-            if tbl.num_rows:
-                cfg.page_sink_fn(tbl, round_dir)
-            return
-        pages.write_parquet(round_dir)
+        with self._phase("finalize"):
+            pages = out.map_batches(_complete_finalize_batch,
+                                    fn_kwargs={"frontier": self.frontier,
+                                               "salt_hosts": cfg.salt_hosts},
+                                    batch_format="pyarrow",
+                                    batch_size=cfg.batch_size)
+            if cfg.page_sink_fn is not None:
+                tbl = pa.concat_tables(
+                    [ray.get(r) for r in pages.to_arrow_refs()])
+                if tbl.num_rows:
+                    cfg.page_sink_fn(tbl, round_dir)
+                return
+            pages.write_parquet(round_dir)
         # drop the directory again if the round produced no page rows
         # (parity with tasks mode and the resume contract; footer-only
         # metadata reads, no data IO)
@@ -747,6 +774,7 @@ class CrawlEngine:
         if out is None:
             return pa.table({})
 
+        commit_t0 = time.perf_counter()
         # vectorized candidate flatten (the string/hash work per link was
         # already done inside the tasks; here only columnar ops run)
         cand_url_col = out["cand_url"].combine_chunks()
@@ -840,8 +868,11 @@ class CrawlEngine:
             ray.get(enq_refs)   # joint barrier with completions below
         for r in ray.get(comp_refs):
             exhausted.update(r["exhausted"])
+        self.phase_secs["commit"] = (self.phase_secs.get("commit", 0.0)
+                                     + time.perf_counter() - commit_t0)
 
-        return finalize_page_rows(out, exhausted)
+        with self._phase("finalize"):
+            return finalize_page_rows(out, exhausted)
 
     def _host_shard_cached(self, host: str) -> int:
         s = self._host_shard_memo.get(host)
@@ -948,6 +979,8 @@ class CrawlEngine:
             "seen_total": sum(ray.get([s.count.remote() for s in self.seen])),
             "enqueued_total": sum(s["enqueued_total"] for s in stats),
             "pending": sum(s["pending"] for s in stats),
+            "phase_secs": {k: round(v, 3)
+                           for k, v in sorted(self.phase_secs.items())},
         }
 
     def pages_dataset(self) -> "rd.Dataset":

@@ -196,6 +196,39 @@ def _load_bucket_table(pages_dir: str, b: int) -> pa.Table | None:
     return pa.concat_tables(tables) if tables else None
 
 
+def _load_bucket_with_canon(pages_dir: str, b: int) -> pa.Table | None:
+    """Task body: load one pages bucket partition and precompute canon.
+    Runs as a plain Ray task so cold-start bucket loads parallelize
+    across the cluster instead of serializing through the directory
+    actor (measured: serial loads stalled the first wave ~5-10 s)."""
+    t = _load_bucket_table(pages_dir, b)
+    return _with_canon_column(t) if t is not None else None
+
+
+def _load_meta_with_canon(fetchmeta_path: str, b: int) -> pa.Table | None:
+    files = _fetchmeta_bucket_files(fetchmeta_path, b)
+    if not files:
+        return None
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return _with_canon_column(t)
+
+
+def _with_canon_column(t: pa.Table) -> pa.Table:
+    """Append a precomputed ``canon`` (canonical_url of ``url``) column.
+
+    Canonicalization is the expensive part of a worker-side key-index
+    build (measured ~20 µs/url → 170-600 ms per bucket); computing it
+    ONCE here, before the table enters the object store, turns every
+    per-(worker, bucket) index build into a plain dict(zip(...)) over
+    shared Arrow columns (~2 ms). Without this, a 64-task wave re-paid
+    ~35 cold index builds per round — 99% of measured fetch-stage time.
+    At 100 TB scale the same column is materialized at corpus-ingest
+    time instead (one pass, amortized over every crawl)."""
+    return t.append_column(
+        "canon", pa.array([canonical_url(u)
+                           for u in t["url"].to_pylist()], pa.string()))
+
+
 class _CorpusDirectory:
     """Named actor: loads bucket partitions into the object store ON
     DEMAND and hands out the refs. The working set is the buckets the
@@ -216,10 +249,15 @@ class _CorpusDirectory:
         return {"num_buckets": self.num_buckets, "token": self.token}
 
     def get_bucket(self, b: int):
+        """→ ObjectRef resolving to the bucket's Arrow table (with the
+        precomputed ``canon`` column) or to None for an absent partition.
+        The load runs as a detached Ray task: concurrent cold requests
+        for different buckets parallelize, and this actor stays a pure
+        metadata server (never holds page payloads)."""
         import ray
         if b not in self._refs:
-            t = _load_bucket_table(self.pages_dir, b)
-            self._refs[b] = ray.put(t) if t is not None else None
+            self._refs[b] = ray.remote(_load_bucket_with_canon) \
+                .remote(self.pages_dir, b)
         return self._refs[b]
 
     def get_meta(self, b: int):
@@ -230,10 +268,8 @@ class _CorpusDirectory:
         if not os.path.isdir(self.fetchmeta_path):
             b = _META_ALL
         if b not in self._meta_refs:
-            files = _fetchmeta_bucket_files(self.fetchmeta_path, b)
-            t = (pa.concat_tables([pq.read_table(f) for f in files])
-                 if files else None)
-            self._meta_refs[b] = ray.put(t) if t is not None else None
+            self._meta_refs[b] = ray.remote(_load_meta_with_canon) \
+                .remote(self.fetchmeta_path, b)
         return self._meta_refs[b]
 
 
@@ -263,15 +299,17 @@ class _SharedIndex:
         if m is None:
             import ray
             ref = ray.get(self.refs["directory"].get_meta.remote(b))
-            if ref is None:
+            t = ray.get(ref) if ref is not None else None
+            if t is None:
                 m = {}
             else:
-                t = ray.get(ref)   # zero-copy from the object store
-                m = {canonical_url(u): (s, r, mm)
-                     for u, s, r, mm in zip(t["url"].to_pylist(),
-                                            t["status"].to_pylist(),
-                                            t["redirect_to"].to_pylist(),
-                                            t["mime_type"].to_pylist())}
+                # key on the directory-precomputed canon column (see
+                # _with_canon_column) — the zip/dict build is the only
+                # per-worker cost left
+                m = dict(zip(t["canon"].to_pylist(),
+                             zip(t["status"].to_pylist(),
+                                 t["redirect_to"].to_pylist(),
+                                 t["mime_type"].to_pylist())))
             self._meta_idx[b] = m
         return m
 
@@ -280,12 +318,11 @@ class _SharedIndex:
         if entry is None:
             import ray
             ref = ray.get(self.refs["directory"].get_bucket.remote(b))
-            if ref is None:
+            t = ray.get(ref) if ref is not None else None
+            if t is None:
                 entry = (None, {})
             else:
-                t = ray.get(ref)   # zero-copy from the object store
-                idx = {canonical_url(u): i
-                       for i, u in enumerate(t["url"].to_pylist())}
+                idx = dict(zip(t["canon"].to_pylist(), range(t.num_rows)))
                 entry = (t, idx)
             self._bucket_idx[b] = entry
         return entry
