@@ -583,12 +583,15 @@ class CrawlEngine:
     # -- round loop ----------------------------------------------------
     def run(self) -> dict:
         cfg = self.cfg
+        pre_deq = None   # next round's dequeue refs, submitted early
         while self.round < cfg.max_rounds:
             now_ms = self.round * cfg.round_ms
             with self._phase("dequeue"):
-                work = _merge_batches(ray.get([
-                    f.dequeue.remote(now_ms, cfg.dequeue_per_shard)
-                    for f in self.frontier]))
+                work = _merge_batches(ray.get(
+                    pre_deq if pre_deq is not None else
+                    [f.dequeue.remote(now_ms, cfg.dequeue_per_shard)
+                     for f in self.frontier]))
+            pre_deq = None
             n_work = len(work["url"])
             if n_work == 0:
                 pending = sum(ray.get([f.pending_count.remote()
@@ -597,9 +600,36 @@ class CrawlEngine:
                     break
                 self.round += 1   # politeness interval blocking: advance clock
                 continue
-            self._process_round(work)
+            tail, overlap_ok = self._process_round(work)
+            # Round-N/round-N+1 overlap: every frontier-shard RPC of this
+            # round is submitted from THIS caller, and Ray executes actor
+            # tasks per caller in submission order — so per shard the
+            # program order enqueue → complete → drain_order_log → stats
+            # → dequeue(N+1) holds without a barrier. Submitting the
+            # order-log/stats reads and the NEXT dequeue now lets the
+            # shards compute them while the driver runs the round's tail
+            # (page finalize + parquet sink + metrics files). Gated off
+            # when driver-side state must land first: a checkpoint (the
+            # snapshot must not capture a post-dequeue frontier), an RSS
+            # enqueue, or dataset-mode rounds (their complete() RPCs are
+            # submitted from tasks — other callers — so the ordering
+            # guarantee doesn't apply).
+            log_refs = [f.drain_order_log.remote() for f in self.frontier]
+            stat_refs = [f.stats.remote() for f in self.frontier]
+            seen_refs = [s.count.remote() for s in self.seen]
+            checkpoint_due = (self.round + 1) % cfg.checkpoint_every == 0
+            rss_pending = cfg.rss_discovery and bool(self._pending_feed_urls)
+            refresh_due = ((cfg.scrape_rss or cfg.rss_discovery)
+                           and cfg.rss_refresh_every
+                           and (self.round + 1) % cfg.rss_refresh_every == 0)
+            if (overlap_ok and not checkpoint_due and not rss_pending
+                    and not refresh_due and self.round + 1 < cfg.max_rounds):
+                pre_deq = [f.dequeue.remote((self.round + 1) * cfg.round_ms,
+                                            cfg.dequeue_per_shard)
+                           for f in self.frontier]
+            tail()
             with self._phase("round_log"):
-                self._commit_round(n_work)
+                self._commit_round(n_work, log_refs, stat_refs, seen_refs)
             self.round += 1
             if cfg.rss_discovery and self._pending_feed_urls:
                 # feeds advertised by pages of the just-committed round:
@@ -624,6 +654,12 @@ class CrawlEngine:
         return s
 
     def _process_round(self, work: dict):
+        """Run one round's fetch/extract/commit. Returns ``(tail,
+        overlap_ok)``: ``tail`` is a deferred driver-side closure (page
+        finalize + sink) that gates nothing in the next round and runs
+        after run() pre-submits the next dequeue; ``overlap_ok`` says
+        whether every frontier RPC of this round was submitted from the
+        driver (tasks mode), i.e. the submission-order overlap is safe."""
         cfg = self.cfg
         # bucket-pure batches: sort work by the corpus host-bucket so each
         # task touches exactly one bucket partition (partition-pruned
@@ -650,7 +686,7 @@ class CrawlEngine:
                 else "dataset"
         if mode == "dataset":
             self._process_round_dataset(table, round_dir)
-            return
+            return (lambda: None), False
         # adaptive batch size: target ≥2 task waves per CPU so the
         # round barrier's last wave doesn't idle most of the pool
         ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -669,16 +705,23 @@ class CrawlEngine:
                     if p.num_rows:
                         self._pending_feed_urls.update(
                             _distinct_feed_urls(p)["feed_url"].to_pylist())
-        page = self._commit_discoveries(parts)
-        if page.num_rows:
-            with self._phase("page_write"):
-                if cfg.page_sink_fn is not None:
-                    cfg.page_sink_fn(page, round_dir)
-                else:
-                    os.makedirs(round_dir, exist_ok=True)
-                    pq.write_table(page,
-                                   os.path.join(round_dir,
-                                                "part-0.parquet"))
+        out, exhausted = self._commit_discoveries(parts)
+
+        def tail():
+            if out is None:
+                return
+            with self._phase("finalize"):
+                page = finalize_page_rows(out, exhausted)
+            if page.num_rows:
+                with self._phase("page_write"):
+                    if cfg.page_sink_fn is not None:
+                        cfg.page_sink_fn(page, round_dir)
+                    else:
+                        os.makedirs(round_dir, exist_ok=True)
+                        pq.write_table(page,
+                                       os.path.join(round_dir,
+                                                    "part-0.parquet"))
+        return tail, True
 
     def _process_round_dataset(self, table: pa.Table, round_dir: str):
         """Streaming round for large work sets: the whole round — fetch,
@@ -754,7 +797,7 @@ class CrawlEngine:
             if rows == 0:
                 shutil.rmtree(round_dir)
 
-    def _commit_discoveries(self, parts: list[pa.Table]) -> pa.Table:
+    def _commit_discoveries(self, parts: list[pa.Table]) -> tuple:
         """Deterministic round commit: candidate dedup by MIN lineage key
         (order-independent — same-round duplicate discoveries resolve to
         the earliest referrer regardless of batch interleaving), then
@@ -772,7 +815,7 @@ class CrawlEngine:
         out = pa.concat_tables([p for p in parts if p.num_rows]) \
             if any(p.num_rows for p in parts) else None
         if out is None:
-            return pa.table({})
+            return None, set()
 
         commit_t0 = time.perf_counter()
         # vectorized candidate flatten (the string/hash work per link was
@@ -870,9 +913,7 @@ class CrawlEngine:
             exhausted.update(r["exhausted"])
         self.phase_secs["commit"] = (self.phase_secs.get("commit", 0.0)
                                      + time.perf_counter() - commit_t0)
-
-        with self._phase("finalize"):
-            return finalize_page_rows(out, exhausted)
+        return out, exhausted
 
     def _host_shard_cached(self, host: str) -> int:
         s = self._host_shard_memo.get(host)
@@ -890,10 +931,16 @@ class CrawlEngine:
         salt = urlnorm.url_shard(url, k)
         return urlnorm.host_shard(host, len(self.frontier), salt=salt)
 
-    def _commit_round(self, n_work: int):
+    def _commit_round(self, n_work: int, log_refs=None, stat_refs=None,
+                      seen_refs=None):
+        """Round bookkeeping. ``log_refs``/``stat_refs``/``seen_refs``
+        are the pre-submitted shard RPCs from run() (submitted before the
+        next round's dequeue so each shard reads its round-N state);
+        submitted here when absent (checkpoint/resume callers)."""
         cfg = self.cfg
-        logs = _merge_batches(ray.get([f.drain_order_log.remote()
-                                       for f in self.frontier]))
+        logs = _merge_batches(ray.get(
+            log_refs if log_refs is not None else
+            [f.drain_order_log.remote() for f in self.frontier]))
         order_dir = os.path.join(cfg.out_dir, "crawl_order")
         os.makedirs(order_dir, exist_ok=True)
         pq.write_table(pa.table({
@@ -903,8 +950,10 @@ class CrawlEngine:
             "priority_tier": pa.array(logs["priority_tier"], pa.int32()),
         }), os.path.join(order_dir, f"round-{self.round}.parquet"))
 
-        stats = ray.get([f.stats.remote() for f in self.frontier])
-        seen_total = sum(ray.get([s.count.remote() for s in self.seen]))
+        stats = ray.get(stat_refs if stat_refs is not None else
+                        [f.stats.remote() for f in self.frontier])
+        seen_total = sum(ray.get(seen_refs if seen_refs is not None else
+                                 [s.count.remote() for s in self.seen]))
         in_flight = sum(s["in_flight"] for s in stats)
         assert in_flight == 0, f"in-flight leak at round barrier: {in_flight}"
         m = {

@@ -37,6 +37,44 @@ def engine_result(ray_session, corpus):
     return {"summary": summary, "pages": pages, "order": order}
 
 
+@pytest.fixture(scope="module")
+def engine_result_overlap(ray_session, corpus):
+    """Bench-style config: checkpointing effectively off, so run()
+    pre-submits round N+1's dequeue while round N's tail (finalize +
+    parquet sink + order-log write) runs — the overlap path."""
+    cfg = CrawlConfig(corpus_root=corpus.root,
+                      out_dir="/tmp/ncr_test_crawl_overlap",
+                      checkpoint_every=10**9)
+    eng = CrawlEngine(cfg)
+    summary = eng.run()
+    pages = eng.pages_dataset().to_pandas()
+    order = eng.crawl_order_table().to_pandas()
+    eng.shutdown()
+    return {"summary": summary, "pages": pages, "order": order}
+
+
+class TestOverlapConformance:
+    """The dequeue-overlap fast path must reproduce the serial goldens:
+    same page-url set, same per-host crawl order, same seen count."""
+
+    def test_same_pages(self, engine_result_overlap, oracle_result):
+        r = engine_result_overlap
+        assert r["summary"]["seen_total"] == oracle_result["seen_count"]
+        assert set(r["pages"]["url"]) == \
+            set(oracle_result["pages"]["url"].to_pylist())
+
+    def test_same_per_host_order(self, engine_result_overlap,
+                                 oracle_result):
+        eng = engine_result_overlap["order"]
+        ora = oracle_result["order"].to_pandas()
+        for host in sorted(ora["host"].unique()):
+            e = eng[eng.host == host].sort_values("host_seq")
+            o = ora[ora.host == host].sort_values("host_seq")
+            assert list(e["url"]) == list(o["url"]), host
+            assert list(e["priority_tier"]) == \
+                list(o["priority_tier"]), host
+
+
 class TestConformance:
     def test_seen_membership(self, engine_result, oracle_result):
         assert engine_result["summary"]["seen_total"] == \
