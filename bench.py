@@ -135,7 +135,9 @@ def run_bench() -> dict:
                  "q_quantity_mad", "q_props_field_stats",
                  "q_user_dropoffs", "q_active_users_7d",
                  "q_source_kl", "q_retention_cohorts",
-                 "q_paragraph_dedup", "media_video_frames"):
+                 "q_paragraph_dedup", "media_video_frames",
+                 "q_bm25_topk", "q_lm_quality", "q_dsir_weights",
+                 "q_embedding_components"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

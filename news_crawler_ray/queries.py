@@ -4670,6 +4670,405 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# IR / data-curation operators (round 4): BM25 retrieval, duplicate-family
+# connected components, unigram-LM quality scoring (CCNet-style), DSIR
+# importance weights — each with an exact integerized DuckDB twin.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-20 documents for a fixed 3-term query (Robertson
+    et al.; the Lucene ``ln(1 + (N-df+.5)/(df+.5))`` idf form).
+
+    Distributed shape: one pass compresses each document to a 5-int row
+    (doc_id, dl, tf per query term) — corpus stats (N, Σdl, df per term)
+    fold from per-batch partials, scoring is a vectorized second pass
+    over the compact rows with the stats broadcast as plain scalars, and
+    each batch prunes to a local top-20 before the driver's final
+    nlargest over ≤ 20·n_batches candidate rows. Only query-term tf
+    counts ever leave a batch; full text never re-crosses the wire.
+    Per-term scores are floored to integer micro-units before the
+    per-doc sum, so the ranking is bit-identical to the SQL twin."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        dids, dls = [], []
+        tfs: list[list[int]] = [[] for _ in terms]
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = (text or "").split()
+            dids.append(did)
+            dls.append(len(toks))
+            for j, q in enumerate(terms):
+                tfs[j].append(toks.count(q))
+        cols = {"doc_id": pa.array(dids, pa.int64()),
+                "dl": pa.array(dls, pa.int64())}
+        for j in range(len(terms)):
+            cols[f"tf{j}"] = pa.array(tfs[j], pa.int64())
+        return pa.table(cols)
+
+    compact = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        cols = {"n": pa.array([t.num_rows], pa.int64()),
+                "sdl": pa.array([pc.sum(t["dl"]).as_py() or 0], pa.int64())}
+        for j in range(len(terms)):
+            cols[f"df{j}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(t[f"tf{j}"], 0),
+                                pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(cols)
+
+    st = compact.map_batches(stat_partial,
+                             batch_format="pyarrow").to_pandas().sum()
+    n, avgdl = float(st["n"]), float(st["sdl"]) / float(st["n"])
+    idf = [float(np.log((n - float(st[f"df{j}"]) + 0.5)
+                        / (float(st[f"df{j}"]) + 0.5) + 1.0))
+           for j in range(len(terms))]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        total = np.zeros(len(dl), dtype=np.int64)
+        any_tf = np.zeros(len(dl), dtype=bool)
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            any_tf |= tf > 0
+            total += np.floor(idf[j] * tf / (tf + denom_norm)
+                              * 1_000_000).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "score_micro": total})[any_tf]
+        # local top-k prune: only candidate rows cross to the driver
+        return pa.Table.from_pandas(
+            out.sort_values(["score_micro", "doc_id"],
+                            ascending=[False, True]).head(20),
+            preserve_index=False)
+
+    cand = compact.map_batches(score, batch_format="pyarrow").to_pandas()
+    return cand.sort_values(["score_micro", "doc_id"],
+                            ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+
+
+def _bm25_sql() -> str:
+    t0, t1, t2 = _BM25_TERMS
+    k1, b = _BM25_K1, _BM25_B
+    term = ("CAST(floor(ln((n - df{j} + 0.5) / (df{j} + 0.5) + 1.0) "
+            "* tf{j} / (tf{j} + {k1} * (1.0 - {b} + {b} * dl / (sdl / n))) "
+            "* 1000000) AS BIGINT)")
+    terms_sql = " + ".join(term.format(j=j, k1=k1, b=b) for j in range(3))
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '') AS w
+           FROM documents),
+c AS (SELECT doc_id, len(w)::BIGINT AS dl,
+             length(list_filter(w, x -> x = '{t0}'))::BIGINT AS tf0,
+             length(list_filter(w, x -> x = '{t1}'))::BIGINT AS tf1,
+             length(list_filter(w, x -> x = '{t2}'))::BIGINT AS tf2
+      FROM d),
+g AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM c)
+SELECT doc_id, ({terms_sql})::BIGINT AS score_micro
+FROM c, g WHERE tf0 + tf1 + tf2 > 0
+ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+def q_embedding_components(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style duplicate families (Abbas et al.'23): connected
+    components over the exact cosine-similarity near-dup graph
+    (threshold 0.45, the same pair rule q_embedding_neardup_exact
+    pins), each vector labeled with its component's min vec_id — the
+    cluster view a keep-one-per-family dedup acts on.
+
+    Distributed shape: pairs come from the bucketed batch×corpus
+    matmul (dedup.exact_neardup_pairs — corpus matrix broadcast once,
+    no all-pairs shuffle), components resolve via
+    dedup.dedup_groups_distributed (min-label propagation, one
+    groupby-min shuffle per round, no driver pair state). Singletons
+    join as themselves in the final per-vector frame (driver-bounded
+    by definition: one row per vector)."""
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    from .rayutil import project_blocks
+
+    pairs = project_blocks(
+        dd.exact_neardup_pairs(ds, threshold=0.45).map_batches(
+            lambda t: pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]}),
+            batch_format="pyarrow"),
+        ["doc_a", "doc_b"])
+    labels = dd.dedup_groups_distributed(pairs).to_pandas()
+    if labels.empty:
+        labels = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                               "cluster_rep": pd.Series([], dtype="int64")})
+    labels = labels.rename(columns={"doc_id": "vec_id"})
+
+    all_vecs = read_parquet(_t(sf_dir, "embeddings"),
+                            columns=["vec_id"]).to_pandas()
+    out = all_vecs.merge(labels, on="vec_id", how="left")
+    out["component_id"] = out["cluster_rep"] \
+        .fillna(out["vec_id"]).astype("int64")
+    return out[["vec_id", "component_id"]] \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+Q_EMB_COMPONENTS_SQL = """
+WITH RECURSIVE
+e AS (SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u)
+SELECT m.vec_id,
+       least(m.vec_id, coalesce(min(r.v), m.vec_id))::BIGINT
+         AS component_id
+FROM embeddings m LEFT JOIN reach r ON r.u = m.vec_id
+GROUP BY m.vec_id ORDER BY m.vec_id
+"""
+
+
+def _doc_token_hash_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, h, tf) rows: per-document counts of 60-bit md5 token
+    hashes (whitespace tokens; hash rule shared with the SQL twin so
+    collisions — if any — are identical on both sides)."""
+    import hashlib as _h
+    from collections import Counter
+    dids, hs, tfs = [], [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        c = Counter(int(_h.md5(w.encode()).hexdigest()[:15], 16)
+                    for w in (text or "").split())
+        for h, tf in c.items():
+            dids.append(did)
+            hs.append(h)
+            tfs.append(tf)
+    return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                     "h": pa.array(hs, pa.int64()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def q_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM negative-log-likelihood per document — the CCNet-style
+    quality signal (Wenzek et al.'20: LM perplexity ranks documents for
+    training-data selection; a corpus-fit unigram model is its exact,
+    oracle-checkable core).
+
+    Distributed shape: documents compress to (doc_id, token_hash, tf)
+    partials per batch; corpus token totals fold through salted buckets
+    (one row per DISTINCT token crosses that shuffle); a native int-key
+    join co-locates each doc-token row with its corpus count, per-term
+    integer floors make the per-doc sums order-independent, and the
+    final per-doc reduce moves one row per document. nll_milli =
+    mean over tokens of -ln p(token) (milli-nats), where p = corpus
+    unigram frequency."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    from .rayutil import bucketed_group_sum, project_blocks
+
+    dt = project_blocks(
+        ds.map_batches(_doc_token_hash_rows, batch_format="pyarrow"),
+        ["doc_id", "h", "tf"]).materialize()
+
+    counts = project_blocks(
+        bucketed_group_sum(dt, ["h"], {"tf": "c"}), ["h", "c"]) \
+        .materialize()
+    total = float(counts.map_batches(
+        lambda t: pa.table({"s": pa.array([pc.sum(t["c"]).as_py() or 0],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+
+    joined = project_blocks(
+        dt.join(counts, join_type="inner", num_partitions=8,
+                on=("h",), right_on=("h",)),
+        ["doc_id", "tf", "c"])
+
+    def term_ints(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "t1": pd.Series([], dtype="int64")})
+        t1 = np.floor(np.log(b["c"].to_numpy().astype(np.float64))
+                      * b["tf"].to_numpy() * 1_000_000).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"], "tf": b["tf"],
+                             "t1": t1})
+
+    agg = bucketed_group_sum(
+        joined.map_batches(term_ints, batch_format="pandas"),
+        ["doc_id"], {"tf": "n_tokens", "t1": "s1"}).to_pandas()
+    agg["nll_milli"] = np.floor(
+        (np.log(total) - agg["s1"] / 1_000_000.0 / agg["n_tokens"])
+        * 1000).astype("int64")
+    return agg[["doc_id", "n_tokens", "nll_milli"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_LM_QUALITY_SQL = r"""
+WITH tok AS (SELECT doc_id,
+                    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+             FROM (SELECT doc_id,
+                          unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS t
+                   FROM documents)),
+dt AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ct AS (SELECT h, sum(tf)::BIGINT AS c FROM dt GROUP BY h),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM ct),
+terms AS (SELECT dt.doc_id, dt.tf,
+                 CAST(floor(ln(ct.c) * dt.tf * 1000000) AS BIGINT) AS t1
+          FROM dt JOIN ct USING (h)),
+agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               sum(t1)::BIGINT AS s1
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       CAST(floor((ln(total) - s1 / 1000000.0 / n_tokens) * 1000)
+            AS BIGINT) AS nll_milli
+FROM agg, tot ORDER BY doc_id
+"""
+
+
+def _doc_bigram_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, h, tf, tf_tgt) rows: per-document hashed word-bigram
+    counts, with the count mirrored into tf_tgt for target-domain
+    (lang='en') documents so one shuffle folds both distributions."""
+    import hashlib as _h
+    from collections import Counter
+    dids, hs, tfs, tts = [], [], [], []
+    for did, text, lang in zip(t["doc_id"].to_pylist(),
+                               t["text"].to_pylist(),
+                               t["lang"].to_pylist()):
+        toks = (text or "").split()
+        c = Counter(
+            int(_h.md5((toks[i] + " " + toks[i + 1]).encode())
+                .hexdigest()[:15], 16)
+            for i in range(len(toks) - 1))
+        is_tgt = lang == "en"
+        for h, tf in c.items():
+            dids.append(did)
+            hs.append(h)
+            tfs.append(tf)
+            tts.append(tf if is_tgt else 0)
+    return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                     "h": pa.array(hs, pa.int64()),
+                     "tf": pa.array(tfs, pa.int64()),
+                     "tf_tgt": pa.array(tts, pa.int64())})
+
+
+def q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (Xie et al.'23): per-document
+    log-likelihood ratio of a target-domain hashed-bigram model
+    (target = lang='en' documents) vs the raw-corpus model, with
+    add-one smoothing over the observed feature vocabulary — the
+    data-selection score used to resample a raw corpus toward a
+    target domain.
+
+    Distributed shape: same join topology as q_lm_quality — hashed
+    bigram partials per batch, ONE salted fold builds both the corpus
+    and target counts (tf_tgt rides along), a native int-key join
+    co-locates doc rows with counts, per-term integer floors make the
+    per-doc log-ratio sums order-independent. w_milli > 0 reads
+    "more target-like than the corpus average"."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "text", "lang"])
+    from .rayutil import bucketed_group_sum, project_blocks
+
+    dt = project_blocks(
+        ds.map_batches(_doc_bigram_rows, batch_format="pyarrow"),
+        ["doc_id", "h", "tf", "tf_tgt"]).materialize()
+
+    counts = project_blocks(
+        bucketed_group_sum(dt, ["h"], {"tf": "c_all",
+                                       "tf_tgt": "c_tgt"}),
+        ["h", "c_all", "c_tgt"]).materialize()
+    st = counts.map_batches(
+        lambda t: pa.table({
+            "v": pa.array([t.num_rows], pa.int64()),
+            "t_all": pa.array([pc.sum(t["c_all"]).as_py() or 0],
+                              pa.int64()),
+            "t_tgt": pa.array([pc.sum(t["c_tgt"]).as_py() or 0],
+                              pa.int64())}),
+        batch_format="pyarrow").to_pandas().sum()
+    v, t_all, t_tgt = (float(st["v"]), float(st["t_all"]),
+                       float(st["t_tgt"]))
+
+    joined = project_blocks(
+        dt.join(counts, join_type="inner", num_partitions=8,
+                on=("h",), right_on=("h",)),
+        ["doc_id", "tf", "c_all", "c_tgt"])
+
+    def term_ints(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "tf": pd.Series([], dtype="int64"),
+                                 "t1": pd.Series([], dtype="int64"),
+                                 "t2": pd.Series([], dtype="int64")})
+        tf = b["tf"].to_numpy()
+        t1 = np.floor(np.log(b["c_tgt"].to_numpy().astype(np.float64)
+                             + 1.0) * tf * 1_000_000).astype(np.int64)
+        t2 = np.floor(np.log(b["c_all"].to_numpy().astype(np.float64)
+                             + 1.0) * tf * 1_000_000).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"], "tf": tf,
+                             "t1": t1, "t2": t2})
+
+    agg = bucketed_group_sum(
+        joined.map_batches(term_ints, batch_format="pandas"),
+        ["doc_id"], {"tf": "n_bigrams", "t1": "s1", "t2": "s2"}) \
+        .to_pandas()
+    agg["w_milli"] = np.floor(
+        ((agg["s1"] - agg["s2"]) / 1_000_000.0
+         + agg["n_bigrams"] * (np.log(t_all + v) - np.log(t_tgt + v)))
+        * 1000).astype("int64")
+    return agg[["doc_id", "n_bigrams", "w_milli"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DSIR_SQL = r"""
+WITH w AS (SELECT doc_id, lang,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+bg AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 15))
+                ::BIGINT AS h
+       FROM (SELECT doc_id, lang, toks,
+                    unnest(range(1, len(toks))) AS i FROM w)),
+dt AS (SELECT doc_id, h, count(*)::BIGINT AS tf,
+              (CASE WHEN lang = 'en' THEN count(*) ELSE 0 END)::BIGINT
+                AS tf_tgt
+       FROM bg GROUP BY doc_id, h, lang),
+ct AS (SELECT h, sum(tf)::BIGINT AS c_all, sum(tf_tgt)::BIGINT AS c_tgt
+       FROM dt GROUP BY h),
+tot AS (SELECT count(*)::DOUBLE AS v, CAST(sum(c_all) AS DOUBLE) AS t_all,
+               CAST(sum(c_tgt) AS DOUBLE) AS t_tgt
+        FROM ct),
+terms AS (SELECT dt.doc_id, dt.tf,
+                 CAST(floor(ln(ct.c_tgt + 1.0) * dt.tf * 1000000)
+                      AS BIGINT) AS t1,
+                 CAST(floor(ln(ct.c_all + 1.0) * dt.tf * 1000000)
+                      AS BIGINT) AS t2
+          FROM dt JOIN ct USING (h)),
+agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+               sum(t1)::BIGINT AS s1, sum(t2)::BIGINT AS s2
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       CAST(floor(((s1 - s2) / 1000000.0
+                   + n_bigrams * (ln(t_all + v) - ln(t_tgt + v)))
+                  * 1000) AS BIGINT) AS w_milli
+FROM agg, tot ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -4788,6 +5187,10 @@ QUERIES = {
     "q_running_user_totals": q_running_user_totals,
     "q_retention_cohorts": q_retention_cohorts,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_bm25_topk": q_bm25_topk,
+    "q_embedding_components": q_embedding_components,
+    "q_lm_quality": q_lm_quality,
+    "q_dsir_weights": q_dsir_weights,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
@@ -4903,4 +5306,8 @@ ORACLES = {
     "q_source_kl": Q_SOURCE_KL_SQL,
     "q_retention_cohorts": Q_RETENTION_COHORTS_SQL,
     "q_paragraph_dedup": Q_PARAGRAPH_DEDUP_SQL,
+    "q_bm25_topk": _bm25_sql(),
+    "q_embedding_components": Q_EMB_COMPONENTS_SQL,
+    "q_lm_quality": Q_LM_QUALITY_SQL,
+    "q_dsir_weights": Q_DSIR_SQL,
 }
