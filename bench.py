@@ -137,7 +137,7 @@ def run_bench() -> dict:
                  "q_source_kl", "q_retention_cohorts",
                  "q_paragraph_dedup", "media_video_frames",
                  "q_bm25_topk", "q_lm_quality", "q_dsir_weights",
-                 "q_embedding_components"):
+                 "q_embedding_components", "q_ngram_novelty"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

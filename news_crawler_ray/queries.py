@@ -5069,6 +5069,143 @@ FROM agg, tot ORDER BY doc_id
 """
 
 
+def _doc_trigram_types(t: pa.Table) -> pa.Table:
+    """(doc_id, h) rows: DISTINCT 60-bit md5 hashes of the document's
+    word trigrams (type-level — duplicates within a doc collapse, so a
+    downstream count(h) is an exact document frequency)."""
+    import hashlib as _h
+    dids, hs = [], []
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (text or "").split()
+        seen = set()
+        for i in range(len(toks) - 2):
+            h = int(_h.md5((toks[i] + " " + toks[i + 1] + " "
+                            + toks[i + 2]).encode()).hexdigest()[:15], 16)
+            if h not in seen:
+                seen.add(h)
+                dids.append(did)
+                hs.append(h)
+    return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                     "h": pa.array(hs, pa.int64())})
+
+
+def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document n-gram novelty: how many of a doc's trigram TYPES
+    appear in no other document (corpus df == 1) — the memorization /
+    contamination-risk signal behind "fraction of novel n-grams"
+    train-set audits (cf. Lee et al.'22 §5, McCoy et al. RAVEN).
+
+    Distributed shape: type-level (doc, trigram-hash) rows per batch;
+    document frequency folds through salted buckets (one row per
+    DISTINCT trigram crosses the shuffle); a native int-key join brings
+    each doc row its df; per-doc counts fold as integer partials."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    from .rayutil import bucketed_group_sum, project_blocks
+
+    g = project_blocks(
+        ds.map_batches(_doc_trigram_types, batch_format="pyarrow"),
+        ["doc_id", "h"]).materialize()
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    df = project_blocks(
+        bucketed_group_sum(g.map_batches(ones, batch_format="pyarrow"),
+                           ["h"], {"one": "df"}),
+        ["h", "df"])
+    joined = project_blocks(
+        g.join(df, join_type="inner", num_partitions=8,
+               on=("h",), right_on=("h",)),
+        ["doc_id", "df"])
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_types": pd.Series([], dtype="int64"),
+                                 "n_novel": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_types": np.ones(len(b), dtype=np.int64),
+            "n_novel": (b["df"].to_numpy() == 1).astype(np.int64)})
+        return out.groupby("doc_id", as_index=False).sum()
+
+    out = bucketed_group_sum(
+        joined.map_batches(doc_partial, batch_format="pandas"),
+        ["doc_id"], {"n_types": "n_types", "n_novel": "n_novel"}) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NGRAM_NOVELTY_SQL = r"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1] || ' '
+                                 || toks[i + 2]), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+            FROM w)),
+df AS (SELECT h, count(*)::BIGINT AS df FROM g GROUP BY h)
+SELECT doc_id, count(*)::BIGINT AS n_types,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+FROM g JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_embed_quant_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension int8 quantization parameters over the embedding
+    table (min/max/scale — what an affine int8 ANN index or KV-cache
+    quantizer calibrates from). min/max of floats involve no
+    accumulation, so integerized outputs are exact against SQL.
+
+    Distributed shape: each batch reduces its (rows × dim) matrix to
+    one (dim, min, max) partial — the shuffle moves dim-count rows per
+    batch regardless of corpus size; the final fold is a dim-sized
+    groupby."""
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        emb = t["embedding"].combine_chunks()
+        d = pc.list_value_length(emb)[0].as_py()
+        m = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, d)
+        return pa.table({"dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                         "mn": pa.array(m.min(axis=0), pa.float64()),
+                         "mx": pa.array(m.max(axis=0), pa.float64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
+        .groupby("dim", as_index=False).agg(mn=("mn", "min"),
+                                            mx=("mx", "max"))
+    out = pd.DataFrame({
+        "dim": agg["dim"].astype("int64"),
+        "min_micro": np.floor(agg["mn"] * 1_000_000 + 0.5).astype("int64"),
+        "max_micro": np.floor(agg["mx"] * 1_000_000 + 0.5).astype("int64"),
+        "scale_nano": np.floor((agg["mx"] - agg["mn"]) / 255.0
+                               * 1_000_000_000 + 0.5).astype("int64")})
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+Q_EMBED_QUANT_SQL = """
+SELECT CAST(idx AS BIGINT) AS dim,
+       CAST(floor(min(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS min_micro,
+       CAST(floor(max(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS max_micro,
+       CAST(floor((max(CAST(v AS DOUBLE)) - min(CAST(v AS DOUBLE)))
+                  / 255.0 * 1000000000 + 0.5) AS BIGINT) AS scale_nano
+FROM (SELECT unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS idx
+      FROM embeddings)
+GROUP BY idx ORDER BY dim
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -5191,6 +5328,8 @@ QUERIES = {
     "q_embedding_components": q_embedding_components,
     "q_lm_quality": q_lm_quality,
     "q_dsir_weights": q_dsir_weights,
+    "q_ngram_novelty": q_ngram_novelty,
+    "q_embed_quant_stats": q_embed_quant_stats,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
@@ -5310,4 +5449,6 @@ ORACLES = {
     "q_embedding_components": Q_EMB_COMPONENTS_SQL,
     "q_lm_quality": Q_LM_QUALITY_SQL,
     "q_dsir_weights": Q_DSIR_SQL,
+    "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
+    "q_embed_quant_stats": Q_EMBED_QUANT_SQL,
 }
