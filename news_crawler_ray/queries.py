@@ -4714,6 +4714,9 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
         return pa.table(cols)
 
     compact = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+    if compact.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_micro": pd.Series([], dtype="int64")})
 
     def stat_partial(t: pa.Table) -> pa.Table:
         cols = {"n": pa.array([t.num_rows], pa.int64()),
@@ -4752,6 +4755,9 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
             preserve_index=False)
 
     cand = compact.map_batches(score, batch_format="pyarrow").to_pandas()
+    if cand.empty:   # no document matched any query term
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score_micro": pd.Series([], dtype="int64")})
     return cand.sort_values(["score_micro", "doc_id"],
                             ascending=[False, True]) \
         .head(20).reset_index(drop=True)
@@ -4802,6 +4808,9 @@ def q_embedding_components(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "embeddings"),
                       columns=["vec_id", "embedding"])
     from .rayutil import project_blocks
+    if ds.count() == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "component_id": pd.Series([], dtype="int64")})
 
     pairs = project_blocks(
         dd.exact_neardup_pairs(ds, threshold=0.45).map_batches(
@@ -4880,6 +4889,10 @@ def q_lm_quality(sf_dir: str) -> pd.DataFrame:
     dt = project_blocks(
         ds.map_batches(_doc_token_hash_rows, batch_format="pyarrow"),
         ["doc_id", "h", "tf"]).materialize()
+    if dt.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "nll_milli": pd.Series([], dtype="int64")})
 
     counts = project_blocks(
         bucketed_group_sum(dt, ["h"], {"tf": "c"}), ["h", "c"]) \
@@ -4986,6 +4999,10 @@ def q_dsir_weights(sf_dir: str) -> pd.DataFrame:
     dt = project_blocks(
         ds.map_batches(_doc_bigram_rows, batch_format="pyarrow"),
         ["doc_id", "h", "tf", "tf_tgt"]).materialize()
+    if dt.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_bigrams": pd.Series([], dtype="int64"),
+                             "w_milli": pd.Series([], dtype="int64")})
 
     counts = project_blocks(
         bucketed_group_sum(dt, ["h"], {"tf": "c_all",
@@ -5105,6 +5122,10 @@ def q_ngram_novelty(sf_dir: str) -> pd.DataFrame:
     g = project_blocks(
         ds.map_batches(_doc_trigram_types, batch_format="pyarrow"),
         ["doc_id", "h"]).materialize()
+    if g.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_types": pd.Series([], dtype="int64"),
+                             "n_novel": pd.Series([], dtype="int64")})
 
     def ones(t: pa.Table) -> pa.Table:
         return t.append_column("one", pa.array(
@@ -5179,9 +5200,14 @@ def q_embed_quant_stats(sf_dir: str) -> pd.DataFrame:
                          "mn": pa.array(m.min(axis=0), pa.float64()),
                          "mx": pa.array(m.max(axis=0), pa.float64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").to_pandas() \
-        .groupby("dim", as_index=False).agg(mn=("mn", "min"),
-                                            mx=("mx", "max"))
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"dim": pd.Series([], dtype="int64"),
+                             "min_micro": pd.Series([], dtype="int64"),
+                             "max_micro": pd.Series([], dtype="int64"),
+                             "scale_nano": pd.Series([], dtype="int64")})
+    agg = parts.groupby("dim", as_index=False).agg(mn=("mn", "min"),
+                                                   mx=("mx", "max"))
     out = pd.DataFrame({
         "dim": agg["dim"].astype("int64"),
         "min_micro": np.floor(agg["mn"] * 1_000_000 + 0.5).astype("int64"),
