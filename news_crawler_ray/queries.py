@@ -981,9 +981,17 @@ ORDER BY doc_id""")
 
 
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed cosine near-dup at the SAME threshold as the exact
+    twin (0.45 — the corpus's planted near-dups live at 0.45-0.6;
+    the old 0.9 setting returned zero rows at every test scale, i.e.
+    tested nothing). Cos 0.45 is a wide angle, so recall needs short
+    codes and more tables: 24 tables × 3 planes → P(miss) =
+    (1 - 0.648³)²⁴ ≈ 5e-4; measured 14/14 of the exact twin's pairs
+    at sf0.01 (tests pin the subset relation and recall)."""
     ds = read_parquet(_t(sf_dir, "embeddings"),
                          columns=["vec_id", "embedding"])
-    out = dd.embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    out = dd.embedding_neardup_pairs(ds, threshold=0.45,
+                                     n_tables=24, n_planes=3).to_pandas()
     if len(out):
         out["cos_sim"] = out["cos_sim"].round(5)
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

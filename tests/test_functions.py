@@ -279,6 +279,20 @@ class TestEmbeddingRecall:
         assert len(got & qualifying) / max(1, len(qualifying)) >= 0.95
         assert len(qualifying) >= 20
 
+    def test_registry_query_matches_exact_twin(self, ray_session):
+        """The registry `embedding_neardup` runs at the SAME threshold
+        as its exact twin (0.45) with wide-angle LSH params (24 tables ×
+        3 planes, P(miss) ≈ 5e-4) — round-4 fix: the old 0.9 setting
+        returned zero rows at every test scale. With the fixed seed and
+        fixed testdata the pair sets are identical."""
+        from news_crawler_ray.queries import QUERIES
+        lsh = QUERIES["embedding_neardup"]("/root/testdata/sf0.001")
+        exact = QUERIES["q_embedding_neardup_exact"]("/root/testdata/sf0.001")
+        lp = set(zip(lsh["id_a"], lsh["id_b"]))
+        ep = set(zip(exact["id_a"], exact["id_b"]))
+        assert len(ep) >= 5            # the variant actually has pairs
+        assert lp == ep
+
 
 class TestSimilarity:
     @pytest.fixture()
