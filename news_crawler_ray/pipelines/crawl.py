@@ -334,13 +334,12 @@ def _commit_candidates_batch(batch: pa.Table, *, seen, frontier,
     return pa.table({"admitted": pa.array([sum(fresh)], pa.int64())})
 
 
-def _complete_finalize_batch(batch: pa.Table, *, frontier,
-                             salt_hosts) -> pa.Table:
-    """Task-side work completion + page-row finalize for one batch of
-    extracted rows: complete() RPC per shard (idempotent under retry),
-    then keep successes + this batch's exhausted failures."""
-    batch = batch.drop_columns(["cand_url", "cand_host", "cand_news",
-                                "cand_seq64", "cand_key"])
+def _complete_only_batch(batch: pa.Table, *, frontier,
+                         salt_hosts) -> pa.Table:
+    """Task-side work completion for one batch of extracted rows:
+    complete() RPC per shard (idempotent under retry). Emits ONLY this
+    batch's exhausted urls — tiny rows, so the pass that must barrier
+    before the next round's dequeue moves no page payloads."""
     cols = batch.select(["url", "host", "ok", "attempts_count",
                          "is_webnews", "work_round", "work_seq64",
                          "work_ref"]).to_pydict()
@@ -359,9 +358,18 @@ def _complete_finalize_batch(batch: pa.Table, *, frontier,
         "seq64": [cols["work_seq64"][i] for i in ii],
         "url_to_refer": [cols["work_ref"][i] for i in ii],
     }) for s, ii in by_shard.items()]
-    exhausted: set = set()
+    exhausted: list = []
     for r in ray.get(refs):
-        exhausted.update(r["exhausted"])
+        exhausted.extend(r["exhausted"])
+    return pa.table({"url": pa.array(sorted(set(exhausted)), pa.string())})
+
+
+def _finalize_only_batch(batch: pa.Table, *, exhausted: set) -> pa.Table:
+    """Task-side page-row finalize (no actor RPCs): keep successes +
+    exhausted failures, with the round's exhausted-url set broadcast
+    into the task."""
+    batch = batch.drop_columns(["cand_url", "cand_host", "cand_news",
+                                "cand_seq64", "cand_key"])
     return finalize_page_rows(batch, exhausted)
 
 
@@ -608,12 +616,14 @@ class CrawlEngine:
             # → dequeue(N+1) holds without a barrier. Submitting the
             # order-log/stats reads and the NEXT dequeue now lets the
             # shards compute them while the driver runs the round's tail
-            # (page finalize + parquet sink + metrics files). Gated off
-            # when driver-side state must land first: a checkpoint (the
-            # snapshot must not capture a post-dequeue frontier), an RSS
-            # enqueue, or dataset-mode rounds (their complete() RPCs are
-            # submitted from tasks — other callers — so the ordering
-            # guarantee doesn't apply).
+            # (page finalize + parquet sink + metrics files). Dataset-
+            # mode rounds qualify too: their enqueue/complete RPCs come
+            # from tasks (other callers, no submission-order guarantee),
+            # but _process_round_dataset BARRIERS both passes before
+            # returning, which is the stronger property. Gated off when
+            # driver-side state must land first: a due checkpoint (the
+            # snapshot must not capture a post-dequeue frontier) or an
+            # RSS enqueue.
             log_refs = [f.drain_order_log.remote() for f in self.frontier]
             stat_refs = [f.stats.remote() for f in self.frontier]
             seen_refs = [s.count.remote() for s in self.seen]
@@ -658,8 +668,10 @@ class CrawlEngine:
         overlap_ok)``: ``tail`` is a deferred driver-side closure (page
         finalize + sink) that gates nothing in the next round and runs
         after run() pre-submits the next dequeue; ``overlap_ok`` says
-        whether every frontier RPC of this round was submitted from the
-        driver (tasks mode), i.e. the submission-order overlap is safe."""
+        the dequeue overlap is safe — every frontier RPC of this round
+        was either submitted from the driver (tasks mode: submission
+        order sequences it before the pre-submitted dequeue) or already
+        barriered (dataset mode)."""
         cfg = self.cfg
         # bucket-pure batches: sort work by the corpus host-bucket so each
         # task touches exactly one bucket partition (partition-pruned
@@ -685,8 +697,10 @@ class CrawlEngine:
             mode = "tasks" if table.num_rows < cfg.dataset_round_threshold \
                 else "dataset"
         if mode == "dataset":
-            self._process_round_dataset(table, round_dir)
-            return (lambda: None), False
+            # returns the deferred finalize+sink tail; all frontier RPCs
+            # (pass-1 enqueues, pass-2a completes) are barriered inside,
+            # so the dequeue overlap is safe in dataset mode too
+            return self._process_round_dataset(table, round_dir), True
         # adaptive batch size: target ≥2 task waves per CPU so the
         # round barrier's last wave doesn't idle most of the pool
         ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -773,29 +787,49 @@ class CrawlEngine:
         self.phase_secs["commit"] = (self.phase_secs.get("commit", 0.0)
                                      + time.perf_counter() - commit_t0)
 
-        # pass 2: completion + finalize + streaming parquet sink
-        with self._phase("finalize"):
-            pages = out.map_batches(_complete_finalize_batch,
-                                    fn_kwargs={"frontier": self.frontier,
-                                               "salt_hosts": cfg.salt_hosts},
-                                    batch_format="pyarrow",
-                                    batch_size=cfg.batch_size)
-            if cfg.page_sink_fn is not None:
-                tbl = pa.concat_tables(
-                    [ray.get(r) for r in pages.to_arrow_refs()])
-                if tbl.num_rows:
-                    cfg.page_sink_fn(tbl, round_dir)
-                return
-            pages.write_parquet(round_dir)
-        # drop the directory again if the round produced no page rows
-        # (parity with tasks mode and the resume contract; footer-only
-        # metadata reads, no data IO)
-        if os.path.isdir(round_dir):
-            rows = sum(pq.read_metadata(os.path.join(round_dir, f)).num_rows
-                       for f in os.listdir(round_dir)
-                       if f.endswith(".parquet"))
-            if rows == 0:
-                shutil.rmtree(round_dir)
+        # pass 2a: work completion ONLY (frontier.complete per shard per
+        # batch; idempotent under task retry). Output is this round's
+        # exhausted urls — bounded by twice-failed fetches, so the
+        # driver-side set is tiny. Barriered here so that when this
+        # method returns, EVERY frontier RPC of the round has executed —
+        # which is what lets run() pre-submit the next dequeue
+        # (overlap_ok) in dataset mode too.
+        ex_tbl = out.map_batches(_complete_only_batch,
+                                 fn_kwargs={"frontier": self.frontier,
+                                            "salt_hosts": cfg.salt_hosts},
+                                 batch_format="pyarrow",
+                                 batch_size=cfg.batch_size).to_pandas()
+        exhausted = set() if ex_tbl.empty else set(ex_tbl["url"])
+        self.phase_secs["commit"] = (self.phase_secs.get("commit", 0.0)
+                                     + time.perf_counter() - commit_t0)
+
+        # pass 2b (deferred tail): page finalize + streaming parquet
+        # sink; no actor RPCs — the exhausted set is broadcast into the
+        # finalize tasks, so this overlaps with round N+1's dequeue
+        def tail():
+            with self._phase("finalize"):
+                pages = out.map_batches(
+                    _finalize_only_batch,
+                    fn_kwargs={"exhausted": exhausted},
+                    batch_format="pyarrow", batch_size=cfg.batch_size)
+                if cfg.page_sink_fn is not None:
+                    tbl = pa.concat_tables(
+                        [ray.get(r) for r in pages.to_arrow_refs()])
+                    if tbl.num_rows:
+                        cfg.page_sink_fn(tbl, round_dir)
+                    return
+                pages.write_parquet(round_dir)
+            # drop the directory again if the round produced no page
+            # rows (parity with tasks mode and the resume contract;
+            # footer-only metadata reads, no data IO)
+            if os.path.isdir(round_dir):
+                rows = sum(
+                    pq.read_metadata(os.path.join(round_dir, f)).num_rows
+                    for f in os.listdir(round_dir)
+                    if f.endswith(".parquet"))
+                if rows == 0:
+                    shutil.rmtree(round_dir)
+        return tail
 
     def _commit_discoveries(self, parts: list[pa.Table]) -> tuple:
         """Deterministic round commit: candidate dedup by MIN lineage key
