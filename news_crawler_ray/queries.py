@@ -3415,19 +3415,40 @@ def q_nation_coverage(sf_dir: str) -> pd.DataFrame:
                  for c in t.column_names])
         return fn
 
-    c_counts = cust.map_batches(as_key("c_nationkey"),
-                                batch_format="pyarrow") \
-        .groupby("nationkey").count() \
-        .map_batches(name_count("n_customers"), batch_format="pyarrow")
-    s_counts = supp.map_batches(as_key("s_nationkey"),
-                                batch_format="pyarrow") \
-        .groupby("nationkey").count() \
-        .map_batches(name_count("n_suppliers"), batch_format="pyarrow")
+    from .rayutil import project_blocks
+    # project_blocks (coalescing) also drops the zero-column empty
+    # blocks the sort-aggregate emits for empty partitions at tiny
+    # scale — they'd break the join's key resolution
+    c_counts = project_blocks(
+        cust.map_batches(as_key("c_nationkey"), batch_format="pyarrow")
+        .groupby("nationkey").count()
+        .map_batches(name_count("n_customers"), batch_format="pyarrow"),
+        ["nationkey", "n_customers"])
+    s_counts = project_blocks(
+        supp.map_batches(as_key("s_nationkey"), batch_format="pyarrow")
+        .groupby("nationkey").count()
+        .map_batches(name_count("n_suppliers"), batch_format="pyarrow"),
+        ["nationkey", "n_suppliers"])
 
-    with light_shuffle_aggregators():
-        out = c_counts.join(s_counts, join_type="full_outer",
-                            num_partitions=4,
-                            on=("nationkey",)).materialize().to_pandas()
+    c_counts, s_counts = c_counts.materialize(), s_counts.materialize()
+    if c_counts.count() == 0 or s_counts.count() == 0:
+        # a fully-empty side has no schema for the native join to
+        # resolve its key against; full_outer with an empty side is
+        # just the other side zero-filled (both are ≤ nation-count
+        # rows here by construction, so the pandas path is free)
+        def typed(ds_small, col):
+            df = ds_small.to_pandas()
+            if "nationkey" not in df.columns:
+                df = pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                                   col: pd.Series([], dtype="int64")})
+            return df
+        out = typed(c_counts, "n_customers").merge(
+            typed(s_counts, "n_suppliers"), on="nationkey", how="outer")
+    else:
+        with light_shuffle_aggregators():
+            out = c_counts.join(s_counts, join_type="full_outer",
+                                num_partitions=4,
+                                on=("nationkey",)).materialize().to_pandas()
     for c in ("n_customers", "n_suppliers"):
         out[c] = out[c].fillna(0).astype("int64")
     out["nationkey"] = out["nationkey"].astype("int64")
@@ -3802,6 +3823,13 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
             "bucket", pa.array(salt_bucket(t["user_id"]), pa.int32()))
 
     def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "event_type" not in g.columns:
+            # empty sort partition: map_groups hands the UDF a
+            # zero-column frame — return the typed empty output
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "first_click_us": pd.Series([], dtype="int64"),
+                 "first_purchase_us": pd.Series([], dtype="int64")})
         first_a = g[g["event_type"] == "click"] \
             .groupby("user_id")["ts_us"].min().rename("first_click_us")
         p = g[g["event_type"] == "purchase"][["user_id", "ts_us"]] \
@@ -3816,6 +3844,13 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(prep, batch_format="pyarrow") \
         .groupby("bucket").map_groups(funnel, batch_format="pandas") \
         .to_pandas()
+    if not len(out):
+        # zero conversions: to_pandas over all-empty blocks loses the
+        # schema — return the typed empty frame
+        return pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "first_click_us": pd.Series([], dtype="int64"),
+             "first_purchase_us": pd.Series([], dtype="int64")})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -5240,6 +5275,376 @@ GROUP BY idx ORDER BY dim
 """
 
 
+def q_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    cross-label negative selection step of a dense-retriever or
+    embedding-model data pipeline): for each label's anchor vector
+    (the min-vec_id member, deterministic), the top-5 most-similar
+    vectors carrying a DIFFERENT label — the "hardest" negatives.
+
+    Distributed shape: anchors are found with a per-batch
+    (label -> min vec_id) partial fold (two int columns cross the
+    shuffle, never embeddings), their vectors fetched by parquet
+    row-filter pushdown; the anchor matrix (L x d, L = label count)
+    is broadcast once via ray.put and every batch does ONE
+    (rows x d) @ (d x L) matmul, emitting at most k rows per (batch,
+    label) — the driver fold sees k * L * n_batches rows, never the
+    corpus. Ordering is by 5-decimal-rounded similarity then vec_id
+    (total order, shared with the SQL twin) so partial top-k cuts are
+    exact."""
+    k = 5
+    ds_ids = read_parquet(_t(sf_dir, "embeddings"),
+                          columns=["vec_id", "label"])
+
+    def anchor_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64())})
+        df = t.to_pandas().groupby("label", as_index=False)["vec_id"].min()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    anchors = ds_ids.map_batches(anchor_partial, batch_format="pyarrow") \
+        .to_pandas()
+    empty = pd.DataFrame({"qlabel": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "cos_sim": pd.Series([], dtype="float64")})
+    if anchors.empty:
+        return empty
+    anchors = anchors.groupby("label", as_index=False)["vec_id"].min() \
+        .sort_values("label")
+
+    import pyarrow.parquet as pq_mod
+    qt = pq_mod.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "label", "embedding"],
+        filters=[("vec_id", "in", anchors["vec_id"].tolist())])
+    qdf = qt.to_pandas().sort_values("label")
+    qmat = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    qmat = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    qlabels = qdf["label"].to_numpy(dtype=np.int64)
+    q_ref = ray.put((qmat, qlabels))
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = {"qlabel": [], "vec_id": [], "cos_sim": []}
+        if t.num_rows:
+            qm, ql = ray.get(q_ref)
+            mat = sim._normalize(sim._as_matrix(t["embedding"]))
+            sims = np.round(mat @ qm.T, 5)          # rows x L
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            labels = t["label"].to_numpy(zero_copy_only=False)
+            for j in range(len(ql)):
+                mask = labels != ql[j]
+                if not mask.any():
+                    continue
+                s, v = sims[mask, j], ids[mask]
+                order = np.lexsort((v, -s))[:k]
+                out["qlabel"].extend([int(ql[j])] * len(order))
+                out["vec_id"].extend(v[order].tolist())
+                out["cos_sim"].extend(s[order].tolist())
+        return pa.table({"qlabel": pa.array(out["qlabel"], pa.int64()),
+                         "vec_id": pa.array(out["vec_id"], pa.int64()),
+                         "cos_sim": pa.array(out["cos_sim"], pa.float64())})
+
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "label", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    parts = parts.sort_values(["qlabel", "cos_sim", "vec_id"],
+                              ascending=[True, False, True])
+    parts = parts.groupby("qlabel", as_index=False).head(k)
+    parts["rank"] = parts.groupby("qlabel").cumcount() + 1
+    return parts[["qlabel", "rank", "vec_id", "cos_sim"]] \
+        .astype({"qlabel": "int64", "rank": "int64", "vec_id": "int64"}) \
+        .reset_index(drop=True)
+
+
+Q_HARD_NEG_SQL = """
+WITH anchors AS (
+  SELECT label AS qlabel, min(vec_id) AS qvec FROM embeddings GROUP BY label
+), q AS (
+  SELECT a.qlabel, e.embedding AS qemb
+  FROM anchors a JOIN embeddings e ON e.vec_id = a.qvec
+), sims AS (
+  SELECT q.qlabel, e.vec_id,
+         round(CAST(list_cosine_similarity(e.embedding, q.qemb)
+                    AS DOUBLE), 5) AS cos_sim
+  FROM embeddings e JOIN q ON e.label <> q.qlabel
+), ranked AS (
+  SELECT qlabel, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qlabel
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT qlabel, rank, vec_id, cos_sim FROM ranked
+WHERE rank <= 5 ORDER BY qlabel, rank
+"""
+
+
+def q_source_temperature_mix(sf_dir: str) -> pd.DataFrame:
+    """Temperature-scaled source sampling weights (the alpha-sampling
+    rule multilingual LM pipelines use to up-weight low-resource
+    sources, alpha = 0.7): p_i proportional to share_i^alpha where
+    share_i is source i's fraction of total corpus chars.
+
+    Distributed shape: per-batch (source -> n_docs, chars) partials,
+    one tiny source-count-sized groupby; the power/normalize step runs
+    on the driver over <= n_sources rows."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), chars=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "share_micro": pd.Series([], dtype="int64"),
+                             "p_micro": pd.Series([], dtype="int64")})
+    agg = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), chars=("chars", "sum")).sort_values("source")
+    share = agg["chars"].to_numpy(dtype=np.float64) / float(agg["chars"].sum())
+    w = share ** 0.7
+    p = w / w.sum()
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(),
+        "n_docs": agg["n_docs"].astype("int64").to_numpy(),
+        "share_micro": np.floor(share * 1_000_000 + 0.5).astype("int64"),
+        "p_micro": np.floor(p * 1_000_000 + 0.5).astype("int64")}) \
+        .reset_index(drop=True)
+
+
+Q_SOURCE_TEMP_SQL = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+         CAST(chars AS DOUBLE) / (SELECT sum(chars) FROM s) AS share,
+         POWER(CAST(chars AS DOUBLE) / (SELECT sum(chars) FROM s), 0.7) AS wgt
+  FROM s
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(floor(share * 1000000 + 0.5) AS BIGINT) AS share_micro,
+       CAST(floor(wgt / (SELECT sum(wgt) FROM w) * 1000000 + 0.5) AS BIGINT)
+         AS p_micro
+FROM w ORDER BY source
+"""
+
+
+def q_dedup_cascade(sf_dir: str) -> pd.DataFrame:
+    """Staged dedup accounting — the multi-pass removal ledger a corpus
+    card reports: stage 1 exact text hash, stage 2 whitespace-normalized
+    hash over stage-1 survivors, stage 3 first-8-token lead hash over
+    stage-2 survivors; each stage keeps the min doc_id per group.
+    Output: one row per stage with n_in / n_removed / n_out.
+
+    Distributed shape: ONE kernel pass computes all three 52-bit md5
+    keys per document (text never leaves the map stage); each stage is
+    a native groupby-min over (key, doc_id) int64 pairs plus an inner
+    join of survivors against the winners — per stage, only two-int64
+    rows cross the shuffle, and the survivor set shrinks monotonically.
+    Keys are the md5-prefix int52 both engines share (q_table_checksum's
+    convention); 52-bit collisions under-count removals with probability
+    ~n²/2⁵³ — negligible at any corpus size this ledger is read at."""
+    import hashlib as _hl
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    from .rayutil import light_shuffle_aggregators, project_blocks
+
+    def _h52(s: str) -> int:
+        return int(_hl.md5(s.encode("utf-8")).hexdigest()[:13], 16)
+
+    def keys(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [t or "" for t in batch["text"]]
+        toks = [t.split() for t in texts]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+            "h1": np.fromiter((_h52(t) for t in texts), np.int64,
+                              len(texts)),
+            "h2": np.fromiter((_h52(" ".join(tk)) for tk in toks),
+                              np.int64, len(texts)),
+            "h3": np.fromiter((_h52(" ".join(tk[:8])) for tk in toks),
+                              np.int64, len(texts))})
+
+    surv = project_blocks(
+        ds.map_batches(keys, batch_format="pandas"),
+        ["doc_id", "h1", "h2", "h3"]).materialize()
+    rows = []
+    for stage, col in ((1, "h1"), (2, "h2"), (3, "h3")):
+        n_in = surv.count()
+        if n_in == 0:
+            break
+        winners = project_blocks(
+            surv.groupby(col).min("doc_id"), [col, "min(doc_id)"])
+        with light_shuffle_aggregators():
+            surv = project_blocks(
+                surv.join(winners.rename_columns(
+                    {"min(doc_id)": "doc_id"}),
+                    join_type="inner", num_partitions=8,
+                    on=(col, "doc_id")),
+                ["doc_id", "h1", "h2", "h3"]).materialize()
+        n_out = surv.count()
+        rows.append({"stage": stage, "n_in": n_in,
+                     "n_removed": n_in - n_out, "n_out": n_out})
+    return pd.DataFrame(rows, columns=["stage", "n_in", "n_removed",
+                                       "n_out"]).astype("int64", errors="ignore")
+
+
+Q_DEDUP_CASCADE_SQL = r"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text), 1, 13)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(array_to_string(
+           list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+           ' ')), 1, 13)) AS BIGINT) AS h2,
+         CAST(concat('0x', substr(md5(array_to_string(
+           list_filter(string_split_regex(text, '\s+'),
+                       x -> x <> '')[1:8], ' ')), 1, 13)) AS BIGINT) AS h3
+  FROM documents),
+s1 AS (SELECT * FROM k
+       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h1)),
+s2 AS (SELECT * FROM s1
+       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h2)),
+s3 AS (SELECT * FROM s2
+       QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h3))
+SELECT * FROM (
+  SELECT 1 AS stage, (SELECT count(*) FROM k) AS n_in,
+         (SELECT count(*) FROM k) - (SELECT count(*) FROM s1) AS n_removed,
+         (SELECT count(*) FROM s1) AS n_out
+  UNION ALL
+  SELECT 2, (SELECT count(*) FROM s1),
+         (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2),
+         (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, (SELECT count(*) FROM s2),
+         (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3),
+         (SELECT count(*) FROM s3))
+WHERE (SELECT count(*) FROM k) > 0
+ORDER BY stage
+"""
+
+
+def q_embedding_norm_outliers(sf_dir: str) -> pd.DataFrame:
+    """Embedding-hygiene gate: vectors whose L2 norm sits more than 2
+    sample standard deviations from the corpus mean — the cheap
+    broken-row detector (truncated writes, wrong-scale encoders) run
+    before any cosine math that assumes comparable norms.
+
+    Precision story: unit-normalized corpora (this fixture) spread
+    their norms over ~1e-8, so norms integerize at NANO and the
+    moments run over MIN-CENTERED values — z is translation-invariant,
+    and centering keeps Σv² small enough to stay exact in int64 /
+    plain doubles on both engines (raw nano-norms squared would need
+    HUGEINT and then cancel catastrophically in the variance).
+
+    Distributed shape: pass 1 maps each batch to (vec_id, norm_nano)
+    int64 pairs, materialized once (two int columns); pass 2 folds a
+    per-batch min; pass 3 folds centered (n, Σ, Σ²) — one row per
+    batch reaches the driver each time; pass 4 re-filters the pairs
+    against the broadcast μ/σ. Every pass streams block-parallel."""
+    ds = read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id",
+                                                         "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "norm_nano": pa.array([], pa.int64())})
+        m = sim._as_matrix(t["embedding"])
+        nm = np.floor(np.sqrt((m * m).sum(axis=1)) * 1_000_000_000 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()),
+                         "norm_nano": pa.array(nm, pa.int64())})
+
+    pairs = ds.map_batches(norms, batch_format="pyarrow").materialize()
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "norm_nano": pd.Series([], dtype="int64"),
+                          "z_milli": pd.Series([], dtype="int64")})
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        v = t["norm_nano"].to_numpy(zero_copy_only=False)
+        return pa.table({"mn": pa.array(
+            [int(v.min())] if len(v) else [], pa.int64())})
+
+    mins = pairs.map_batches(min_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if mins.empty:
+        return empty
+    base = int(mins["mn"].min())
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        v = t["norm_nano"].to_numpy(zero_copy_only=False) - base
+        # centered values span the norm SPREAD (not the norm scale), so
+        # Σv² fits int64 for any unit-ish corpus; the object-dtype
+        # square makes a pathological spread RAISE at pa.array instead
+        # of wrapping silently in numpy int64
+        s2 = int((v.astype(object) * v.astype(object)).sum()) \
+            if len(v) else 0
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([int(v.sum()) if len(v) else 0],
+                                       pa.int64()),
+                         "s2": pa.array([s2], pa.int64())})
+
+    mom = pairs.map_batches(moment_partial, batch_format="pyarrow") \
+        .to_pandas()
+    cnt = int(mom["n"].sum())
+    if cnt < 2:
+        return empty
+    s = int(mom["s"].sum())
+    s2 = int(mom["s2"].sum())
+    var = (float(s2) - float(s) * float(s) / cnt) / (cnt - 1)
+    if var <= 0:
+        return empty
+    mu, sd = s / cnt, float(np.sqrt(var))
+
+    def flag(t: pa.Table) -> pa.Table:
+        v = t["norm_nano"].to_numpy(zero_copy_only=False)
+        z = ((v - base) - mu) / sd
+        keep = np.abs(z) > 2.0
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()).filter(
+                pa.array(keep)),
+            "norm_nano": pa.array(v[keep], pa.int64()),
+            "z_milli": pa.array(np.floor(z[keep] * 1000).astype(np.int64),
+                                pa.int64())})
+
+    out = pairs.map_batches(flag, batch_format="pyarrow").to_pandas()
+    if not len(out):
+        return empty
+    return out.astype("int64").sort_values("vec_id").reset_index(drop=True)
+
+
+Q_NORM_OUTLIERS_SQL = """
+WITH sq AS (
+  SELECT vec_id, sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS ss
+  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+  GROUP BY vec_id),
+n AS (SELECT vec_id,
+             CAST(floor(sqrt(ss) * 1000000000 + 0.5) AS BIGINT)
+               AS norm_nano
+      FROM sq),
+c AS (SELECT vec_id, norm_nano,
+             norm_nano - (SELECT min(norm_nano) FROM n) AS v FROM n),
+m AS (SELECT count(*) AS cnt, sum(v) AS s, sum(v * v) AS s2 FROM c)
+SELECT vec_id, norm_nano,
+       CAST(floor((v - s / cnt)
+                  / sqrt((CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)
+                         / (cnt - 1)) * 1000)
+            AS BIGINT) AS z_milli
+FROM c, m
+WHERE cnt >= 2
+  AND (CAST(s2 AS DOUBLE)
+       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt) / (cnt - 1) > 0
+  AND abs((v - s / cnt)
+          / sqrt((CAST(s2 AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / cnt)
+                 / (cnt - 1))) > 2
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -5364,6 +5769,10 @@ QUERIES = {
     "q_dsir_weights": q_dsir_weights,
     "q_ngram_novelty": q_ngram_novelty,
     "q_embed_quant_stats": q_embed_quant_stats,
+    "q_hard_negatives": q_hard_negatives,
+    "q_source_temperature_mix": q_source_temperature_mix,
+    "q_dedup_cascade": q_dedup_cascade,
+    "q_embedding_norm_outliers": q_embedding_norm_outliers,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "media_metadata": q_media_metadata,
@@ -5485,4 +5894,8 @@ ORACLES = {
     "q_dsir_weights": Q_DSIR_SQL,
     "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
     "q_embed_quant_stats": Q_EMBED_QUANT_SQL,
+    "q_hard_negatives": Q_HARD_NEG_SQL,
+    "q_source_temperature_mix": Q_SOURCE_TEMP_SQL,
+    "q_dedup_cascade": Q_DEDUP_CASCADE_SQL,
+    "q_embedding_norm_outliers": Q_NORM_OUTLIERS_SQL,
 }

@@ -314,9 +314,18 @@ def bucketed_group_sum(ds, key_cols: list[str], sum_cols: dict[str, str],
         return batch
 
     def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(g.columns):
+            # empty sort partition: Ray hands map_groups a ZERO-COLUMN
+            # frame (no schema); pass it through — project_blocks below
+            # coalesces it away before any consumer sees it
+            return g
         out = g.groupby(key_cols, as_index=False)[list(sum_cols)].sum()
         out = out.rename(columns=sum_cols)
         return out.astype({c: "int64" for c in sum_cols.values()})
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
+    folded = ds.map_batches(add_bucket, batch_format="pandas") \
         .groupby("bucket").map_groups(fold, batch_format="pandas")
+    # normalize: zero-column empty blocks from empty sort partitions
+    # would break a downstream native join (Acero FieldRef error on the
+    # key); the coalescing projection drops them and strips metadata
+    return project_blocks(folded, key_cols + list(sum_cols.values()))

@@ -62,7 +62,9 @@ def _write_sf_dir(root: str, variant: str) -> str:
 
 
 QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
-               "q_dsir_weights", "q_ngram_novelty", "q_embed_quant_stats"]
+               "q_dsir_weights", "q_ngram_novelty", "q_embed_quant_stats",
+               "q_hard_negatives", "q_source_temperature_mix",
+               "q_dedup_cascade", "q_embedding_norm_outliers"]
 
 
 @pytest.fixture(scope="module")
@@ -88,6 +90,50 @@ def test_query_degenerate(sf_dirs, name):
     for v, c in cols.items():
         if populated and c not in populated:
             pytest.fail(f"{name}: {v} schema drift: {cols}")
+
+
+def test_hard_negatives_semantics(ray_session, tmp_path):
+    """Two labels, orthogonal-ish vectors: each anchor's negatives are
+    exactly the other label's vectors, ranked by cosine; same-label
+    vectors never appear. Single-label corpora (the dups variant)
+    yield zero rows by construction — this pins the populated path."""
+    d = str(tmp_path)
+    vecs = [[1.0, 0.0, 0.0, 0.0], [0.9, 0.1, 0.0, 0.0],   # label 0
+            [0.0, 1.0, 0.0, 0.0], [0.1, 0.9, 0.0, 0.0],   # label 1
+            [0.5, 0.5, 0.0, 0.0]]                          # label 1
+    t = pa.table({"vec_id": pa.array(list(range(5)), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 1, 1, 1], pa.int32())})
+    pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+    out = QUERIES["q_hard_negatives"](d)
+    by_label = {q: g for q, g in out.groupby("qlabel")}
+    # anchor 0 (label 0): negatives drawn only from label-1 vectors
+    assert set(by_label[0]["vec_id"]) == {2, 3, 4}
+    assert set(by_label[1]["vec_id"]) == {0, 1}
+    # hardest negative for the label-0 anchor [1,0,0,0] is vec 4
+    assert by_label[0].iloc[0]["vec_id"] == 4
+    # ranks are 1..n and similarity is non-increasing within a label
+    for g in by_label.values():
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cos_sim"].to_numpy()) <= 0).all()
+
+
+def test_source_temperature_mix_semantics(ray_session, tmp_path):
+    """alpha=0.7 flattens the distribution: the small source's sampling
+    weight exceeds its raw share, the big one's shrinks, and p sums
+    to ~1e6 micro."""
+    d = str(tmp_path)
+    docs = pd.DataFrame({"doc_id": range(10),
+                         "text": [_TEXT] * 10,
+                         "lang": ["en"] * 10,
+                         "source": ["big"] * 9 + ["small"],
+                         "n_chars": [len(_TEXT)] * 10})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = QUERIES["q_source_temperature_mix"](d).set_index("source")
+    assert out.loc["small", "p_micro"] > out.loc["small", "share_micro"]
+    assert out.loc["big", "p_micro"] < out.loc["big", "share_micro"]
+    assert abs(int(out["p_micro"].sum()) - 1_000_000) <= 2
 
 
 def test_all_duplicate_semantics(sf_dirs):
