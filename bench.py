@@ -137,7 +137,9 @@ def run_bench() -> dict:
                  "q_source_kl", "q_retention_cohorts",
                  "q_paragraph_dedup", "media_video_frames",
                  "q_bm25_topk", "q_lm_quality", "q_dsir_weights",
-                 "q_embedding_components", "q_ngram_novelty"):
+                 "q_embedding_components", "q_ngram_novelty",
+                 "q_hard_negatives", "q_source_temperature_mix",
+                 "q_dedup_cascade", "q_embedding_norm_outliers"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
@@ -158,6 +160,13 @@ def run_bench() -> dict:
     hp = host_pagerank(edges, iters=10) \
         .sort_values("host").reset_index(drop=True)
     queries["pagerank_host_form"] = round(time.perf_counter() - t0, 3)
+
+    # 4b. anchor-text corpus product (same kernel-bound page walk
+    #     regime as pagerank_edges; counts fold + per-host top-3)
+    from news_crawler_ray.functions.linkgraph import anchor_texts
+    t0 = time.perf_counter()
+    n_anchor_rows = anchor_texts(paths.pages_dir).count()
+    queries["anchor_texts"] = round(time.perf_counter() - t0, 3)
     assert list(jf["host"]) == list(hp["host"])
     pagerank_diff = float((jf["rank"] - hp["rank"]).abs().max())
     assert pagerank_diff < 1e-9, pagerank_diff
@@ -195,6 +204,7 @@ def run_bench() -> dict:
         "bulk_pages": n_extracted,
         "bulk_pages_per_sec": round(n_extracted / bulk_sec, 1),
         "pagerank_hosts": len(hp),
+        "anchor_rows": n_anchor_rows,
         # join form pinned to the broadcast host form at bench scale
         "pagerank_parity_max_abs_diff": pagerank_diff,
     }

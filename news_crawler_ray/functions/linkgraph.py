@@ -66,6 +66,118 @@ def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
         .aggregate(Count(alias_name="n_pages"))
 
 
+def anchor_texts(pages_dir: str, *, top_n: int = 3,
+                 batch_size: int = 64) -> "rd.Dataset":
+    """Per-target-host top anchor texts over the crawl corpus — the
+    link-text corpus product (anchor-text datasets for retrieval and
+    entity-linking training). Same off-principal-domain href rule as
+    the kernel's M13 outbound-link walk (reference
+    extractor.py:284-295), but keeps each anchor's whitespace-normalized
+    TEXT and counts every occurrence.
+
+    Distributed shape: html never leaves the map stage — each batch
+    emits pre-counted (dst_host, anchor, n_part) rows; a salted-bucket
+    fold sums them (one row per distinct pair crosses the shuffle) and
+    the per-host top-n runs as map_groups over the folded counts
+    (groups are distinct-anchor-sized, not page-sized). Ordering is the
+    total (n desc, anchor asc), so the cut is exact."""
+    from ..htmldom import parse_html
+    from ..rayutil import bucketed_group_sum
+
+    def emit(batch: pa.Table) -> pd.DataFrame:
+        hosts: list[str] = []
+        texts: list[str] = []
+        for u, h in zip(batch["url"].to_pylist(),
+                        batch["html"].to_pylist()):
+            principal = urlnorm.get_principal_domain(
+                u if "://" in u else "http://" + u) or ""
+            tree = parse_html((h or b"").decode("utf-8", "replace"))
+            for n in tree.iter("a"):
+                href = n.get("href")
+                if not href or (principal and principal in href):
+                    continue
+                if not urlnorm.is_valid_url(href):
+                    continue
+                dst = urlnorm.host_of(urlnorm.clean_url(href))
+                if not dst:
+                    continue
+                text = " ".join("".join(n.itertext()).split())
+                if not text:
+                    continue
+                hosts.append(dst)
+                texts.append(text)
+        if not hosts:
+            return pd.DataFrame({
+                "dst_host": pd.Series([], dtype="object"),
+                "anchor": pd.Series([], dtype="object"),
+                "n_part": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"dst_host": hosts, "anchor": texts}) \
+            .groupby(["dst_host", "anchor"], as_index=False) \
+            .agg(n_part=("anchor", "size")).astype({"n_part": "int64"})
+
+    counts = bucketed_group_sum(
+        read_parquet(pages_dir, columns=["url", "html"])
+        .map_batches(emit, batch_size=batch_size,
+                     batch_format="pyarrow"),
+        ["dst_host", "anchor"], {"n_part": "n"})
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "dst_host" not in g.columns:
+            return pd.DataFrame({
+                "dst_host": pd.Series([], dtype="object"),
+                "rank": pd.Series([], dtype="int64"),
+                "anchor": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["n", "anchor"],
+                          ascending=[False, True]).head(top_n)
+        return pd.DataFrame({
+            "dst_host": g["dst_host"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "anchor": g["anchor"].to_numpy(),
+            "n": g["n"].to_numpy(dtype=np.int64)})
+
+    return counts.groupby("dst_host").map_groups(topn,
+                                                 batch_format="pandas")
+
+
+def anchor_texts_reference(pages: pd.DataFrame, *,
+                           top_n: int = 3) -> pd.DataFrame:
+    """Single-process oracle for :func:`anchor_texts` (tests pin the
+    distributed fold to this): same walk, plain Counter."""
+    from collections import Counter
+
+    from ..htmldom import parse_html
+    cnt: Counter = Counter()
+    for u, h in zip(pages["url"], pages["html"]):
+        principal = urlnorm.get_principal_domain(
+            u if "://" in u else "http://" + u) or ""
+        tree = parse_html((h or b"").decode("utf-8", "replace"))
+        for n in tree.iter("a"):
+            href = n.get("href")
+            if not href or (principal and principal in href):
+                continue
+            if not urlnorm.is_valid_url(href):
+                continue
+            dst = urlnorm.host_of(urlnorm.clean_url(href))
+            if not dst:
+                continue
+            text = " ".join("".join(n.itertext()).split())
+            if text:
+                cnt[(dst, text)] += 1
+    rows = [{"dst_host": d, "anchor": a, "n": c}
+            for (d, a), c in cnt.items()]
+    if not rows:
+        return pd.DataFrame({"dst_host": pd.Series([], dtype="object"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "anchor": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    df = pd.DataFrame(rows).sort_values(
+        ["dst_host", "n", "anchor"], ascending=[True, False, True])
+    df["rank"] = df.groupby("dst_host").cumcount() + 1
+    df = df[df["rank"] <= top_n]
+    return df[["dst_host", "rank", "anchor", "n"]].reset_index(drop=True)
+
+
 def _pagerank_reference(edges: pd.DataFrame, *, damping: float,
                         iters: int) -> pd.DataFrame:
     """Single-process oracle (tests pin the distributed fold to this):

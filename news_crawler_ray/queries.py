@@ -783,6 +783,19 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
+    """Per-target-host top-3 anchor texts over the crawl corpus (the
+    link-text corpus product; linkgraph.anchor_texts — html stays in
+    the map stage, one row per distinct (host, anchor) crosses the
+    fold). Conformance-pinned to the single-process Counter oracle in
+    tests/test_linkgraph.py."""
+    from .functions.linkgraph import anchor_texts
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    out = anchor_texts(paths.pages_dir).to_pandas()
+    return out.sort_values(["dst_host", "rank"]).reset_index(drop=True)
+
+
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
@@ -5645,6 +5658,92 @@ ORDER BY vec_id
 """
 
 
+def q_quality_curriculum(sf_dir: str) -> pd.DataFrame:
+    """Curriculum-learning stage assignment: documents bucket into 4
+    quality quartiles by exact global rank of a blended quality score
+    (0.7·stopword_ratio + 0.3·(1 − punct_ratio), milli-integerized) —
+    the easy-to-hard data-ordering step of a curriculum training run.
+    Output: per stage, doc count and the score band it spans.
+
+    Distributed shape: the text-derived score leaves the kernel as one
+    (doc_id, score_milli) int64 pair per document; global quartiles
+    come from windows.global_rank_by_value (value-range partitions,
+    no driver sort — q_order_price_deciles' machinery); the final
+    per-stage fold sees ≤ 4 rows per batch. Blend runs on UNROUNDED
+    ratios with the identical double expression in both engines."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    q = to.quality_scores(ds)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        s = 0.7 * b["stopword_ratio"].to_numpy(dtype=np.float64) \
+            + 0.3 * (1.0 - b["punct_ratio"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+            "score_milli": np.floor(s * 1000 + 0.5).astype(np.int64)})
+
+    scored = q.map_batches(score, batch_format="pandas")
+    n = scored.count()
+    empty = pd.DataFrame({"stage": pd.Series([], dtype="int64"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "min_score_milli": pd.Series([], dtype="int64"),
+                          "max_score_milli": pd.Series([], dtype="int64")})
+    if n == 0:
+        return empty
+    ranks = wn.global_rank_by_value(scored, value_col="score_milli",
+                                    id_col="doc_id")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "stage": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64")})
+        st = batch["rank"].to_numpy() * 4 // n
+        g = batch.assign(stage=st).groupby("stage").agg(
+            n_docs=("rank", "size"), mn=("score_milli", "min"),
+            mx=("score_milli", "max")).reset_index()
+        return g.astype("int64")
+
+    parts = ranks.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("stage", as_index=False).agg(
+        n_docs=("n_docs", "sum"), min_score_milli=("mn", "min"),
+        max_score_milli=("mx", "max"))
+    return out.astype("int64").sort_values("stage").reset_index(drop=True)
+
+
+Q_QUALITY_CURRICULUM_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         CASE WHEN length(words) = 0 THEN 0
+              ELSE length(list_filter(words,
+                     x -> list_contains([{_EN_STOPS_SQL}], lower(x))))
+                   / CAST(length(words) AS DOUBLE) END AS sr,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE (length(text)
+                    - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) END AS pr
+  FROM w),
+s AS (SELECT doc_id,
+             CAST(floor((0.7 * sr + 0.3 * (1 - pr)) * 1000 + 0.5)
+                  AS BIGINT) AS score_milli
+      FROM q),
+r AS (SELECT score_milli,
+             row_number() OVER (ORDER BY score_milli, doc_id) - 1 AS rn
+      FROM s),
+n AS (SELECT count(*) AS n FROM s)
+SELECT CAST((rn * 4) // n.n AS BIGINT) AS stage,
+       count(*)::BIGINT AS n_docs,
+       min(score_milli)::BIGINT AS min_score_milli,
+       max(score_milli)::BIGINT AS max_score_milli
+FROM r, n GROUP BY 1 ORDER BY stage
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -5773,8 +5872,10 @@ QUERIES = {
     "q_source_temperature_mix": q_source_temperature_mix,
     "q_dedup_cascade": q_dedup_cascade,
     "q_embedding_norm_outliers": q_embedding_norm_outliers,
+    "q_quality_curriculum": q_quality_curriculum,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
+    "crawl_anchor_texts": q_crawl_anchor_texts,
     "media_metadata": q_media_metadata,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_png_decode": q_media_png_decode,
@@ -5898,4 +5999,5 @@ ORACLES = {
     "q_source_temperature_mix": Q_SOURCE_TEMP_SQL,
     "q_dedup_cascade": Q_DEDUP_CASCADE_SQL,
     "q_embedding_norm_outliers": Q_NORM_OUTLIERS_SQL,
+    "q_quality_curriculum": Q_QUALITY_CURRICULUM_SQL,
 }

@@ -64,7 +64,8 @@ def _write_sf_dir(root: str, variant: str) -> str:
 QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
                "q_dsir_weights", "q_ngram_novelty", "q_embed_quant_stats",
                "q_hard_negatives", "q_source_temperature_mix",
-               "q_dedup_cascade", "q_embedding_norm_outliers"]
+               "q_dedup_cascade", "q_embedding_norm_outliers",
+               "q_quality_curriculum"]
 
 
 @pytest.fixture(scope="module")

@@ -838,6 +838,23 @@ class TestHostPagerank:
         assert list(got.nlargest(10, "rank")["host"]) \
             == list(want.nlargest(10, "rank")["host"])
 
+    def test_anchor_texts_match_reference(self, ray_session):
+        import pyarrow.dataset as pads
+        from news_crawler_ray import corpus as corpus_mod
+        from news_crawler_ray.functions.linkgraph import (
+            anchor_texts, anchor_texts_reference)
+        paths = corpus_mod.default_corpus(
+            "linkgraph_t", num_hosts=4, pages_per_host=40)
+        got = anchor_texts(paths.pages_dir).to_pandas() \
+            .sort_values(["dst_host", "rank"]).reset_index(drop=True)
+        pages = pads.dataset(paths.pages_dir).to_table(
+            columns=["url", "html"]).to_pandas()
+        want = anchor_texts_reference(pages)
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(
+            got, want.sort_values(["dst_host", "rank"])
+            .reset_index(drop=True), check_dtype=False)
+
     def test_corpus_edges_and_rank(self, ray_session):
         from news_crawler_ray import corpus as corpus_mod
         from news_crawler_ray.functions.linkgraph import (
