@@ -623,7 +623,14 @@ def _decode_jpeg(payload: bytes) -> dict:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i: 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                ch, cv = hv >> 4, hv & 15
+                # T.81 B.2.2: Hi/Vi in 1..4 — 0 would divide-by-zero
+                # in the sampling-grid math on corrupted streams
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"invalid sampling factors {ch}x{cv} "
+                        f"for component {cid}")
+                comps.append((cid, ch, cv, tq))
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise ValueError(
