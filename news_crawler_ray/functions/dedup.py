@@ -1417,3 +1417,90 @@ def dup_pair_matrix(ds: "rd.Dataset", *, text_col: str = "text",
         .rename(columns={"np": "n_dup_pairs"})
     out["n_dup_pairs"] = out["n_dup_pairs"].astype("int64")
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+def semdedup(ds: "rd.Dataset", *, n_seeds: int = 8,
+             threshold: float = 0.45, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "rd.Dataset":
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023: cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster so
+    the expensive pairwise step never crosses cluster boundaries).
+
+    Clustering here is deterministic seeded assignment rather than
+    trained k-means so the DuckDB twin can replay it bit-for-bit: the
+    ``n_seeds`` lowest-id vectors are the centroids, every vector joins
+    the seed with the highest ``round(cosine, 5)`` (ties → lowest seed
+    id; numpy argmax over ascending-sid columns IS that tie-break).
+    Within a cluster, vector v is dropped iff some EARLIER member u
+    (``u.id < v.id``) has ``round(cos(u, v), 5) ≥ threshold`` — the
+    greedy keep-first rule, one LEFT JOIN in SQL.
+
+    Distributed shape: seeds found by a per-batch local prune (each
+    batch emits its ``n_seeds`` lowest ids → driver picks over
+    ≤ blocks·n_seeds rows) and broadcast once via ``ray.put``;
+    assignment is one batch×seeds matmul per batch; the only shuffle
+    co-locates cluster members for the pairwise prune
+    (``groupby(cluster).map_groups``) — O(c²) per cluster, the same
+    partitioning assumption as the paper (cluster count scales with
+    corpus so clusters stay worker-sized)."""
+    import ray as _ray
+
+    def local_seed_prune(b: pa.Table) -> pa.Table:
+        t = b.select([id_col, vec_col])
+        order = np.argsort(np.asarray(t[id_col].to_pylist(),
+                                      dtype=np.int64))[:n_seeds]
+        return t.take(pa.array(order, pa.int64()))
+
+    cand = ds.map_batches(local_seed_prune,
+                          batch_format="pyarrow").to_pandas()
+    if not len(cand):       # empty corpus: no seeds, typed empty out
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "seed_sim": pa.array([], pa.float64()),
+            "kept": pa.array([], pa.int64())}))
+    cand = cand.sort_values(id_col).head(n_seeds)
+    seed_ids = cand[id_col].to_numpy(dtype=np.int64)
+    smat = np.array(cand[vec_col].to_list(), dtype=np.float64)
+    snorm = np.linalg.norm(smat, axis=1, keepdims=True)
+    snorm[snorm == 0] = 1
+    seed_blob = _ray.put((seed_ids, smat / snorm))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        sids, sn = _ray.get(seed_blob)
+        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bm = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1
+        sims = np.round((bm / bn) @ sn.T, 5)
+        best = np.argmax(sims, axis=1)   # first max = lowest sid tie
+        return pa.table({
+            id_col: pa.array(bids, pa.int64()),
+            "cluster": pa.array(sids[best], pa.int64()),
+            "seed_sim": pa.array(sims[np.arange(len(bids)), best],
+                                 pa.float64()),
+            vec_col: batch[vec_col]})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or id_col not in g.columns:
+            # empty partitions reach map_groups as zero-column frames
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int64"),
+                "seed_sim": pd.Series([], dtype="float64"),
+                "kept": pd.Series([], dtype="int64")})
+        g = g.sort_values(id_col)
+        gm = np.array(g[vec_col].to_list(), dtype=np.float64)
+        gn = np.linalg.norm(gm, axis=1, keepdims=True)
+        gn[gn == 0] = 1
+        sims = np.round((gm / gn) @ (gm / gn).T, 5)
+        earlier_dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(dtype=np.int64),
+            "cluster": g["cluster"].to_numpy(dtype=np.int64),
+            "seed_sim": g["seed_sim"].to_numpy(dtype=np.float64),
+            "kept": (~earlier_dup).astype(np.int64)})
+
+    return ds.select_columns([id_col, vec_col]) \
+        .map_batches(assign, batch_format="pyarrow") \
+        .groupby("cluster").map_groups(prune, batch_format="pandas")

@@ -943,3 +943,314 @@ def source_token_entropy(ds: "rd.Dataset", *, group_col: str = "source",
                            "sum_clnc_micro": "int64"})
 
     return folded.map_batches(finish, batch_format="pandas")
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                   text_col: str = "text") -> "rd.Dataset":
+    """Gopher-rules composite quality filter (Rae et al. 2021 §A1.1 —
+    the published heuristic set, applied verbatim): word count in
+    [50, 100000], mean word length in [3, 10], symbol-to-word ratio
+    (``#`` + ``...``/``…`` occurrences) ≤ 0.1, ≤ 90% of lines starting
+    with a bullet, ≤ 30% of lines ending in an ellipsis, ≥ 80% of words
+    containing an alphabetic character, and ≥ 2 DISTINCT members of the
+    8-stopword probe list present.
+
+    Pure per-batch map — no shuffle, no state; embarrassingly parallel
+    at any corpus size. Every ratio rule is an INTEGER
+    cross-multiplication (``10·symbols ≤ words``), never a float
+    division, so the DuckDB twin decides each flag identically with no
+    rounding seam. Lines split on chr(10) only (not splitlines(), whose
+    \\r/\\x85 extras the SQL twin can't see)."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, nw, flags = [], [], [[] for _ in range(7)]
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            words = text.split()
+            n_words = len(words)
+            total_chars = sum(len(w) for w in words)
+            n_alpha = sum(1 for w in words
+                          if any(c.isascii() and c.isalpha() for c in w))
+            lowers = {w.lower() for w in words}
+            n_stop = sum(1 for s in _GOPHER_STOPS if s in lowers)
+            n_sym = (text.count("#") + text.count("...")
+                     + text.count("…"))
+            lines = text.split("\n")
+            n_lines = len(lines)
+            n_bullet = sum(1 for ln in lines
+                           if ln.startswith(_GOPHER_BULLETS))
+            n_ell = sum(1 for ln in lines
+                        if ln.endswith(("...", "…")))
+            ids.append(did)
+            nw.append(n_words)
+            flags[0].append(int(50 <= n_words <= 100000))
+            flags[1].append(int(3 * n_words <= total_chars
+                                <= 10 * n_words and n_words > 0))
+            flags[2].append(int(10 * n_sym <= n_words))
+            flags[3].append(int(10 * n_bullet <= 9 * n_lines))
+            flags[4].append(int(10 * n_ell <= 3 * n_lines))
+            flags[5].append(int(5 * n_alpha >= 4 * n_words))
+            flags[6].append(int(n_stop >= 2))
+        cols = ["r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+                "r_ellipsis", "r_alpha", "r_stop"]
+        out = pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                            "n_words": pd.Series(nw, dtype="int64")})
+        all_pass = np.ones(len(ids), dtype=np.int64)
+        for name, vals in zip(cols, flags):
+            v = np.asarray(vals, dtype=np.int64)
+            out[name] = v
+            all_pass &= v
+        out["pass_all"] = all_pass
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")
+
+
+def codepoint_entropy(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                      text_col: str = "text") -> "rd.Dataset":
+    """Per-document Shannon entropy over Unicode CODEPOINTS (nats,
+    floored to milli-units) — the cheap gibberish/binary-paste probe
+    that needs no tokenizer: natural prose sits ~2.9–3.3 nats, base64
+    blobs and key-mash spam ≥ 4, single-char floods near 0.
+
+    Pure per-batch map; the per-doc histogram is vectorized as
+    ``np.unique`` over the UTF-32 view of the string (one C pass per
+    document, no Python char loop). Same two-integer-aggregate
+    H = ln(N) − Σ c·ln(c)/N contract as source_token_entropy, so the
+    DuckDB twin (RE2 ``(?s).`` per-codepoint unnest) lands on the
+    identical integers. Empty-text docs are absent (no distribution),
+    matching the twin's ``length(text) > 0`` guard."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, sums = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            if not text:
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            _, counts = np.unique(cp, return_counts=True)
+            c = counts.astype(np.float64)
+            ids.append(did)
+            ns.append(len(cp))
+            sums.append(int(np.floor(np.log(c) * c * 1e6)
+                            .astype(np.int64).sum()))
+        n = np.asarray(ns, dtype=np.float64)
+        s = np.asarray(sums, dtype=np.float64)
+        ent = (np.floor((np.log(n) - (s / 1e6) / n) * 1000)
+               .astype(np.int64) if len(ids) else
+               np.array([], dtype=np.int64))
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "n_chars": pd.Series(ns, dtype="int64"),
+            "sum_clnc_micro": pd.Series(sums, dtype="int64"),
+            "entropy_milli": pd.Series(ent, dtype="int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")
+
+
+def source_zipf_slope(ds: "rd.Dataset", *, group_col: str = "source",
+                      text_col: str = "text", top_k: int = 100,
+                      num_buckets: int = 64) -> "rd.Dataset":
+    """Least-squares slope of ln(count) vs ln(rank) over each source's
+    top-K tokens — the Zipf-law template-collapse probe: organic text
+    slopes near −1; a boilerplate mill whose pages repeat one template
+    goes much steeper (head tokens absorb everything), and keyword-spam
+    flattens toward 0.
+
+    Distributed shape: the source_token_entropy pair-bucket move for
+    final (source, token) counts (one row per distinct pair per batch
+    on the wire, in-bucket sums final — no vocab-wide second shuffle),
+    then per-bucket top-K per source (a global top-K member beats all
+    but < K pairs, so it is in its own bucket's top-K — the union of
+    per-bucket top-Ks is a superset), then one tiny
+    ``groupby(source).map_groups`` over ≤ K·buckets rows per source.
+
+    Parity contract: rank = row_number ordered by (count DESC, token
+    ASC); x = floor(ln(rank)·1e6), y = floor(ln(count)·1e6) as int64;
+    Σx, Σy, Σxy, Σxx are exact integer sums; the final
+    slope_milli = floor(1000·(nΣxy − ΣxΣy)/(nΣxx − ΣxΣx)) is one
+    shared double division, so DuckDB decides identically. Sources
+    with < 2 distinct tokens are absent (slope undefined)."""
+    from ..rayutil import salt_bucket
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        groups: list = []
+        toks: list[str] = []
+        for g, text in zip(batch[group_col], batch[text_col].fillna("")):
+            for w in text.split():
+                groups.append(g)
+                toks.append(w)
+        b = pd.DataFrame({group_col: pd.Series(groups, dtype="object"),
+                          "tok": pd.Series(toks, dtype="object")})
+        b = b.groupby([group_col, "tok"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        pair = b[group_col].astype(str) + "\x1f" + b["tok"]
+        b["c"] = b["c"].astype("int64")
+        b["bucket"] = salt_bucket(pair.to_numpy(), num_buckets) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def per_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "c" not in g.columns:
+            # empty partitions reach map_groups as ZERO-COLUMN frames
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "tok": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64")})
+        cnt = g.groupby([group_col, "tok"], as_index=False)["c"].sum()
+        cnt = cnt.sort_values(["c", "tok"],
+                              ascending=[False, True], kind="mergesort")
+        out = cnt.groupby(group_col, as_index=False).head(top_k)
+        return pd.DataFrame({
+            group_col: pd.Series(out[group_col].to_numpy(),
+                                 dtype="object"),
+            "tok": pd.Series(out["tok"].to_numpy(), dtype="object"),
+            "c": pd.Series(out["c"].to_numpy(), dtype="int64")})
+
+    def fit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) and "c" in g.columns:
+            g = g.sort_values(["c", "tok"], ascending=[False, True],
+                              kind="mergesort").head(top_k)
+        n = len(g)
+        if n < 2 or "c" not in g.columns:
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="object"),
+                "n_top": pd.Series([], dtype="int64"),
+                "slope_milli": pd.Series([], dtype="int64")})
+        rank = np.arange(1, n + 1, dtype=np.float64)
+        x = np.floor(np.log(rank) * 1e6).astype(np.int64)
+        y = np.floor(np.log(g["c"].to_numpy(dtype=np.float64))
+                     * 1e6).astype(np.int64)
+        # exact integer sums (python ints — no int64 overflow anxiety),
+        # one double division shared with the SQL twin
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope_milli = int(np.floor(float(num) / float(den) * 1000))
+        return pd.DataFrame({
+            group_col: pd.Series([g[group_col].iloc[0]], dtype="object"),
+            "n_top": pd.Series([n], dtype="int64"),
+            "slope_milli": pd.Series([slope_milli], dtype="int64")})
+
+    return ds.select_columns([group_col, text_col]) \
+        .map_batches(local, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket_topk,
+                                      batch_format="pandas") \
+        .groupby(group_col).map_groups(fit, batch_format="pandas")
+
+
+def line_dup_stats(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                   text_col: str = "text") -> "rd.Dataset":
+    """Gopher repetition rules, line/paragraph half (Rae et al. 2021
+    §A1.2 — the complement of ``repetition_stats``'s token/bigram
+    half): per document, the duplicate-LINE fraction, duplicate-line
+    CHARACTER fraction, and both again at PARAGRAPH granularity, plus
+    the four published threshold flags (dup-line ≤ 30%, dup-para ≤
+    30%, dup-line-chars ≤ 20%, dup-para-chars ≤ 20%).
+
+    Counting contract (shared verbatim with the SQL twin): lines split
+    on chr(10), paragraphs on chr(10)||chr(10) (consecutive-delimiter
+    empties INCLUDED, exactly Python ``str.split`` on a literal
+    separator); a value occurring c > 1 times contributes c−1
+    duplicate units and (c−1)·len(value) duplicate characters; the
+    denominator is the sum of unit lengths (newlines excluded). Every
+    flag is an integer cross-multiplication (``10·dup ≤ 3·total``) —
+    no float division anywhere, so DuckDB decides identically.
+
+    Pure per-batch map — shuffle-free, embarrassingly parallel at any
+    corpus size."""
+    def one(units: list[str]) -> tuple[int, int, int, int]:
+        n = len(units)
+        chars = sum(len(u) for u in units)
+        dup = dup_chars = 0
+        for v, c in Counter(units).items():
+            if c > 1:
+                dup += c - 1
+                dup_chars += (c - 1) * len(v)
+        return n, chars, dup, dup_chars
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in (
+            id_col, "n_lines", "line_chars", "dup_lines",
+            "dup_line_chars", "n_paras", "para_chars", "dup_paras",
+            "dup_para_chars")}
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            nl, cl, dl, dcl = one(text.split("\n"))
+            np_, cp_, dp, dcp = one(text.split("\n\n"))
+            for k, v in zip(rows, (did, nl, cl, dl, dcl,
+                                   np_, cp_, dp, dcp)):
+                rows[k].append(v)
+        out = pd.DataFrame({k: pd.Series(v, dtype="int64")
+                            for k, v in rows.items()})
+        out["f_dup_line"] = (10 * out["dup_lines"]
+                             <= 3 * out["n_lines"]).astype("int64")
+        out["f_dup_para"] = (10 * out["dup_paras"]
+                             <= 3 * out["n_paras"]).astype("int64")
+        out["f_dup_line_chars"] = (5 * out["dup_line_chars"]
+                                   <= out["line_chars"]).astype("int64")
+        out["f_dup_para_chars"] = (5 * out["dup_para_chars"]
+                                   <= out["para_chars"]).astype("int64")
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")
+
+
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                   text_col: str = "text") -> "rd.Dataset":
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, the published
+    heuristics): keep only lines that end in a terminal punctuation
+    mark (``. ! ? "``), contain ≥ 5 whitespace words, and do not
+    mention ``javascript`` (case-insensitive); then gate the PAGE on
+    ≥ 3 sentences surviving (sentence = terminal-punct occurrence in
+    kept lines), no ``lorem ipsum``, and no ``{``.
+
+    Output per document: total/kept line counts, kept characters,
+    sentence count, the three page flags, and ``pass_all`` — the
+    stats-plus-verdict form so a curriculum stage can weight by
+    survival rate instead of hard-dropping. Sentence counting is the
+    per-line count of ``. ! ?`` occurrences (DuckDB twin: three
+    length-difference probes), not a segmenter — both engines land on
+    the same integers by construction.
+
+    Pure per-batch map — shuffle-free; the hot loop is one pass over
+    each document's lines."""
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in (
+            id_col, "n_lines", "n_kept_lines", "kept_chars",
+            "n_sentences", "f_lorem", "f_brace")}
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            lines = text.split("\n")
+            kept = chars = sents = 0
+            for ln in lines:
+                if (ln.endswith(_C4_TERMINALS)
+                        and len(ln.split()) >= 5
+                        and "javascript" not in ln.lower()):
+                    kept += 1
+                    chars += len(ln)
+                    sents += (ln.count(".") + ln.count("!")
+                              + ln.count("?"))
+            low = text.lower()
+            rows[id_col].append(did)
+            rows["n_lines"].append(len(lines))
+            rows["n_kept_lines"].append(kept)
+            rows["kept_chars"].append(chars)
+            rows["n_sentences"].append(sents)
+            rows["f_lorem"].append(int("lorem ipsum" not in low))
+            rows["f_brace"].append(int("{" not in text))
+        out = pd.DataFrame({k: pd.Series(v, dtype="int64")
+                            for k, v in rows.items()})
+        out["pass_all"] = ((out["n_sentences"] >= 3)
+                           & (out["f_lorem"] == 1)
+                           & (out["f_brace"] == 1)).astype("int64")
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")

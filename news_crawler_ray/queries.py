@@ -5744,6 +5744,305 @@ FROM r, n GROUP BY 1 ORDER BY stage
 """
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rules composite quality filter (textops.gopher_quality —
+    Rae et al. 2021's published heuristic set as 7 integer flags +
+    pass_all; pure per-batch map, every ratio an integer
+    cross-multiplication shared with the SQL twin)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.gopher_quality(ds).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_words", "r_wordcount",
+                                       "r_meanlen", "r_symbol", "r_bullet",
+                                       "r_ellipsis", "r_alpha", "r_stop",
+                                       "pass_all")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_GOPHER_QUALITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+             AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         coalesce(list_aggregate(list_transform(words,
+                      x -> length(x)), 'sum'), 0) AS total_chars,
+         len(list_filter(words,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have',
+                          'with'],
+                 s -> list_contains(list_transform(words,
+                          x -> lower(x)), s))) AS n_stop,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3
+           + (length(text) - length(replace(text, chr(8230), '')))
+             AS n_sym,
+         len(lines) AS n_lines,
+         len(list_filter(lines,
+                 l -> l LIKE chr(8226) || '%' OR l LIKE '-%'
+                      OR l LIKE '*%')) AS n_bullet,
+         len(list_filter(lines,
+                 l -> l LIKE '%...' OR l LIKE '%' || chr(8230)))
+             AS n_ell
+  FROM w)
+SELECT doc_id, n_words::BIGINT AS n_words,
+       CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_wordcount,
+       CAST(n_words > 0 AND 3 * n_words <= total_chars
+            AND total_chars <= 10 * n_words AS BIGINT) AS r_meanlen,
+       CAST(10 * n_sym <= n_words AS BIGINT) AS r_symbol,
+       CAST(10 * n_bullet <= 9 * n_lines AS BIGINT) AS r_bullet,
+       CAST(10 * n_ell <= 3 * n_lines AS BIGINT) AS r_ellipsis,
+       CAST(5 * n_alpha >= 4 * n_words AS BIGINT) AS r_alpha,
+       CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+       CAST((n_words BETWEEN 50 AND 100000)
+            AND (n_words > 0 AND 3 * n_words <= total_chars
+                 AND total_chars <= 10 * n_words)
+            AND 10 * n_sym <= n_words
+            AND 10 * n_bullet <= 9 * n_lines
+            AND 10 * n_ell <= 3 * n_lines
+            AND 5 * n_alpha >= 4 * n_words
+            AND n_stop >= 2 AS BIGINT) AS pass_all
+FROM m ORDER BY doc_id
+"""
+
+
+def q_codepoint_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document codepoint Shannon entropy
+    (textops.codepoint_entropy — np.unique over the UTF-32 view; the
+    tokenizer-free gibberish/base64 probe)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.codepoint_entropy(ds).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_chars",
+                                       "sum_clnc_micro", "entropy_milli")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CODEPOINT_ENTROPY_SQL = r"""
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch
+  FROM documents WHERE length(text) > 0),
+cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+per AS (SELECT doc_id, sum(c) AS n_chars,
+               sum(CAST(floor(ln(CAST(c AS DOUBLE)) * c * 1e6)
+                        AS BIGINT)) AS sum_clnc_micro
+        FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       sum_clnc_micro::BIGINT AS sum_clnc_micro,
+       CAST(floor((ln(CAST(n_chars AS DOUBLE))
+                   - (sum_clnc_micro / 1e6) / n_chars) * 1000)
+            AS BIGINT) AS entropy_milli
+FROM per ORDER BY doc_id
+"""
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Per-source Zipf slope over the top-100 tokens
+    (textops.source_zipf_slope — pair-bucketed final counts,
+    per-bucket top-K prune, integer least-squares partials)."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["source", "text"])
+    out = to.source_zipf_slope(ds, group_col="source",
+                               text_col="text").to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_top": pd.Series([], dtype="int64"),
+            "slope_milli": pd.Series([], dtype="int64")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_ZIPF_SLOPE_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY source, w),
+ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, w ASC) AS rn
+  FROM cnt),
+xy AS (
+  SELECT source,
+         CAST(floor(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked WHERE rn <= 100),
+agg AS (
+  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY source HAVING count(*) >= 2)
+SELECT source, n::BIGINT AS n_top,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000)
+            AS BIGINT) AS slope_milli
+FROM agg ORDER BY source
+"""
+
+
+def q_line_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition rules, line/paragraph half
+    (textops.line_dup_stats — Rae'21 §A1.2 duplicate-line/paragraph
+    fractions as integer counts + the four threshold flags)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.line_dup_stats(ds).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_lines", "line_chars",
+                                       "dup_lines", "dup_line_chars",
+                                       "n_paras", "para_chars",
+                                       "dup_paras", "dup_para_chars",
+                                       "f_dup_line", "f_dup_para",
+                                       "f_dup_line_chars",
+                                       "f_dup_para_chars")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_LINE_DUP_SQL = r"""
+WITH u AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS v,
+         'line' AS gran FROM documents
+  UNION ALL
+  SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS v,
+         'para' AS gran FROM documents),
+cnt AS (SELECT doc_id, gran, v, count(*) AS c, length(v) AS lv
+        FROM u GROUP BY doc_id, gran, v),
+per AS (
+  SELECT doc_id, gran,
+         sum(c)::BIGINT AS n_units,
+         sum(c * lv)::BIGINT AS unit_chars,
+         sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT AS dup,
+         sum(CASE WHEN c > 1 THEN (c - 1) * lv ELSE 0 END)::BIGINT
+             AS dup_chars
+  FROM cnt GROUP BY doc_id, gran)
+SELECT l.doc_id,
+       l.n_units AS n_lines, l.unit_chars AS line_chars,
+       l.dup AS dup_lines, l.dup_chars AS dup_line_chars,
+       p.n_units AS n_paras, p.unit_chars AS para_chars,
+       p.dup AS dup_paras, p.dup_chars AS dup_para_chars,
+       CAST(10 * l.dup <= 3 * l.n_units AS BIGINT) AS f_dup_line,
+       CAST(10 * p.dup <= 3 * p.n_units AS BIGINT) AS f_dup_para,
+       CAST(5 * l.dup_chars <= l.unit_chars AS BIGINT)
+           AS f_dup_line_chars,
+       CAST(5 * p.dup_chars <= p.unit_chars AS BIGINT)
+           AS f_dup_para_chars
+FROM (SELECT * FROM per WHERE gran = 'line') l
+JOIN (SELECT * FROM per WHERE gran = 'para') p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_c4_line_filter(sf_dir: str) -> pd.DataFrame:
+    """C4 cleaning rules (textops.c4_line_filter — Raffel'20 §2.2:
+    terminal-punct + ≥5-word + no-javascript line keep, then the
+    ≥3-sentence / lorem-ipsum / curly-brace page gate)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.c4_line_filter(ds).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id", "n_lines",
+                                       "n_kept_lines", "kept_chars",
+                                       "n_sentences", "f_lorem",
+                                       "f_brace", "pass_all")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_C4_LINE_SQL = r"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+  FROM documents),
+k AS (
+  SELECT doc_id, ln FROM l
+  WHERE (ln LIKE '%.' OR ln LIKE '%!' OR ln LIKE '%?'
+         OR ln LIKE '%"')
+    AND len(list_filter(string_split_regex(ln, '\s+'),
+                        x -> x <> '')) >= 5
+    AND lower(ln) NOT LIKE '%javascript%'),
+ks AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept_lines,
+         sum(length(ln))::BIGINT AS kept_chars,
+         sum(length(ln) - length(replace(ln, '.', ''))
+             + length(ln) - length(replace(ln, '!', ''))
+             + length(ln) - length(replace(ln, '?', '')))::BIGINT
+             AS n_sentences
+  FROM k GROUP BY doc_id),
+ls AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+       FROM l GROUP BY doc_id),
+pg AS (
+  SELECT doc_id,
+         CAST(lower(text) NOT LIKE '%lorem ipsum%' AS BIGINT)
+             AS f_lorem,
+         CAST(text NOT LIKE '%{%' AS BIGINT) AS f_brace
+  FROM documents)
+SELECT d.doc_id, ls.n_lines,
+       coalesce(ks.n_kept_lines, 0) AS n_kept_lines,
+       coalesce(ks.kept_chars, 0) AS kept_chars,
+       coalesce(ks.n_sentences, 0) AS n_sentences,
+       pg.f_lorem, pg.f_brace,
+       CAST(coalesce(ks.n_sentences, 0) >= 3 AND pg.f_lorem = 1
+            AND pg.f_brace = 1 AS BIGINT) AS pass_all
+FROM documents d
+JOIN ls USING (doc_id) JOIN pg USING (doc_id)
+LEFT JOIN ks USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """Semantic dedup (dedup.semdedup — SemDeDup-shaped seeded
+    cluster assignment + within-cluster greedy keep-first cosine
+    prune at 0.45; only cluster members ever meet pairwise)."""
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    out = dd.semdedup(ds, n_seeds=8, threshold=0.45).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "seed_sim": pd.Series([], dtype="float64"),
+            "kept": pd.Series([], dtype="int64")})
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+Q_SEMDEDUP_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+sim AS (
+  SELECT e.vec_id, s.sid,
+         round(CAST(list_cosine_similarity(e.embedding, s.semb)
+                    AS DOUBLE), 5) AS cs
+  FROM embeddings e CROSS JOIN seeds s),
+a AS (
+  SELECT vec_id, sid AS cluster, cs AS seed_sim
+  FROM (SELECT vec_id, sid, cs,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, sid ASC) AS rn
+        FROM sim)
+  WHERE rn = 1),
+dup AS (
+  SELECT v.vec_id
+  FROM a v
+  JOIN a u ON u.cluster = v.cluster AND u.vec_id < v.vec_id
+  JOIN embeddings ev ON ev.vec_id = v.vec_id
+  JOIN embeddings eu ON eu.vec_id = u.vec_id
+  WHERE round(CAST(list_cosine_similarity(eu.embedding, ev.embedding)
+                   AS DOUBLE), 5) >= 0.45
+  GROUP BY v.vec_id)
+SELECT a.vec_id, a.cluster, a.seed_sim,
+       CAST(dup.vec_id IS NULL AS BIGINT) AS kept
+FROM a LEFT JOIN dup USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -5873,6 +6172,12 @@ QUERIES = {
     "q_dedup_cascade": q_dedup_cascade,
     "q_embedding_norm_outliers": q_embedding_norm_outliers,
     "q_quality_curriculum": q_quality_curriculum,
+    "q_gopher_quality": q_gopher_quality,
+    "q_codepoint_entropy": q_codepoint_entropy,
+    "q_zipf_slope": q_zipf_slope,
+    "q_line_dup_stats": q_line_dup_stats,
+    "q_c4_line_filter": q_c4_line_filter,
+    "q_semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_anchor_texts": q_crawl_anchor_texts,
@@ -6000,4 +6305,10 @@ ORACLES = {
     "q_dedup_cascade": Q_DEDUP_CASCADE_SQL,
     "q_embedding_norm_outliers": Q_NORM_OUTLIERS_SQL,
     "q_quality_curriculum": Q_QUALITY_CURRICULUM_SQL,
+    "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
+    "q_codepoint_entropy": Q_CODEPOINT_ENTROPY_SQL,
+    "q_zipf_slope": Q_ZIPF_SLOPE_SQL,
+    "q_line_dup_stats": Q_LINE_DUP_SQL,
+    "q_c4_line_filter": Q_C4_LINE_SQL,
+    "q_semdedup": Q_SEMDEDUP_SQL,
 }
