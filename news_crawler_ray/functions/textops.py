@@ -1254,3 +1254,85 @@ def c4_line_filter(ds: "rd.Dataset", *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pandas")
+
+
+NGRAM_TOP_PCT = {2: 20, 3: 18, 4: 16}
+NGRAM_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _ngram_repetition_doc(text: str) -> dict[str, int]:
+    """Per-document kernel behind ngram_repetition_stats (pure, no Ray
+    — SQL-parity-tested directly in tests/test_sql_parity.py)."""
+    words = text.split()
+    idmap: dict[str, int] = {}
+    ids = [idmap.setdefault(w, len(idmap)) for w in words]
+    vocab = list(idmap)                 # word id -> word
+    idlen = [len(w) for w in vocab]     # word id -> char length
+    out: dict[str, int] = {
+        "norm_chars": sum(idlen[i] for i in ids) + max(0, len(words) - 1)}
+    for n in NGRAM_TOP_PCT:
+        cnt = Counter(zip(*(ids[i:] for i in range(n))))
+        if not cnt:
+            out[f"top{n}_c"] = 0
+            out[f"top{n}_chars"] = 0
+            continue
+        c_top = max(cnt.values())
+        gram = min(" ".join(vocab[i] for i in g)
+                   for g, c in cnt.items() if c == c_top)
+        out[f"top{n}_c"] = c_top
+        out[f"top{n}_chars"] = c_top * len(gram)
+    for n in NGRAM_DUP_PCT:
+        cnt = Counter(zip(*(ids[i:] for i in range(n))))
+        out[f"dup{n}_chars"] = sum(
+            c * (sum(idlen[i] for i in g) + n - 1)
+            for g, c in cnt.items() if c > 1)
+    return out
+
+
+def ngram_repetition_stats(ds: "rd.Dataset", *, id_col: str = "doc_id",
+                           text_col: str = "text") -> "rd.Dataset":
+    """Gopher repetition rules, n-gram character-fraction half (Rae et
+    al. 2021 §A1.2, completing ``repetition_stats``'s top-token/bigram
+    counts and ``line_dup_stats``'s line/paragraph half): per document,
+    the characters covered by the MOST FREQUENT word n-gram for
+    n = 2..4 and by ALL duplicated word n-grams for n = 5..10, plus the
+    published threshold flags (top-2/3/4 ≤ 20/18/16 %, dup-5..10 ≤
+    15/14/13/12/11/10 %).
+
+    Counting contract (shared verbatim with the SQL twin): words are
+    whitespace tokens; an n-gram's character length is
+    ``len(' '.join(words))`` = Σ word lens + (n−1); the denominator
+    ``norm_chars`` is the whole document re-joined with single spaces;
+    the top gram ties break to the lexicographically smallest JOINED
+    STRING (not word-tuple order — they differ when a word contains a
+    codepoint below the space); dup chars are overlap-naive
+    (Σ c·len(gram) over grams with c > 1). Every flag is the integer
+    cross-multiplication ``100·chars ≤ pct·norm_chars``.
+
+    Pure per-batch map — shuffle-free; counts are over word-id tuples
+    (one Counter pass per n), gram strings materialize only for the
+    rare top-count tie."""
+    count_cols = (["norm_chars"]
+                  + [f"top{n}_c" for n in NGRAM_TOP_PCT]
+                  + [f"top{n}_chars" for n in NGRAM_TOP_PCT]
+                  + [f"dup{n}_chars" for n in NGRAM_DUP_PCT])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {k: [] for k in [id_col] + count_cols}
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            rows[id_col].append(did)
+            for k, v in _ngram_repetition_doc(text).items():
+                rows[k].append(v)
+        out = pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+        nc = out["norm_chars"].to_numpy()
+        for n, pct in NGRAM_TOP_PCT.items():
+            out[f"f_top{n}"] = (100 * out[f"top{n}_chars"].to_numpy()
+                                <= pct * nc).astype("int64")
+        for n, pct in NGRAM_DUP_PCT.items():
+            out[f"f_dup{n}"] = (100 * out[f"dup{n}_chars"].to_numpy()
+                                <= pct * nc).astype("int64")
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas")

@@ -5995,6 +5995,105 @@ ORDER BY doc_id
 """
 
 
+def q_ngram_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition rules, n-gram half
+    (textops.ngram_repetition_stats — Rae'21 §A1.2 top-2/3/4-gram
+    char-fraction + all-dup-5..10-gram char-fraction signals with the
+    published threshold flags)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.ngram_repetition_stats(ds).to_pandas()
+    if not len(out):        # zero-block empty loses its columns
+        cols = (["doc_id", "norm_chars"]
+                + [f"top{n}_c" for n in (2, 3, 4)]
+                + [f"top{n}_chars" for n in (2, 3, 4)]
+                + [f"dup{n}_chars" for n in range(5, 11)]
+                + [f"f_top{n}" for n in (2, 3, 4)]
+                + [f"f_dup{n}" for n in range(5, 11)])
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NGRAM_REP_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents),
+exp AS (
+  SELECT doc_id, ws, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n FROM d),
+pos AS (
+  SELECT doc_id, ws, n,
+         unnest(range(1, greatest(len(ws) - n + 2, 1))) AS i
+  FROM exp),
+g AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+  FROM pos),
+cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c, length(gram) AS lg
+  FROM g GROUP BY doc_id, n, gram),
+top AS (
+  SELECT doc_id, n, c AS top_c, c * lg AS top_chars
+  FROM (SELECT doc_id, n, c, lg,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram ASC) AS rn
+        FROM cnt) WHERE rn = 1 AND n <= 4),
+dup AS (
+  SELECT doc_id, n,
+         sum(CASE WHEN c > 1 THEN c * lg ELSE 0 END)::BIGINT AS dc
+  FROM cnt WHERE n >= 5 GROUP BY doc_id, n),
+tw AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_c END) AS top2_c,
+         max(CASE WHEN n = 3 THEN top_c END) AS top3_c,
+         max(CASE WHEN n = 4 THEN top_c END) AS top4_c,
+         max(CASE WHEN n = 2 THEN top_chars END) AS top2_chars,
+         max(CASE WHEN n = 3 THEN top_chars END) AS top3_chars,
+         max(CASE WHEN n = 4 THEN top_chars END) AS top4_chars
+  FROM top GROUP BY doc_id),
+dw AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN dc END) AS dup5_chars,
+         max(CASE WHEN n = 6 THEN dc END) AS dup6_chars,
+         max(CASE WHEN n = 7 THEN dc END) AS dup7_chars,
+         max(CASE WHEN n = 8 THEN dc END) AS dup8_chars,
+         max(CASE WHEN n = 9 THEN dc END) AS dup9_chars,
+         max(CASE WHEN n = 10 THEN dc END) AS dup10_chars
+  FROM dup GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         coalesce(length(array_to_string(ws, ' ')), 0)::BIGINT
+             AS norm_chars
+  FROM d),
+fin AS (
+  SELECT b.doc_id, b.norm_chars,
+         coalesce(tw.top2_c, 0)::BIGINT AS top2_c,
+         coalesce(tw.top3_c, 0)::BIGINT AS top3_c,
+         coalesce(tw.top4_c, 0)::BIGINT AS top4_c,
+         coalesce(tw.top2_chars, 0)::BIGINT AS top2_chars,
+         coalesce(tw.top3_chars, 0)::BIGINT AS top3_chars,
+         coalesce(tw.top4_chars, 0)::BIGINT AS top4_chars,
+         coalesce(dw.dup5_chars, 0)::BIGINT AS dup5_chars,
+         coalesce(dw.dup6_chars, 0)::BIGINT AS dup6_chars,
+         coalesce(dw.dup7_chars, 0)::BIGINT AS dup7_chars,
+         coalesce(dw.dup8_chars, 0)::BIGINT AS dup8_chars,
+         coalesce(dw.dup9_chars, 0)::BIGINT AS dup9_chars,
+         coalesce(dw.dup10_chars, 0)::BIGINT AS dup10_chars
+  FROM base b LEFT JOIN tw USING (doc_id) LEFT JOIN dw USING (doc_id))
+SELECT *,
+       CAST(100 * top2_chars <= 20 * norm_chars AS BIGINT) AS f_top2,
+       CAST(100 * top3_chars <= 18 * norm_chars AS BIGINT) AS f_top3,
+       CAST(100 * top4_chars <= 16 * norm_chars AS BIGINT) AS f_top4,
+       CAST(100 * dup5_chars <= 15 * norm_chars AS BIGINT) AS f_dup5,
+       CAST(100 * dup6_chars <= 14 * norm_chars AS BIGINT) AS f_dup6,
+       CAST(100 * dup7_chars <= 13 * norm_chars AS BIGINT) AS f_dup7,
+       CAST(100 * dup8_chars <= 12 * norm_chars AS BIGINT) AS f_dup8,
+       CAST(100 * dup9_chars <= 11 * norm_chars AS BIGINT) AS f_dup9,
+       CAST(100 * dup10_chars <= 10 * norm_chars AS BIGINT) AS f_dup10
+FROM fin ORDER BY doc_id
+"""
+
+
 def q_semdedup(sf_dir: str) -> pd.DataFrame:
     """Semantic dedup (dedup.semdedup — SemDeDup-shaped seeded
     cluster assignment + within-cluster greedy keep-first cosine
@@ -6177,6 +6276,7 @@ QUERIES = {
     "q_zipf_slope": q_zipf_slope,
     "q_line_dup_stats": q_line_dup_stats,
     "q_c4_line_filter": q_c4_line_filter,
+    "q_ngram_repetition": q_ngram_repetition,
     "q_semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
@@ -6310,5 +6410,6 @@ ORACLES = {
     "q_zipf_slope": Q_ZIPF_SLOPE_SQL,
     "q_line_dup_stats": Q_LINE_DUP_SQL,
     "q_c4_line_filter": Q_C4_LINE_SQL,
+    "q_ngram_repetition": Q_NGRAM_REP_SQL,
     "q_semdedup": Q_SEMDEDUP_SQL,
 }

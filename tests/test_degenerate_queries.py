@@ -67,7 +67,8 @@ QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
                "q_dedup_cascade", "q_embedding_norm_outliers",
                "q_quality_curriculum", "q_gopher_quality",
                "q_codepoint_entropy", "q_zipf_slope",
-               "q_line_dup_stats", "q_c4_line_filter", "q_semdedup"]
+               "q_line_dup_stats", "q_c4_line_filter", "q_semdedup",
+               "q_ngram_repetition"]
 
 
 @pytest.fixture(scope="module")

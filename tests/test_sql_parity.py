@@ -223,6 +223,49 @@ FROM anch
 _UNI_ALPHABET = _ALPHABET + "éñüßαв中文한🎉𝄞"
 
 
+class TestNgramRepetitionSqlParity:
+    """The PRODUCTION Q_NGRAM_REP_SQL (run on a one-row documents
+    table) re-derives the pure per-document kernel, including the
+    joined-string tie-break for the top gram, over the unicode
+    alphabet."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=_UNI_ALPHABET, max_size=120))
+    def test_counts_match_sql(self, text):
+        from news_crawler_ray.functions.textops import (
+            NGRAM_DUP_PCT, NGRAM_TOP_PCT, _ngram_repetition_doc)
+        from news_crawler_ray.queries import Q_NGRAM_REP_SQL
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.execute("INSERT INTO documents VALUES (0, ?)", [text])
+        row = con.execute(Q_NGRAM_REP_SQL).fetchall()
+        assert len(row) == 1
+        cols = [d[0] for d in con.description]
+        got = dict(zip(cols, row[0]))
+        want = _ngram_repetition_doc(text)
+        for k, v in want.items():
+            assert int(got[k]) == v, (k, text)
+        for n, pct in NGRAM_TOP_PCT.items():
+            assert got[f"f_top{n}"] == int(
+                100 * want[f"top{n}_chars"] <= pct * want["norm_chars"])
+        for n, pct in NGRAM_DUP_PCT.items():
+            assert got[f"f_dup{n}"] == int(
+                100 * want[f"dup{n}_chars"] <= pct * want["norm_chars"])
+
+    def test_pinned_example(self):
+        """'a b a b a b c': top-2 gram 'a b' ×3 (9 chars of 13), the
+        3-gram tie ('a b a' vs 'b a b', both ×2) breaks to the joined
+        string 'a b a', and no 5..10-gram repeats."""
+        from news_crawler_ray.functions.textops import _ngram_repetition_doc
+        d = _ngram_repetition_doc("a b a b a b c")
+        assert d["norm_chars"] == 13
+        assert (d["top2_c"], d["top2_chars"]) == (3, 9)
+        assert (d["top3_c"], d["top3_chars"]) == (2, 10)
+        assert (d["top4_c"], d["top4_chars"]) == (2, 14)
+        assert all(d[f"dup{n}_chars"] == 0 for n in range(5, 11))
+
+
 class TestAnchorWindowSqlParity:
     @settings(max_examples=80, deadline=None)
     @given(st.text(alphabet=_UNI_ALPHABET, max_size=150))
