@@ -139,7 +139,10 @@ def run_bench() -> dict:
                  "q_bm25_topk", "q_lm_quality", "q_dsir_weights",
                  "q_embedding_components", "q_ngram_novelty",
                  "q_hard_negatives", "q_source_temperature_mix",
-                 "q_dedup_cascade", "q_embedding_norm_outliers"):
+                 "q_dedup_cascade", "q_embedding_norm_outliers",
+                 "q_quality_curriculum", "q_gopher_quality",
+                 "q_line_dup_stats", "q_c4_line_filter",
+                 "q_semdedup", "q_ngram_repetition"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)
