@@ -142,7 +142,9 @@ def run_bench() -> dict:
                  "q_dedup_cascade", "q_embedding_norm_outliers",
                  "q_quality_curriculum", "q_gopher_quality",
                  "q_line_dup_stats", "q_c4_line_filter",
-                 "q_semdedup", "q_ngram_repetition"):
+                 "q_semdedup", "q_ngram_repetition",
+                 "q_tokenizer_fertility", "q_mask_pii_extended",
+                 "q_contamination_rate", "q_ccnet_buckets"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

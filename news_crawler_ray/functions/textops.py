@@ -289,7 +289,8 @@ def eval_ngram_set(eval_ds: "rd.Dataset", *, n: int = 4,
 
     rows = eval_ds.select_columns([text_col]).map_batches(
         grams, batch_format="pandas").to_pandas()
-    return set(rows["ngram"])
+    # an EMPTY eval dataset never runs the UDF → zero-column frame
+    return set(rows["ngram"]) if "ngram" in rows.columns else set()
 
 
 def decontaminate(ds: "rd.Dataset", eval_ngrams: set[str], *, n: int = 4,
@@ -332,6 +333,50 @@ def decontaminate(ds: "rd.Dataset", eval_ngrams: set[str], *, n: int = 4,
         return ds.map_batches(clean, batch_format="pandas")
     return ds.select_columns([id_col, text_col]).map_batches(
         flag, batch_format="pandas")
+
+
+def contamination_stats(ds: "rd.Dataset", eval_ngrams: set[str], *,
+                        n: int = 4, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        dirty_denom: int = 20) -> "rd.Dataset":
+    """Per-document contamination RATE vs an eval n-gram set — the
+    graded form of ``decontaminate`` (Brown et al. 2020 §C judge a doc
+    "dirty" by its overlap fraction, not a binary hit): for every doc
+    with ≥1 distinct token n-gram, emit (doc_id, n_grams, n_hits,
+    is_dirty) where is_dirty is the pure-integer cross-multiplication
+    ``n_hits · dirty_denom ≥ n_grams`` (default: ≥5 % of the doc's
+    distinct n-grams appear in the eval set). Same scale shape as
+    decontaminate: eval set ``ray.put`` once, probed per batch — zero
+    shuffle, embarrassingly parallel over the 100-TB side."""
+    import ray as _ray
+
+    from ..rayutil import cached_object
+    ref = _ray.put(frozenset(eval_ngrams))
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        eg = cached_object(ref)
+        ids, totals, hits = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+            words = text.split()
+            grams = {" ".join(words[i:i + n])
+                     for i in range(len(words) - n + 1)}
+            if not grams:
+                continue       # <n words: no gram rows in the SQL twin
+            ids.append(did)
+            totals.append(len(grams))
+            hits.append(len(grams & eg))
+        tot = np.asarray(totals, dtype=np.int64)
+        ht = np.asarray(hits, dtype=np.int64)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "n_grams": pd.Series(tot, dtype="int64"),
+            "n_hits": pd.Series(ht, dtype="int64"),
+            "is_dirty": pd.Series(
+                (ht * dirty_denom >= tot).astype(np.int64),
+                dtype="int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas")
 
 
 def chunk_documents(ds: "rd.Dataset", *, chunk_size: int = 64,
@@ -423,6 +468,11 @@ def fingerprints(ds: "rd.Dataset", text_col: str = "text",
 # arbitrary text in tests/test_sql_parity.py.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+# \b is the ASCII word boundary in both Python re and RE2 (the corpus
+# alphabet keeps it ASCII-only in practice); SSN runs AFTER phone so a
+# masked phone's digits can never be re-claimed as an SSN
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
 
 
 def _anchor_windows(text: str, window: int, anchor_mod: int) -> set[str]:
@@ -592,6 +642,40 @@ def mask_pii(ds: "rd.Dataset", *, text_col: str = "text",
             id_col: batch[id_col], "masked": s,
             "n_email": n_email.astype("int64"),
             "n_phone": n_phone.astype("int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        mask, batch_format="pandas")
+
+
+# fixed (pattern, placeholder) cascade: order is semantic — email first
+# (digits inside addresses must never be half-claimed downstream), then
+# phone (leading '+', disjoint from SSN), then IPv4 (dots), then SSN.
+# The oracle nests its regexp_replace calls in the identical order.
+PII_EXTENDED_PASSES = (
+    (PII_EMAIL_RE, "<EMAIL>", "n_email"),
+    (PII_PHONE_RE, "<PHONE>", "n_phone"),
+    (PII_IPV4_RE, "<IP>", "n_ip"),
+    (PII_SSN_RE, "<SSN>", "n_ssn"),
+)
+
+
+def mask_pii_extended(ds: "rd.Dataset", *, text_col: str = "text",
+                      id_col: str = "doc_id") -> "rd.Dataset":
+    """Four-pass PII redaction (email → phone → IPv4 → SSN) with
+    per-category replacement counts — the wider scrub a pre-training
+    pipeline actually ships (mask_pii's email/phone pair plus network
+    and government identifiers). Same scale shape as mask_pii: pure
+    per-batch map over vectorized pandas str kernels, zero shuffle,
+    RE2∩re-safe patterns shared verbatim with the DuckDB twin."""
+
+    def mask(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        out = {id_col: batch[id_col]}
+        for pat, token, cnt_col in PII_EXTENDED_PASSES:
+            out[cnt_col] = s.str.count(pat).astype("int64")
+            s = s.str.replace(pat, token, regex=True)
+        out["masked"] = s
+        return pd.DataFrame(out)
 
     return ds.select_columns([id_col, text_col]).map_batches(
         mask, batch_format="pandas")

@@ -4925,11 +4925,12 @@ def _doc_token_hash_rows(t: pa.Table) -> pa.Table:
                      "tf": pa.array(tfs, pa.int64())})
 
 
-def q_lm_quality(sf_dir: str) -> pd.DataFrame:
-    """Unigram-LM negative-log-likelihood per document — the CCNet-style
-    quality signal (Wenzek et al.'20: LM perplexity ranks documents for
-    training-data selection; a corpus-fit unigram model is its exact,
-    oracle-checkable core).
+def _lm_nll_dataset(sf_dir: str):
+    """Distributed unigram-LM NLL scores as a Dataset of
+    (doc_id, n_tokens, nll_milli) — the shared core of q_lm_quality
+    (doc-level result) and q_ccnet_buckets (head/middle/tail split,
+    which ranks these scores without ever collecting them). Returns
+    None for an empty corpus.
 
     Distributed shape: documents compress to (doc_id, token_hash, tf)
     partials per batch; corpus token totals fold through salted buckets
@@ -4946,9 +4947,7 @@ def q_lm_quality(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(_doc_token_hash_rows, batch_format="pyarrow"),
         ["doc_id", "h", "tf"]).materialize()
     if dt.count() == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "n_tokens": pd.Series([], dtype="int64"),
-                             "nll_milli": pd.Series([], dtype="int64")})
+        return None
 
     counts = project_blocks(
         bucketed_group_sum(dt, ["h"], {"tf": "c"}), ["h", "c"]) \
@@ -4975,11 +4974,36 @@ def q_lm_quality(sf_dir: str) -> pd.DataFrame:
 
     agg = bucketed_group_sum(
         joined.map_batches(term_ints, batch_format="pandas"),
-        ["doc_id"], {"tf": "n_tokens", "t1": "s1"}).to_pandas()
-    agg["nll_milli"] = np.floor(
-        (np.log(total) - agg["s1"] / 1_000_000.0 / agg["n_tokens"])
-        * 1000).astype("int64")
-    return agg[["doc_id", "n_tokens", "nll_milli"]] \
+        ["doc_id"], {"tf": "n_tokens", "t1": "s1"})
+    ln_total = float(np.log(total))
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        nll = np.floor(
+            (ln_total - b["s1"].to_numpy(dtype=np.float64) / 1_000_000.0
+             / b["n_tokens"].to_numpy(dtype=np.float64))
+            * 1000).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_tokens": b["n_tokens"].astype("int64"),
+            "nll_milli": pd.Series(nll, dtype="int64", index=b.index)})
+
+    return project_blocks(agg.map_batches(final, batch_format="pandas"),
+                          ["doc_id", "n_tokens", "nll_milli"])
+
+
+def q_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """Unigram-LM negative-log-likelihood per document — the CCNet-style
+    quality signal (Wenzek et al.'20: LM perplexity ranks documents for
+    training-data selection; a corpus-fit unigram model is its exact,
+    oracle-checkable core). Doc-level view of _lm_nll_dataset: the
+    RESULT is per-document, so the driver collect here is the output,
+    not an intermediate."""
+    scores = _lm_nll_dataset(sf_dir)
+    if scores is None:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "nll_milli": pd.Series([], dtype="int64")})
+    return scores.to_pandas()[["doc_id", "n_tokens", "nll_milli"]] \
         .sort_values("doc_id").reset_index(drop=True)
 
 
@@ -6142,6 +6166,284 @@ ORDER BY vec_id
 """
 
 
+def q_tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility audit — UTF-8 bytes per BPE-ish token, per
+    source (the compression-rate signal that decides which domains eat
+    a token budget; multilingual corpora routinely differ 2-4× here).
+    Per-batch (source, n_docs, n_bytes, n_bpe) combiner — one row per
+    (source, batch) crosses the shuffle — then a salted fold and one
+    integer floor division shared with the twin (``(bytes·1e6)//tokens``
+    — no float mean, no rounding seam)."""
+    from .rayutil import bucketed_group_sum
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "one": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64"),
+                "nt": pd.Series([], dtype="int64")})
+        texts = b["text"].fillna("")
+        nb = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                         dtype=np.int64, count=len(texts))
+        nt = np.fromiter((len(_BPE_RE.findall(t)) for t in texts),
+                         dtype=np.int64, count=len(texts))
+        g = pd.DataFrame({
+            "source": pd.Series(b["source"].to_numpy(), dtype="object"),
+            "one": np.ones(len(b), dtype=np.int64),
+            "nb": nb, "nt": nt}) \
+            .groupby("source", as_index=False).sum()
+        return g.astype({"one": "int64", "nb": "int64", "nt": "int64"})
+
+    agg = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"], {"one": "n_docs", "nb": "n_bytes", "nt": "n_bpe"}) \
+        .to_pandas()
+    if not len(agg):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_bytes": pd.Series([], dtype="int64"),
+            "n_bpe": pd.Series([], dtype="int64"),
+            "bytes_per_token_micro": pd.Series([], dtype="int64")})
+    nb = agg["n_bytes"].to_numpy(dtype=np.int64)
+    nt = agg["n_bpe"].to_numpy(dtype=np.int64)
+    agg["bytes_per_token_micro"] = np.where(
+        nt > 0, (nb * 1_000_000) // np.maximum(nt, 1), 0).astype(np.int64)
+    return agg[["source", "n_docs", "n_bytes", "n_bpe",
+                "bytes_per_token_micro"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+Q_TOKENIZER_FERTILITY_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         strlen(coalesce(text, '')) AS nb,
+         length(regexp_extract_all(coalesce(text, ''), '{_BPE_PAT}')) AS nt
+  FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(nb)::BIGINT AS n_bytes,
+       sum(nt)::BIGINT AS n_bpe,
+       (CASE WHEN sum(nt) = 0 THEN 0
+             ELSE (sum(nb) * 1000000) // sum(nt) END)::BIGINT
+           AS bytes_per_token_micro
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_mask_pii_extended(sf_dir: str) -> pd.DataFrame:
+    """Four-category PII redaction (email → phone → IPv4 → SSN) over a
+    contact blurb derived deterministically from `customer` (same
+    synthesis rationale as q_mask_pii: the documents fixture contains
+    no PII). Exercises the pass-ORDER semantics — a masked phone's
+    digits must never be re-claimed as an SSN — with the oracle nesting
+    its regexp_replace calls identically."""
+    from .functions.textops import mask_pii_extended
+
+    def contact(batch: pd.DataFrame) -> pd.DataFrame:
+        name = batch["c_name"]
+        key = batch["c_custkey"]
+        email = (name.str.replace("#", "", regex=False).str.lower()
+                 + "@corp" + batch["c_nationkey"].astype(str)
+                 + ".example.com")
+        phone = ("+1-" + ((key * 7) % 900 + 100).astype(str) + "-555-"
+                 + ((key * 13) % 10000).astype(str).str.zfill(4))
+        ip = ("10." + (key % 256).astype(str) + "."
+              + ((key * 3) % 256).astype(str) + "."
+              + ((key * 7) % 256).astype(str))
+        ssn = (((key * 37) % 1000).astype(str).str.zfill(3) + "-"
+               + ((key * 11) % 100).astype(str).str.zfill(2) + "-"
+               + ((key * 13) % 10000).astype(str).str.zfill(4))
+        return pd.DataFrame({
+            "c_custkey": key,
+            "text": "Reach " + name + " (ssn " + ssn + ") via " + email
+                    + " or " + phone + " from " + ip + "."})
+
+    ds = read_parquet(_t(sf_dir, "customer"),
+                      columns=["c_custkey", "c_name", "c_nationkey"]) \
+        .map_batches(contact, batch_format="pandas")
+    out = mask_pii_extended(ds, text_col="text", id_col="c_custkey") \
+        .to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_MASK_PII_EXT_SQL = r"""
+WITH t AS (
+  SELECT c_custkey,
+         'Reach ' || c_name || ' (ssn '
+           || lpad(((c_custkey * 37) % 1000)::VARCHAR, 3, '0') || '-'
+           || lpad(((c_custkey * 11) % 100)::VARCHAR, 2, '0') || '-'
+           || lpad(((c_custkey * 13) % 10000)::VARCHAR, 4, '0')
+           || ') via ' || lower(replace(c_name, '#', ''))
+           || '@corp' || c_nationkey || '.example.com or +1-'
+           || ((c_custkey * 7) % 900 + 100) || '-555-'
+           || lpad(((c_custkey * 13) % 10000)::VARCHAR, 4, '0')
+           || ' from 10.' || (c_custkey % 256) || '.'
+           || ((c_custkey * 3) % 256) || '.'
+           || ((c_custkey * 7) % 256) || '.' AS txt
+  FROM customer),
+p1 AS (
+  SELECT c_custkey,
+         length(regexp_extract_all(
+           txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_email,
+         regexp_replace(
+           txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM t),
+p2 AS (
+  SELECT c_custkey, n_email,
+         length(regexp_extract_all(
+           t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))::BIGINT
+           AS n_phone,
+         regexp_replace(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                        '<PHONE>', 'g') AS t2
+  FROM p1),
+p3 AS (
+  SELECT c_custkey, n_email, n_phone,
+         length(regexp_extract_all(
+           t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           ::BIGINT AS n_ip,
+         regexp_replace(
+           t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g') AS t3
+  FROM p2)
+SELECT c_custkey, n_email, n_phone, n_ip,
+       length(regexp_extract_all(
+         t3, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))::BIGINT AS n_ssn,
+       regexp_replace(t3, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b',
+                      '<SSN>', 'g') AS masked
+FROM p3 ORDER BY c_custkey
+"""
+
+
+def q_contamination_rate(sf_dir: str) -> pd.DataFrame:
+    """Graded benchmark decontamination (Brown et al. 2020 §C judge a
+    document "dirty" by its eval-overlap FRACTION, not a binary hit):
+    for every train doc with ≥1 distinct 4-gram, its distinct-gram
+    count, eval-hit count and the integer cross-multiplied dirty flag
+    (``n_hits·20 ≥ n_grams`` — ≥5 %). textops.contamination_stats:
+    eval set ray.put once, probed per batch, zero shuffle."""
+    from .functions.splits import assign_split
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    split = assign_split(ds)
+
+    def keep(where: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[(b["split"] == "test") == where]
+        return f
+
+    eval_grams = to.eval_ngram_set(
+        split.map_batches(keep(True), batch_format="pandas"), n=4)
+    train = split.map_batches(keep(False), batch_format="pandas")
+    out = to.contamination_stats(train, eval_grams, n=4).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("doc_id", "n_grams", "n_hits",
+                                      "is_dirty")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_CONTAMINATION_RATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10 = 9 AS is_eval,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, is_eval,
+         words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+                 || ' ' || words[i + 3] AS ngram
+  FROM (SELECT doc_id, is_eval, words,
+               unnest(range(1, len(words) - 2)) AS i FROM w)),
+eg AS (SELECT DISTINCT ngram FROM g WHERE is_eval),
+t AS (SELECT g.doc_id,
+             count(*)::BIGINT AS n_grams,
+             count(eg.ngram)::BIGINT AS n_hits
+      FROM g LEFT JOIN eg USING (ngram)
+      WHERE NOT g.is_eval GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_hits,
+       CAST(n_hits * 20 >= n_grams AS BIGINT) AS is_dirty
+FROM t ORDER BY doc_id
+"""
+
+
+def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al.'20 §4.3: documents
+    tercile-bucketed by LM perplexity; "head" trains, "tail" is
+    dropped). Composes _lm_nll_dataset (the oracle-pinned unigram-LM
+    scorer) with windows.global_rank_by_value — value-range partitions,
+    no driver sort — so the scores are ranked WITHOUT ever collecting
+    them; the final per-bucket fold sees ≤3 rows per batch."""
+    scores = _lm_nll_dataset(sf_dir)
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("bucket", "n_docs", "min_nll_milli",
+                                    "max_nll_milli")})
+    if scores is None:
+        return empty
+    scores = scores.materialize()
+    n = scores.count()
+    if n == 0:
+        return empty
+    ranks = wn.global_rank_by_value(scores, value_col="nll_milli",
+                                    id_col="doc_id")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "n_docs": pd.Series([], dtype="int64"),
+                "mn": pd.Series([], dtype="int64"),
+                "mx": pd.Series([], dtype="int64")})
+        bk = batch["rank"].to_numpy() * 3 // n
+        g = batch.assign(bucket=bk).groupby("bucket").agg(
+            n_docs=("rank", "size"), mn=("nll_milli", "min"),
+            mx=("nll_milli", "max")).reset_index()
+        return g.astype("int64")
+
+    parts = ranks.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("bucket", as_index=False).agg(
+        n_docs=("n_docs", "sum"), min_nll_milli=("mn", "min"),
+        max_nll_milli=("mx", "max"))
+    return out.astype("int64").sort_values("bucket").reset_index(drop=True)
+
+
+Q_CCNET_BUCKETS_SQL = r"""
+WITH tok AS (SELECT doc_id,
+                    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+             FROM (SELECT doc_id,
+                          unnest(list_filter(
+                              string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS t
+                   FROM documents)),
+dt AS (SELECT doc_id, h, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+ct AS (SELECT h, sum(tf)::BIGINT AS c FROM dt GROUP BY h),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM ct),
+terms AS (SELECT dt.doc_id, dt.tf,
+                 CAST(floor(ln(ct.c) * dt.tf * 1000000) AS BIGINT) AS t1
+          FROM dt JOIN ct USING (h)),
+agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               sum(t1)::BIGINT AS s1
+        FROM terms GROUP BY doc_id),
+s AS (SELECT doc_id,
+             CAST(floor((ln(total) - s1 / 1000000.0 / n_tokens) * 1000)
+                  AS BIGINT) AS nll_milli
+      FROM agg, tot),
+r AS (SELECT nll_milli,
+             row_number() OVER (ORDER BY nll_milli, doc_id) - 1 AS rn
+      FROM s),
+n AS (SELECT count(*) AS n FROM s)
+SELECT CAST((rn * 3) // n.n AS BIGINT) AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(nll_milli)::BIGINT AS min_nll_milli,
+       max(nll_milli)::BIGINT AS max_nll_milli
+FROM r, n GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6290,6 +6592,10 @@ QUERIES = {
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_mask_pii_extended": q_mask_pii_extended,
+    "q_contamination_rate": q_contamination_rate,
+    "q_ccnet_buckets": q_ccnet_buckets,
 }
 
 ORACLES = {
@@ -6412,4 +6718,8 @@ ORACLES = {
     "q_c4_line_filter": Q_C4_LINE_SQL,
     "q_ngram_repetition": Q_NGRAM_REP_SQL,
     "q_semdedup": Q_SEMDEDUP_SQL,
+    "q_tokenizer_fertility": Q_TOKENIZER_FERTILITY_SQL,
+    "q_mask_pii_extended": Q_MASK_PII_EXT_SQL,
+    "q_contamination_rate": Q_CONTAMINATION_RATE_SQL,
+    "q_ccnet_buckets": Q_CCNET_BUCKETS_SQL,
 }

@@ -200,6 +200,73 @@ class TestMaskPiiSqlParity:
             assert sql_ne == len(re.findall(PII_EMAIL_RE, text))
 
 
+_MASK_EXT_SQL = r"""
+WITH p1 AS (
+  SELECT length(regexp_extract_all(
+           ?, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+         regexp_replace(
+           ?, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1),
+p2 AS (
+  SELECT ne,
+         length(regexp_extract_all(
+           t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS np,
+         regexp_replace(t1, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-[0-9]{4}',
+                        '<PHONE>', 'g') AS t2
+  FROM p1),
+p3 AS (
+  SELECT ne, np,
+         length(regexp_extract_all(
+           t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+           AS ni,
+         regexp_replace(
+           t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+           '<IP>', 'g') AS t3
+  FROM p2)
+SELECT regexp_replace(t3, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+       ne, np, ni,
+       length(regexp_extract_all(t3, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+FROM p3
+"""
+
+
+class TestMaskPiiExtendedSqlParity:
+    """The 4-pass cascade (email → phone → IPv4 → SSN) must agree
+    replacement-for-replacement with the nested DuckDB twin — including
+    the pass-order guarantees (a masked phone's digits never re-claimed
+    as an SSN, \\b boundary semantics identical over the ASCII
+    alphabet)."""
+
+    @staticmethod
+    def _py_mask(text):
+        import re
+
+        from news_crawler_ray.functions.textops import PII_EXTENDED_PASSES
+        counts = []
+        for pat, token, _ in PII_EXTENDED_PASSES:
+            counts.append(len(re.findall(pat, text)))
+            text = re.sub(pat, token, text)
+        return (text, *counts)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=_MASK_ALPHABET, max_size=120))
+    def test_mask_ext_matches_sql(self, text):
+        con = duckdb.connect()
+        sql_row = con.execute(_MASK_EXT_SQL, [text, text]).fetchone()
+        assert sql_row == self._py_mask(text)
+
+    def test_realistic_examples(self):
+        con = duckdb.connect()
+        for text in [
+            "ssh 10.0.0.1 then 255.255.255.255. and 1.2.3.4x no",
+            "ssn 123-45-6789 vs phone +1-123-555-6789 vs 12-34-5678",
+            "a@b.cc 1.2.3.4 999-99-9999 +44-123-555-0000 all four",
+            "edge 1234-56-7890 and 123-45-67890 not ssns; 123-45-6789.",
+        ]:
+            sql_row = con.execute(_MASK_EXT_SQL, [text, text]).fetchone()
+            assert sql_row == self._py_mask(text), text
+
+
 _ANCHOR_SQL = r"""
 WITH t(s) AS (SELECT ?),
 pos AS (SELECT s, unnest(range(1, length(s) - 30 + 2)) AS p FROM t
