@@ -439,9 +439,19 @@ class CrawlEngine:
     # -- setup ---------------------------------------------------------
     def _configure_politeness(self):
         path = os.path.join(self.cfg.corpus_root, "politeness.parquet")
-        if not os.path.exists(path):
+        t = pq.read_table(path).to_pydict() if os.path.exists(path) else None
+        # robots.txt sidecar (host, robots_txt): raw bodies parsed into
+        # the same disallow-prefix / min-interval knobs and merged with
+        # the fixture rows (functions/robots.py — north-star's
+        # "robots.txt rules cached per actor": parsed ONCE here, cached
+        # in each frontier shard by configure_hosts)
+        rpath = os.path.join(self.cfg.corpus_root, "robots.parquet")
+        if os.path.exists(rpath):
+            from ..functions.robots import merge_robots_rows
+            rt = pq.read_table(rpath).to_pydict()
+            t = merge_robots_rows(t, rt["host"], rt["robots_txt"])
+        if t is None:
             return
-        t = pq.read_table(path).to_pydict()
         if self.cfg.max_in_flight_override:
             t["max_in_flight"] = [self.cfg.max_in_flight_override] * len(t["host"])
         by_shard: dict[int, dict] = {}
