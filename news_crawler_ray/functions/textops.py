@@ -488,15 +488,23 @@ def _anchor_windows(text: str, window: int, anchor_mod: int) -> set[str]:
     applied to corpus text. Hash is numpy-vectorized over all
     positions; the codepoint path goes through utf-32 so Python and
     DuckDB ``unicode(substr(...))`` see identical values."""
+    return {text[p:p + window]
+            for p in _anchor_positions(text, window, anchor_mod)}
+
+
+def _anchor_positions(text: str, window: int,
+                      anchor_mod: int) -> np.ndarray:
+    """0-based anchor positions of ``text`` (the position set behind
+    :func:`_anchor_windows`, exposed for span-coverage accounting)."""
     n = len(text)
     if n < window:
-        return set()
+        return np.empty(0, dtype=np.int64)
     codes = np.frombuffer(
         text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     m = n - window + 1
     h = (codes[0:m] * 16974593 + codes[1:m + 1] * 66049
          + codes[2:m + 2] * 257 + codes[3:m + 3]) % anchor_mod
-    return {text[p:p + window] for p in np.nonzero(h == 0)[0]}
+    return np.nonzero(h == 0)[0].astype(np.int64)
 
 
 def duplicated_substrings(ds: "rd.Dataset", *, window: int = 30,
@@ -620,6 +628,138 @@ def duplicated_substrings(ds: "rd.Dataset", *, window: int = 30,
 
     return joined.map_batches(partial_doc, batch_format="pandas") \
         .groupby("bucket").map_groups(final_doc, batch_format="pandas")
+
+
+def dup_span_coverage(ds: "rd.Dataset", *, window: int = 30,
+                      anchor_mod: int = 4, min_docs: int = 2,
+                      num_buckets: int = 64,
+                      num_join_partitions: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> "rd.Dataset":
+    """Per-document CHARACTER coverage of cross-document duplicated
+    spans — the span-removal budget of Lee et al. 2022 (ExactSubstr
+    CUTS duplicated spans; this measures exactly how many characters
+    that cut would remove per doc): interval-UNION length of all
+    duplicated anchor windows, not a window count (overlapping windows
+    must not double-count). Returns (doc_id, n_chars, covered_chars,
+    covered_milli) for docs with ≥1 duplicated window.
+
+    Same three-stage shape as :func:`duplicated_substrings`, plus the
+    union fold: (doc_id, position, window_hash) rows → distinct-doc
+    frequency per hash (crc-bucketed fold, duplicated hashes FILTERED
+    before the join so only the duplicated vocabulary crosses it) →
+    positions⋈dup-hashes join → per-doc salted-bucket interval union
+    (vectorized running-max, one groupby.cummax per bucket — no
+    per-interval Python loop)."""
+    if window < 4:
+        raise ValueError("window must be ≥ 4 (anchor hash spans 4 chars)")
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        ps: list[int] = []
+        hashes: list[int] = []
+        ncs: list[int] = []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            pos = _anchor_positions(text, window, anchor_mod)
+            n = len(text)
+            for p in pos:
+                ids.append(doc_id)
+                ps.append(int(p))
+                hashes.append(int(hashlib.md5(
+                    text[p:p + window].encode()).hexdigest()[:15], 16))
+                ncs.append(n)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "p": pd.Series(ps, dtype="int64"),
+            "h": pd.Series(hashes, dtype="int64"),
+            "n_chars": pd.Series(ncs, dtype="int64")})
+
+    def _typed_empty() -> "rd.Dataset":
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "covered_chars": pa.array([], pa.int64()),
+            "covered_milli": pa.array([], pa.int64())}))
+
+    # feeds BOTH the frequency subtree and the join's probe side
+    pos_ds = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pandas").materialize()
+    if pos_ds.count() == 0:
+        return _typed_empty()
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # a doc's rows never split across batches (one row in → rows
+        # out in the same batch), so per-batch (doc, h) dedup gives
+        # exact distinct-doc counts after the bucket fold
+        d = batch[[id_col, "h"]].drop_duplicates()
+        s = d.groupby("h").size()
+        h = s.index.to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": pd.Series(h % num_buckets, dtype="int64"),
+            "h": h, "c": s.to_numpy(dtype=np.int64)})
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g.columns):
+            return g        # empty sort partition: zero-column frame
+        s = g.groupby("h", as_index=False)["c"].sum()
+        s = s[s["c"] >= min_docs]
+        return pd.DataFrame({"h": s["h"].to_numpy(dtype=np.int64)})
+
+    from ..rayutil import project_blocks
+    dup_h = project_blocks(
+        pos_ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("bucket").map_groups(dup_only, batch_format="pandas"),
+        ["h"]).materialize()
+    if dup_h.count() == 0:
+        return _typed_empty()
+
+    with light_shuffle_aggregators():
+        joined = pos_ds.join(
+            dup_h.repartition(num_join_partitions), join_type="inner",
+            num_partitions=num_join_partitions, on=("h",))
+    joined = project_blocks(joined, [id_col, "p", "n_chars"])
+
+    from ..rayutil import salt_bucket
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = (salt_bucket(batch[id_col].to_numpy(),
+                                       num_buckets) if len(batch)
+                           else pd.Series([], dtype="int32"))
+        return batch
+
+    def union_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g.columns) or not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "covered_chars": pd.Series([], dtype="int64"),
+                "covered_milli": pd.Series([], dtype="int64")})
+        g = g.sort_values([id_col, "p"])
+        end = g["p"].to_numpy(dtype=np.int64) + window
+        # running max of interval ends WITHIN each doc, shifted one row:
+        # contribution = max(0, end - max(p, prev_max)) — the classic
+        # gaps-and-islands union, fully vectorized
+        cm = pd.Series(end, index=g.index).groupby(g[id_col]).cummax()
+        pm = cm.groupby(g[id_col].to_numpy()).shift(1).fillna(0.0) \
+            .to_numpy(dtype=np.int64)
+        p = g["p"].to_numpy(dtype=np.int64)
+        contrib = np.maximum(0, end - np.maximum(p, pm))
+        out = pd.DataFrame({id_col: g[id_col].to_numpy(),
+                            "n_chars": g["n_chars"].to_numpy(),
+                            "cov": contrib}) \
+            .groupby(id_col, as_index=False) \
+            .agg(n_chars=("n_chars", "first"), covered=("cov", "sum"))
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(dtype=np.int64),
+            "n_chars": out["n_chars"].to_numpy(dtype=np.int64),
+            "covered_chars": out["covered"].to_numpy(dtype=np.int64),
+            "covered_milli": (out["covered"].to_numpy(dtype=np.int64)
+                              * 1000
+                              // out["n_chars"].to_numpy(dtype=np.int64))})
+
+    return joined.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(union_fold, batch_format="pandas")
 
 
 def mask_pii(ds: "rd.Dataset", *, text_col: str = "text",

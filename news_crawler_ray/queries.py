@@ -6444,6 +6444,58 @@ FROM r, n GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_dup_span_coverage(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr span-removal budget (Lee'22 CUTS duplicated spans;
+    this measures the per-doc character count that cut would remove):
+    interval-UNION length of all cross-doc duplicated anchor windows —
+    overlapping windows counted once (textops.dup_span_coverage;
+    duplicated vocabulary filtered BEFORE the join, per-doc union via
+    one vectorized groupby.cummax pass per salt bucket)."""
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = to.dup_span_coverage(ds).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("doc_id", "n_chars",
+                                      "covered_chars", "covered_milli")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DUP_SPAN_COVERAGE_SQL = r"""
+WITH pos AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         unnest(range(1, length(text) - 30 + 2)) AS p
+  FROM documents WHERE length(text) >= 30
+), anch AS (
+  SELECT doc_id, n_chars, p,
+         ('0x' || substr(md5(substr(text, p, 30)), 1, 15))::BIGINT AS h
+  FROM pos
+  WHERE (unicode(substr(text, p, 1))::BIGINT * 16974593
+       + unicode(substr(text, p + 1, 1))::BIGINT * 66049
+       + unicode(substr(text, p + 2, 1))::BIGINT * 257
+       + unicode(substr(text, p + 3, 1))::BIGINT) % 4 = 0
+), hcnt AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM anch GROUP BY h
+), dup AS (
+  SELECT a.doc_id, a.n_chars, a.p
+  FROM anch a JOIN hcnt c ON a.h = c.h WHERE c.n_docs >= 2
+), seg AS (
+  SELECT doc_id, n_chars, p,
+         max(p + 30) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM dup
+), cov AS (
+  SELECT doc_id, any_value(n_chars) AS n_chars,
+         sum(greatest(0, p + 30 - greatest(p, coalesce(pmax, 0))))
+           AS covered
+  FROM seg GROUP BY doc_id
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       covered::BIGINT AS covered_chars,
+       ((covered * 1000) // n_chars)::BIGINT AS covered_milli
+FROM cov ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6596,6 +6648,7 @@ QUERIES = {
     "q_mask_pii_extended": q_mask_pii_extended,
     "q_contamination_rate": q_contamination_rate,
     "q_ccnet_buckets": q_ccnet_buckets,
+    "q_dup_span_coverage": q_dup_span_coverage,
 }
 
 ORACLES = {
@@ -6722,4 +6775,5 @@ ORACLES = {
     "q_mask_pii_extended": Q_MASK_PII_EXT_SQL,
     "q_contamination_rate": Q_CONTAMINATION_RATE_SQL,
     "q_ccnet_buckets": Q_CCNET_BUCKETS_SQL,
+    "q_dup_span_coverage": Q_DUP_SPAN_COVERAGE_SQL,
 }

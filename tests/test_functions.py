@@ -625,6 +625,90 @@ class TestDuplicatedSubstrings:
         assert len(out) == 0
 
 
+class TestDupSpanCoverage:
+    @staticmethod
+    def _brute(texts, window=30, anchor_mod=4, min_docs=2):
+        """Naive single-process reference: window-string doc counts,
+        then a per-doc interval union over duplicated anchor spans."""
+        from news_crawler_ray.functions.textops import _anchor_positions
+        per_doc = []
+        counts: dict[str, set] = {}
+        for i, t in enumerate(texts):
+            pos = _anchor_positions(t, window, anchor_mod)
+            wins = [(int(p), t[p:p + window]) for p in pos]
+            per_doc.append(wins)
+            for _, w in wins:
+                counts.setdefault(w, set()).add(i)
+        out = {}
+        for i, wins in enumerate(per_doc):
+            spans = sorted(p for p, w in wins
+                           if len(counts[w]) >= min_docs)
+            if not spans:
+                continue
+            covered, cur_end = 0, -1
+            for p in spans:
+                s, e = max(p, cur_end), p + window
+                if e > s:
+                    covered += e - s
+                cur_end = max(cur_end, e)
+            out[i] = (len(texts[i]), covered,
+                      covered * 1000 // len(texts[i]))
+        return out
+
+    def test_overlapping_windows_counted_once(self, ray_session):
+        import ray.data as rd
+        # one long shared span → many OVERLAPPING duplicated windows;
+        # union coverage must be ≈ span length, NOT windows × 30
+        shared = ("this exact long span of text is copied verbatim "
+                  "across two documents and spans several anchor "
+                  "windows worth of characters in a row")
+        texts = ["head " + shared + " tail one",
+                 "a much longer different prefix " + shared + " end",
+                 "unrelated third document with no shared content at "
+                 "all in any of its windows here"]
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(3), "text": texts}))
+        out = to.dup_span_coverage(ds, window=30).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        expected = self._brute(texts)
+        assert set(out["doc_id"]) == set(expected)
+        for _, r in out.iterrows():
+            assert (int(r["n_chars"]), int(r["covered_chars"]),
+                    int(r["covered_milli"])) == expected[int(r["doc_id"])]
+        # sanity: coverage bounded by the shared span's window extent
+        cov0 = int(out.loc[out["doc_id"] == 0, "covered_chars"].iloc[0])
+        assert 30 <= cov0 <= len(shared) + 30
+
+    def test_matches_single_process_reference(self, ray_session):
+        import ray.data as rd
+        rng = np.random.default_rng(11)
+        frags = ["lorem ipsum dolor sit amet consectetur",
+                 "adipiscing elit sed do eiusmod tempor",
+                 "incididunt ut labore et dolore magna aliqua",
+                 "ut enim ad minim veniam quis nostrud"]
+        texts = [" ".join(rng.choice(frags, size=4))
+                 + f" unique tail {i}" for i in range(40)]
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(40), "text": texts}))
+        out = to.dup_span_coverage(ds, window=30).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        expected = self._brute(texts)
+        got = {int(r["doc_id"]): (int(r["n_chars"]),
+                                  int(r["covered_chars"]),
+                                  int(r["covered_milli"]))
+               for _, r in out.iterrows()}
+        assert got == expected
+
+    def test_no_dups_empty(self, ray_session):
+        import ray.data as rd
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["entirely distinct first document body here ok",
+                     "and a second one with no overlap whatsoever"]}))
+        out = to.dup_span_coverage(ds, window=30).to_pandas()
+        assert len(out) == 0
+
+
 class TestStratifiedSample:
     def test_rates_and_determinism(self, ray_session):
         import ray.data as rd
