@@ -1173,6 +1173,32 @@ _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_BULLETS = ("•", "-", "*")
 
 
+def _gopher_doc_flags(text: str) -> tuple[int, tuple[int, ...]]:
+    """Per-document kernel behind :func:`gopher_quality` (pure — no
+    Ray), returning (n_words, the 7 rule flags in column order). Shared
+    with the prep-funnel composite so both decide identically."""
+    words = text.split()
+    n_words = len(words)
+    total_chars = sum(len(w) for w in words)
+    n_alpha = sum(1 for w in words
+                  if any(c.isascii() and c.isalpha() for c in w))
+    lowers = {w.lower() for w in words}
+    n_stop = sum(1 for s in _GOPHER_STOPS if s in lowers)
+    n_sym = text.count("#") + text.count("...") + text.count("…")
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullet = sum(1 for ln in lines if ln.startswith(_GOPHER_BULLETS))
+    n_ell = sum(1 for ln in lines if ln.endswith(("...", "…")))
+    return n_words, (
+        int(50 <= n_words <= 100000),
+        int(3 * n_words <= total_chars <= 10 * n_words and n_words > 0),
+        int(10 * n_sym <= n_words),
+        int(10 * n_bullet <= 9 * n_lines),
+        int(10 * n_ell <= 3 * n_lines),
+        int(5 * n_alpha >= 4 * n_words),
+        int(n_stop >= 2))
+
+
 def gopher_quality(ds: "rd.Dataset", *, id_col: str = "doc_id",
                    text_col: str = "text") -> "rd.Dataset":
     """Gopher-rules composite quality filter (Rae et al. 2021 §A1.1 —
@@ -1192,31 +1218,11 @@ def gopher_quality(ds: "rd.Dataset", *, id_col: str = "doc_id",
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ids, nw, flags = [], [], [[] for _ in range(7)]
         for did, text in zip(batch[id_col], batch[text_col].fillna("")):
-            words = text.split()
-            n_words = len(words)
-            total_chars = sum(len(w) for w in words)
-            n_alpha = sum(1 for w in words
-                          if any(c.isascii() and c.isalpha() for c in w))
-            lowers = {w.lower() for w in words}
-            n_stop = sum(1 for s in _GOPHER_STOPS if s in lowers)
-            n_sym = (text.count("#") + text.count("...")
-                     + text.count("…"))
-            lines = text.split("\n")
-            n_lines = len(lines)
-            n_bullet = sum(1 for ln in lines
-                           if ln.startswith(_GOPHER_BULLETS))
-            n_ell = sum(1 for ln in lines
-                        if ln.endswith(("...", "…")))
+            n_words, fl = _gopher_doc_flags(text)
             ids.append(did)
             nw.append(n_words)
-            flags[0].append(int(50 <= n_words <= 100000))
-            flags[1].append(int(3 * n_words <= total_chars
-                                <= 10 * n_words and n_words > 0))
-            flags[2].append(int(10 * n_sym <= n_words))
-            flags[3].append(int(10 * n_bullet <= 9 * n_lines))
-            flags[4].append(int(10 * n_ell <= 3 * n_lines))
-            flags[5].append(int(5 * n_alpha >= 4 * n_words))
-            flags[6].append(int(n_stop >= 2))
+            for j in range(7):
+                flags[j].append(fl[j])
         cols = ["r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
                 "r_ellipsis", "r_alpha", "r_stop"]
         out = pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
@@ -1427,6 +1433,25 @@ def line_dup_stats(ds: "rd.Dataset", *, id_col: str = "doc_id",
 _C4_TERMINALS = (".", "!", "?", '"')
 
 
+def _c4_doc_stats(text: str) -> tuple[int, int, int, int, int, int]:
+    """Per-document kernel behind :func:`c4_line_filter` (pure — no
+    Ray): (n_lines, n_kept_lines, kept_chars, n_sentences, f_lorem,
+    f_brace). The page verdict is ``n_sentences ≥ 3 ∧ f_lorem ∧
+    f_brace``. Shared with the prep-funnel composite."""
+    lines = text.split("\n")
+    kept = chars = sents = 0
+    for ln in lines:
+        if (ln.endswith(_C4_TERMINALS)
+                and len(ln.split()) >= 5
+                and "javascript" not in ln.lower()):
+            kept += 1
+            chars += len(ln)
+            sents += ln.count(".") + ln.count("!") + ln.count("?")
+    return (len(lines), kept, chars, sents,
+            int("lorem ipsum" not in text.lower()),
+            int("{" not in text))
+
+
 def c4_line_filter(ds: "rd.Dataset", *, id_col: str = "doc_id",
                    text_col: str = "text") -> "rd.Dataset":
     """C4 cleaning rules (Raffel et al. 2020 §2.2, the published
@@ -1451,24 +1476,11 @@ def c4_line_filter(ds: "rd.Dataset", *, id_col: str = "doc_id",
             id_col, "n_lines", "n_kept_lines", "kept_chars",
             "n_sentences", "f_lorem", "f_brace")}
         for did, text in zip(batch[id_col], batch[text_col].fillna("")):
-            lines = text.split("\n")
-            kept = chars = sents = 0
-            for ln in lines:
-                if (ln.endswith(_C4_TERMINALS)
-                        and len(ln.split()) >= 5
-                        and "javascript" not in ln.lower()):
-                    kept += 1
-                    chars += len(ln)
-                    sents += (ln.count(".") + ln.count("!")
-                              + ln.count("?"))
-            low = text.lower()
+            st = _c4_doc_stats(text)
             rows[id_col].append(did)
-            rows["n_lines"].append(len(lines))
-            rows["n_kept_lines"].append(kept)
-            rows["kept_chars"].append(chars)
-            rows["n_sentences"].append(sents)
-            rows["f_lorem"].append(int("lorem ipsum" not in low))
-            rows["f_brace"].append(int("{" not in text))
+            for k, v in zip(("n_lines", "n_kept_lines", "kept_chars",
+                             "n_sentences", "f_lorem", "f_brace"), st):
+                rows[k].append(v)
         out = pd.DataFrame({k: pd.Series(v, dtype="int64")
                             for k, v in rows.items()})
         out["pass_all"] = ((out["n_sentences"] >= 3)

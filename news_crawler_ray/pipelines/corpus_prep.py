@@ -126,3 +126,171 @@ def corpus_prep(docs: "rd.Dataset", *, min_tokens: int = 30,
                   "chunk_text"]]
 
     return chunks.map_batches(add_split, batch_format="pandas")
+
+
+def prep_funnel(docs: "rd.Dataset", *, decontam_n: int = 4,
+                num_buckets: int = 64) -> "pd.DataFrame":
+    """Per-source filter FUNNEL over the published-rule suite — the
+    admission report a production corpus-prep run dashboards: how many
+    of each source's train-split documents survive each successive
+    gate
+
+        n_in → Gopher structural rules (Rae'21 §A1.1, the 6
+        language-NEUTRAL flags — the 8-stopword probe is
+        English-only and a multilingual corpus swaps it per
+        language; q_gopher_quality keeps the full set) →
+        decontamination (no eval 4-gram hit, Brown'20 §C) → exact
+        dedup (min-doc_id survivor per distinct text) → C4 page
+        gate (Raffel'20 §2.2) — ordered harshest-last so every
+        stage's count is informative on non-prose corpora too
+
+    Every stage reuses the per-text kernel of its individually
+    oracle-checked operator (textops._gopher_doc_flags,
+    textops._c4_doc_stats, the decontaminate gram probe, the dedup
+    cascade's 52-bit md5 text key), and the composite has ONE DuckDB
+    twin assembled verbatim from those operators' twins
+    (queries.Q_PREP_FUNNEL_SQL) — the composition is verified, not
+    trusted.
+
+    Scale shape: one text pass computes all four verdicts per batch
+    (eval grams ray.put once); everything after is id-level —
+    (source, 4 counters) combiner rows per batch for the funnel
+    counts, (text_hash, doc_id) min-fold + an id-level join for the
+    dedup survivors. The output is one row per SOURCE."""
+    import hashlib
+
+    import ray as _ray
+
+    from ..functions.splits import split_label
+    from ..functions.textops import (_c4_doc_stats, _gopher_doc_flags,
+                                     eval_ngram_set)
+    from ..rayutil import (bucketed_group_sum, cached_object,
+                           project_blocks, salt_bucket)
+
+    def add_split(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["split"] = [split_label(i) for i in b["doc_id"]]
+        return b
+
+    split = docs.select_columns(["doc_id", "source", "text"]) \
+        .map_batches(add_split, batch_format="pandas").materialize()
+
+    def is_test(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.equal(t["split"], "test"))
+
+    eval_grams = eval_ngram_set(
+        split.map_batches(is_test, batch_format="pyarrow"),
+        n=decontam_n)
+    ref = _ray.put(frozenset(eval_grams))
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        eg = cached_object(ref)
+        b = batch[batch["split"] != "test"]
+        ids, srcs, gs, c4s, cls, ths = [], [], [], [], [], []
+        for did, src, text in zip(b["doc_id"], b["source"],
+                                  b["text"].fillna("")):
+            _, gf = _gopher_doc_flags(text)
+            st = _c4_doc_stats(text)
+            words = text.split()
+            grams = {" ".join(words[i:i + decontam_n])
+                     for i in range(len(words) - decontam_n + 1)}
+            ids.append(did)
+            srcs.append(src)
+            gs.append(int(all(gf[:6])))   # structural flags only
+            c4s.append(int(st[3] >= 3 and st[4] and st[5]))
+            cls.append(int(not (grams & eg)))
+            ths.append(int(hashlib.md5(text.encode())
+                           .hexdigest()[:13], 16))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "source": pd.Series(srcs, dtype="object"),
+            "g": pd.Series(gs, dtype="int64"),
+            "c4": pd.Series(c4s, dtype="int64"),
+            "clean": pd.Series(cls, dtype="int64"),
+            "th": pd.Series(ths, dtype="int64")})
+
+    fl = split.map_batches(flags, batch_format="pandas").materialize()
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype="object"),
+        **{c: pd.Series([], dtype="int64")
+           for c in ("n_in", "n_gopher", "n_clean", "n_unique",
+                     "n_c4")}})
+    if fl.count() == 0:
+        return empty
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(one=np.int64(1), gcl=b["g"] * b["clean"])
+        g = b.groupby("source", as_index=False)[
+            ["one", "g", "gcl"]].sum()
+        return pd.DataFrame({
+            "source": pd.Series(g["source"].to_numpy(), dtype="object"),
+            **{c: pd.Series(g[c].to_numpy(), dtype="int64")
+               for c in ("one", "g", "gcl")}})
+
+    counts = bucketed_group_sum(
+        fl.map_batches(count_partial, batch_format="pandas"),
+        ["source"], {"one": "n_in", "g": "n_gopher",
+                     "gcl": "n_clean"}).to_pandas()
+
+    # dedup survivors among g∧clean: min doc_id per 52-bit text key
+    def cand(t: "pa.Table") -> "pa.Table":
+        m = pc.and_(pc.equal(t["g"], 1), pc.equal(t["clean"], 1))
+        f = t.filter(m)
+        return pa.table({"th": f["th"], "doc_id": f["doc_id"]})
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int64"),
+                "th": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64")})
+        g = b.groupby("th", as_index=False)["doc_id"].min()
+        return pd.DataFrame({
+            "bucket": pd.Series(g["th"].to_numpy() % num_buckets,
+                                dtype="int64"),
+            "th": g["th"].astype("int64"),
+            "doc_id": g["doc_id"].astype("int64")})
+
+    def min_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g.columns):
+            return g
+        s = g.groupby("th", as_index=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": s["doc_id"].astype("int64")})
+
+    surv = project_blocks(
+        fl.map_batches(cand, batch_format="pyarrow")
+        .map_batches(min_partial, batch_format="pandas")
+        .groupby("bucket").map_groups(min_fold, batch_format="pandas"),
+        ["doc_id"]).materialize()
+
+    if surv.count() == 0:
+        uniq = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_unique": pd.Series([], dtype="int64"),
+                             "n_c4": pd.Series([], dtype="int64")})
+    else:
+        from ..rayutil import light_shuffle_aggregators as _lsa
+        with _lsa():
+            joined = project_blocks(fl, ["doc_id", "source", "c4"]).join(
+                surv.repartition(8), join_type="inner",
+                num_partitions=8, on=("doc_id",))
+        joined = project_blocks(joined, ["source", "c4"])
+
+        def uniq_partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(u=np.int64(1))
+            g = b.groupby("source", as_index=False)[["u", "c4"]].sum()
+            return pd.DataFrame({
+                "source": pd.Series(g["source"].to_numpy(),
+                                    dtype="object"),
+                "u": pd.Series(g["u"].to_numpy(), dtype="int64"),
+                "c4": pd.Series(g["c4"].to_numpy(), dtype="int64")})
+
+        uniq = bucketed_group_sum(
+            joined.map_batches(uniq_partial, batch_format="pandas"),
+            ["source"], {"u": "n_unique", "c4": "n_c4"}).to_pandas()
+
+    out = counts.merge(uniq, on="source", how="left")
+    for c in ("n_unique", "n_c4"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out[["source", "n_in", "n_gopher", "n_clean", "n_unique",
+                "n_c4"]].sort_values("source").reset_index(drop=True)

@@ -6496,6 +6496,57 @@ FROM cov ORDER BY doc_id
 """
 
 
+def q_prep_funnel(sf_dir: str) -> pd.DataFrame:
+    """Per-source admission funnel over the published-rule suite
+    (pipelines.corpus_prep.prep_funnel): train docs → Gopher rules →
+    C4 page gate → decontamination → exact-dedup survivor, one count
+    per stage per source. The SQL twin is ASSEMBLED verbatim from the
+    stage operators' own verified twins — composition checked, not
+    trusted."""
+    from .pipelines.corpus_prep import prep_funnel
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    return prep_funnel(ds)
+
+
+# assembled by CONCATENATION (not f-string: the C4 twin contains
+# literal '{' in its LIKE pattern) from the verified per-stage twins —
+# any drift in a stage's semantics breaks this composite's oracle too
+Q_PREP_FUNNEL_SQL = (
+    "WITH gq AS (SELECT doc_id, (r_wordcount * r_meanlen * r_symbol"
+    " * r_bullet * r_ellipsis * r_alpha) AS g FROM ("
+    + Q_GOPHER_QUALITY_SQL + ")),\n"
+    "cq AS (SELECT doc_id, pass_all AS c4 FROM ("
+    + Q_C4_LINE_SQL + ")),\n"
+    "dec AS (SELECT doc_id FROM (" + Q_DECONTAMINATE_SQL + ")),\n"
+    + r"""
+base AS (
+  SELECT d.doc_id, d.source, gq.g, cq.c4,
+         CASE WHEN dec.doc_id IS NULL THEN 1 ELSE 0 END AS clean,
+         ('0x' || substr(md5(d.text), 1, 13))::BIGINT AS th
+  FROM documents d
+  JOIN gq USING (doc_id) JOIN cq USING (doc_id)
+  LEFT JOIN dec USING (doc_id)
+  WHERE CAST(('0x' || substr(md5('split-v1' || CAST(d.doc_id AS VARCHAR)),
+                             1, 8)) AS BIGINT) % 10 <> 9),
+surv AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+    FROM base WHERE g = 1 AND clean = 1)
+  WHERE rn = 1)
+SELECT source, count(*)::BIGINT AS n_in,
+       sum(g)::BIGINT AS n_gopher,
+       sum(g * clean)::BIGINT AS n_clean,
+       sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_unique,
+       sum(CASE WHEN s.doc_id IS NOT NULL AND base.c4 = 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_c4
+FROM base LEFT JOIN surv s USING (doc_id)
+GROUP BY source ORDER BY source
+""")
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6649,6 +6700,7 @@ QUERIES = {
     "q_contamination_rate": q_contamination_rate,
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_dup_span_coverage": q_dup_span_coverage,
+    "q_prep_funnel": q_prep_funnel,
 }
 
 ORACLES = {
@@ -6776,4 +6828,5 @@ ORACLES = {
     "q_contamination_rate": Q_CONTAMINATION_RATE_SQL,
     "q_ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "q_dup_span_coverage": Q_DUP_SPAN_COVERAGE_SQL,
+    "q_prep_funnel": Q_PREP_FUNNEL_SQL,
 }
