@@ -6547,6 +6547,30 @@ GROUP BY source ORDER BY source
 """)
 
 
+def q_edit_distance_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance-1 fuzzy self-join over customer names
+    (dedup.edit_distance_pairs — symmetric-delete candidate
+    generation, recall exactly 1 by construction, two-pointer ≤1
+    verify; the oracle is the brute-force all-pairs levenshtein())."""
+    ds = read_parquet(_t(sf_dir, "customer"),
+                      columns=["c_custkey", "c_name"])
+    out = dd.edit_distance_pairs(ds, text_col="c_name",
+                                 id_col="c_custkey").to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+Q_EDIT_DISTANCE_SQL = r"""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6701,6 +6725,7 @@ QUERIES = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_dup_span_coverage": q_dup_span_coverage,
     "q_prep_funnel": q_prep_funnel,
+    "q_edit_distance_pairs": q_edit_distance_pairs,
 }
 
 ORACLES = {
@@ -6829,4 +6854,5 @@ ORACLES = {
     "q_ccnet_buckets": Q_CCNET_BUCKETS_SQL,
     "q_dup_span_coverage": Q_DUP_SPAN_COVERAGE_SQL,
     "q_prep_funnel": Q_PREP_FUNNEL_SQL,
+    "q_edit_distance_pairs": Q_EDIT_DISTANCE_SQL,
 }

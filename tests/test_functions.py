@@ -1579,3 +1579,52 @@ class TestTableChecksum:
         b = table_checksum(rd.from_pandas(df2), cols=["id", "t"])
         assert a["checksum"].iloc[0] != b["checksum"].iloc[0]
         assert a["n_rows"].iloc[0] == b["n_rows"].iloc[0]
+
+
+class TestEditDistancePairs:
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        """Reference DP Levenshtein."""
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_lev_le1_matches_dp(self):
+        from hypothesis import given, settings, strategies as st
+
+        from news_crawler_ray.functions.dedup import _lev_le1
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="abc", max_size=6),
+               st.text(alphabet="abc", max_size=6))
+        def check(a, b):
+            assert _lev_le1(a, b) == (self._lev(a, b) <= 1)
+
+        check()
+
+    def test_symmetric_delete_recall(self, ray_session):
+        """Engine pairs == brute-force all-pairs d≤1 on a corpus built
+        to contain substitutions, indels, d=2 near-misses and exact
+        groups sharing delete-variants."""
+        import ray.data as rd
+
+        from news_crawler_ray.functions.dedup import edit_distance_pairs
+        names = ["alpha", "alpba", "alph", "alphax", "alpxx",  # d mix
+                 "beta", "betta", "bteta", "gamma", "gamma1",
+                 "delta", "eplta", "xyzzy", "xyzz", "zyzzy"]
+        df = pd.DataFrame({"c_custkey": range(len(names)),
+                           "c_name": names})
+        out = edit_distance_pairs(
+            rd.from_pandas(df), text_col="c_name",
+            id_col="c_custkey").to_pandas()
+        got = {(int(a), int(b))
+               for a, b in zip(out["id_a"], out["id_b"])}
+        want = {(i, j) for i in range(len(names))
+                for j in range(i + 1, len(names))
+                if self._lev(names[i], names[j]) <= 1}
+        assert got == want
