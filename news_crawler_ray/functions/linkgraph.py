@@ -457,3 +457,100 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
 def _light_aggs():
     from ..rayutil import light_shuffle_aggregators
     return light_shuffle_aggregators()
+
+
+def _hits_reference(edges: pd.DataFrame, *, iters: int) -> pd.DataFrame:
+    """Single-process HITS oracle (Kleinberg'99 hubs & authorities,
+    L2-normalized power iteration) — tests pin the distributed fold to
+    this, same formula and iteration count in plain numpy."""
+    hosts = np.unique(
+        np.concatenate([edges["src_host"].to_numpy(dtype=object),
+                        edges["dst_host"].to_numpy(dtype=object)]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    src = np.array([idx[h] for h in edges["src_host"]], dtype=np.int64)
+    dst = np.array([idx[h] for h in edges["dst_host"]], dtype=np.int64)
+    h = np.full(n, 1.0 / np.sqrt(n)) if n else np.zeros(0)
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src])
+        na = np.linalg.norm(a)
+        a = a / na if na > 0 else a
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst])
+        nh = np.linalg.norm(h)
+        h = h / nh if nh > 0 else h
+    return pd.DataFrame({"host": hosts, "authority": a, "hub": h})
+
+
+def host_hits(edges_ds: "rd.Dataset", *, iters: int = 20) -> pd.DataFrame:
+    """Distributed HITS (hubs & authorities) over a (src_host,
+    dst_host) edge dataset — PageRank's link-analysis sibling: an
+    authority is pointed at by good hubs, a hub points at good
+    authorities; the frontier can prioritize hub hosts for DISCOVERY
+    where PageRank prioritizes authority hosts for importance.
+
+    Same scale shape as :func:`host_pagerank`: integer-indexed edges
+    materialized once; each half-iteration is one streaming pass where
+    every edge batch reads the current score vector from the object
+    store (``ray.put`` once per pass) and emits SPARSE (index, partial
+    sum) rows — cross-node traffic is O(distinct endpoints per batch),
+    never O(hosts); the driver folds partials and L2-normalizes. Two
+    passes per iteration (authority from hubs, then hubs from the NEW
+    authorities — the Kleinberg update order, matching the
+    reference)."""
+    edges = edges_ds.select_columns(["src_host", "dst_host"]) \
+        .materialize()
+    src_deg = edges.groupby("src_host").count().to_pandas()
+    dst_deg = edges.groupby("dst_host").count().to_pandas()
+    hosts = np.unique(np.concatenate(
+        [src_deg["src_host"].to_numpy(dtype=object),
+         dst_deg["dst_host"].to_numpy(dtype=object)]))
+    n = len(hosts)
+    if n == 0:
+        return pd.DataFrame({"host": pd.Series([], dtype="object"),
+                             "authority": pd.Series([], dtype="float64"),
+                             "hub": pd.Series([], dtype="float64")})
+    hosts_ref = ray.put(hosts)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        hs = cached_object(hosts_ref)
+        s = np.searchsorted(hs, t["src_host"].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(hs, t["dst_host"].to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    iedges = edges.map_batches(index_edges,
+                               batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table, *, vec_ref, from_col, to_col) -> pa.Table:
+        v = cached_object(vec_ref)
+        f = t[from_col].to_numpy(zero_copy_only=False)
+        to = t[to_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(to, return_inverse=True)
+        sums = np.bincount(inv, weights=v[f])
+        return pa.table({"i": pa.array(uniq, pa.int64()),
+                         "val": pa.array(sums, pa.float64())})
+
+    def edge_fold(vec: np.ndarray, from_col: str,
+                  to_col: str) -> np.ndarray:
+        parts = iedges.map_batches(
+            partial, fn_kwargs={"vec_ref": ray.put(vec),
+                                "from_col": from_col, "to_col": to_col},
+            batch_format="pyarrow").to_pandas()
+        out = np.zeros(n)
+        np.add.at(out, parts["i"].to_numpy(dtype=np.int64),
+                  parts["val"].to_numpy(dtype=np.float64))
+        return out
+
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = edge_fold(h, "src", "dst")
+        na = np.linalg.norm(a)
+        a = a / na if na > 0 else a
+        h = edge_fold(a, "dst", "src")
+        nh = np.linalg.norm(h)
+        h = h / nh if nh > 0 else h
+    return pd.DataFrame({"host": hosts, "authority": a, "hub": h})

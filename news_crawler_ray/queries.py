@@ -783,6 +783,23 @@ def q_crawl_pagerank(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_crawl_hits(sf_dir: str) -> pd.DataFrame:
+    """Host-graph HITS hubs & authorities over the crawl corpus
+    (linkgraph.host_hits — PageRank's discovery-side sibling; edge
+    table streams per half-iteration, sparse partials, O(hosts) driver
+    state). Pinned to the single-process Kleinberg reference in
+    tests/test_functions.py; rows-only at the driver (iterative)."""
+    from .functions.linkgraph import host_edges, host_hits
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    out = host_hits(host_edges(paths.pages_dir), iters=20)
+    for c in ("authority", "hub"):
+        out[c + "_micro"] = np.floor(
+            out[c].to_numpy() * 1_000_000 + 0.5).astype(np.int64)
+    return out[["host", "authority_micro", "hub_micro"]] \
+        .sort_values("host").reset_index(drop=True)
+
+
 def q_crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
     """Per-target-host top-3 anchor texts over the crawl corpus (the
     link-text corpus product; linkgraph.anchor_texts — html stays in
@@ -6709,6 +6726,7 @@ QUERIES = {
     "q_semdedup": q_semdedup,
     "kmeans_clusters": q_kmeans_clusters,
     "crawl_pagerank": q_crawl_pagerank,
+    "crawl_hits": q_crawl_hits,
     "crawl_anchor_texts": q_crawl_anchor_texts,
     "media_metadata": q_media_metadata,
     "media_jpeg_decode": q_media_jpeg_decode,

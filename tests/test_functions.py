@@ -922,6 +922,52 @@ class TestHostPagerank:
         assert list(got.nlargest(10, "rank")["host"]) \
             == list(want.nlargest(10, "rank")["host"])
 
+    def test_hits_matches_single_process_reference(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.linkgraph import (_hits_reference,
+                                                          host_hits)
+        rng = np.random.RandomState(5)
+        n_edges = 5000
+        df = pd.DataFrame({
+            "src_host": [f"h{i}.example" for i in
+                         rng.zipf(1.6, n_edges) % 400],
+            "dst_host": [f"h{i}.example" for i in
+                         rng.randint(0, 400, n_edges)]})
+        df = df[df.src_host != df.dst_host].drop_duplicates()
+        got = host_hits(rd.from_pandas(df).repartition(8), iters=15) \
+            .sort_values("host").reset_index(drop=True)
+        want = _hits_reference(df, iters=15) \
+            .sort_values("host").reset_index(drop=True)
+        assert list(got["host"]) == list(want["host"])
+        assert np.allclose(got["authority"], want["authority"],
+                           atol=1e-9)
+        assert np.allclose(got["hub"], want["hub"], atol=1e-9)
+        # L2-normalized score vectors
+        assert abs(np.linalg.norm(got["authority"]) - 1.0) < 1e-9
+        assert abs(np.linalg.norm(got["hub"]) - 1.0) < 1e-9
+        # top orderings agree exactly
+        for col in ("authority", "hub"):
+            assert list(got.nlargest(10, col)["host"]) \
+                == list(want.nlargest(10, col)["host"])
+
+    def test_hits_hub_vs_authority_semantics(self, ray_session):
+        import ray.data as rd
+
+        from news_crawler_ray.functions.linkgraph import host_hits
+        # star graph: spokes all point at the center — the center is
+        # the pure authority, the spokes are pure hubs
+        df = pd.DataFrame({
+            "src_host": [f"s{i}.example" for i in range(6)],
+            "dst_host": ["center.example"] * 6})
+        out = host_hits(rd.from_pandas(df), iters=5) \
+            .set_index("host")
+        assert out.loc["center.example", "authority"] > 0.999
+        assert out.loc["center.example", "hub"] < 1e-9
+        spokes = out.drop("center.example")
+        assert (spokes["authority"] < 1e-9).all()
+        assert np.allclose(spokes["hub"], 1 / np.sqrt(6), atol=1e-9)
+
     def test_anchor_texts_match_reference(self, ray_session):
         import pyarrow.dataset as pads
         from news_crawler_ray import corpus as corpus_mod
