@@ -6588,6 +6588,138 @@ ORDER BY id_a, id_b
 """
 
 
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Crawl snapshot diff — the nightly-refresh accounting step: given
+    an OLD and a NEW corpus snapshot, classify every doc as added /
+    removed / changed / unchanged and count per source. Both engines
+    derive the two snapshots deterministically from `documents` (old =
+    doc_id % 7 ≠ 0; new = doc_id % 5 ≠ 0, with text perturbed where
+    doc_id % 3 = 0), so the diff logic — not fixture plumbing — is
+    what's oracle-checked.
+
+    Scale shape: each side compresses to (doc_id, source, 52-bit text
+    hash) inside the scan (per-batch map; the only full-text pass);
+    the diff is ONE native full-outer hash join of id-level rows, the
+    per-(source, status) counts fold from per-batch combiner rows.
+    At 100 TB neither snapshot is ever materialized as text twice."""
+    import hashlib
+
+    from .rayutil import bucketed_group_sum, project_blocks
+
+    def hashes(which: str):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            ids = b["doc_id"].to_numpy()
+            if which == "old":
+                m = ids % 7 != 0
+            else:
+                m = ids % 5 != 0
+            b = b[m]
+            ids = b["doc_id"].to_numpy()
+            texts = b["text"].fillna("")
+            if which == "new":
+                texts = texts.where(
+                    pd.Series(ids % 3 != 0, index=b.index),
+                    texts + " [updated]")
+            th = [int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+                  for t in texts]
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "source": pd.Series(b["source"].to_numpy(),
+                                    dtype="object"),
+                "th": pd.Series(th, dtype="int64")})
+        return f
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    old = project_blocks(
+        ds.map_batches(hashes("old"), batch_format="pandas"),
+        ["doc_id", "source", "th"]).materialize()
+    new = project_blocks(
+        ds.map_batches(hashes("new"), batch_format="pandas"),
+        ["doc_id", "source", "th"]) \
+        .rename_columns({"source": "source_n", "th": "th_n"}) \
+        .materialize()
+
+    typed_empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                                "status": pd.Series([], dtype="object"),
+                                "n": pd.Series([], dtype="int64")})
+    n_old, n_new = old.count(), new.count()
+    if n_old == 0 and n_new == 0:
+        return typed_empty
+    if n_old == 0 or n_new == 0:
+        # one snapshot empty: everything is added/removed — no join
+        # possible against a schema-less zero-block side
+        side = (new.to_pandas().rename(columns={"source_n": "source"})
+                if n_old == 0 else old.to_pandas())
+        status = "added" if n_old == 0 else "removed"
+        g = side.groupby("source", as_index=False).size()
+        return pd.DataFrame({
+            "source": pd.Series(g["source"].to_numpy(), dtype="object"),
+            "status": pd.Series([status] * len(g), dtype="object"),
+            "n": pd.Series(g["size"].to_numpy(), dtype="int64")}) \
+            .sort_values(["source", "status"]).reset_index(drop=True)
+
+    with light_shuffle_aggregators():
+        joined = old.join(new, join_type="full_outer", num_partitions=8,
+                          on=("doc_id",), right_on=("doc_id",))
+    joined = project_blocks(joined, ["source", "th", "source_n", "th_n"])
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "status": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        old_present = b["th"].notna()
+        new_present = b["th_n"].notna()
+        status = np.where(
+            ~old_present, "added",
+            np.where(~new_present, "removed",
+                     np.where(b["th"].to_numpy() == b["th_n"].to_numpy(),
+                              "unchanged", "changed")))
+        src = b["source"].where(old_present, b["source_n"])
+        g = pd.DataFrame({"source": src.to_numpy(),
+                          "status": status}) \
+            .groupby(["source", "status"], as_index=False).size()
+        return pd.DataFrame({
+            "source": pd.Series(g["source"].to_numpy(), dtype="object"),
+            "status": pd.Series(g["status"].to_numpy(), dtype="object"),
+            "n": pd.Series(g["size"].to_numpy(), dtype="int64")})
+
+    out = bucketed_group_sum(
+        joined.map_batches(classify, batch_format="pandas"),
+        ["source", "status"], {"n": "n"}).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "status": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    return out[["source", "status", "n"]] \
+        .sort_values(["source", "status"]).reset_index(drop=True)
+
+
+Q_SNAPSHOT_DIFF_SQL = r"""
+WITH old AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT AS th
+  FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CASE WHEN doc_id % 3 = 0
+                                  THEN text || ' [updated]'
+                                  ELSE text END), 1, 13))::BIGINT AS th
+  FROM documents WHERE doc_id % 5 <> 0),
+d AS (
+  SELECT coalesce(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.th = n.th THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n USING (doc_id))
+SELECT source, status, count(*)::BIGINT AS n
+FROM d GROUP BY source, status ORDER BY source, status
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6744,6 +6876,7 @@ QUERIES = {
     "q_dup_span_coverage": q_dup_span_coverage,
     "q_prep_funnel": q_prep_funnel,
     "q_edit_distance_pairs": q_edit_distance_pairs,
+    "q_snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -6873,4 +7006,5 @@ ORACLES = {
     "q_dup_span_coverage": Q_DUP_SPAN_COVERAGE_SQL,
     "q_prep_funnel": Q_PREP_FUNNEL_SQL,
     "q_edit_distance_pairs": Q_EDIT_DISTANCE_SQL,
+    "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
 }

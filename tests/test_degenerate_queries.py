@@ -70,7 +70,8 @@ QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
                "q_line_dup_stats", "q_c4_line_filter", "q_semdedup",
                "q_ngram_repetition", "q_tokenizer_fertility",
                "q_contamination_rate", "q_ccnet_buckets",
-               "q_dup_span_coverage", "q_prep_funnel"]
+               "q_dup_span_coverage", "q_prep_funnel",
+               "q_snapshot_diff"]
 
 
 @pytest.fixture(scope="module")
