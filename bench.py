@@ -146,7 +146,8 @@ def run_bench() -> dict:
                  "q_tokenizer_fertility", "q_mask_pii_extended",
                  "q_contamination_rate", "q_ccnet_buckets",
                  "q_dup_span_coverage", "q_prep_funnel",
-                 "q_edit_distance_pairs", "q_snapshot_diff"):
+                 "q_edit_distance_pairs", "q_snapshot_diff",
+                 "q_rolling_median"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

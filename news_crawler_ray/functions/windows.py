@@ -939,3 +939,39 @@ def grouped_zscore(ds: "rd.Dataset", *, key_col: str, value_col: str,
         return out
 
     return joined.map_batches(zscore, batch_format="pandas")
+
+
+def rolling_window_median(ds: "rd.Dataset", *, key_col: str,
+                          order_cols: list[str], value_col: str,
+                          window: int = 4,
+                          num_buckets: int = 32) -> "rd.Dataset":
+    """Per-key sliding-window MEDIAN (``ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW``) — the order-statistic sibling of
+    :func:`rolling_window_sum`, used where a rolling mean is
+    outlier-poisoned (latency smoothing, robust rate profiles).
+
+    Identical salted-bucket shape to rolling_window_sum (one vectorized
+    pandas groupby-rolling pass per bucket; window state never crosses
+    keys). Exactness contract: the median of an even window is the
+    midpoint of the two middle values, so the output column is
+    ``2·median`` as int64 — exact in both engines (DuckDB's
+    ``2 * median(...) OVER w`` lands on the same integer; no float
+    rounding seam)."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("bucket",
+                               pa.array(key % num_buckets, pa.int32()))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        grp = g.groupby(key_col)[value_col]
+        med2 = (grp.rolling(window=window, min_periods=1).median() * 2) \
+            .reset_index(level=0, drop=True)
+        out = g[[c for c in g.columns
+                 if c not in ("bucket", value_col)]].copy()
+        out["win_median_x2"] = med2.astype("int64")
+        return out
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(roll, batch_format="pandas")

@@ -6720,6 +6720,41 @@ FROM d GROUP BY source, status ORDER BY source, status
 """
 
 
+def q_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """Per-user sliding-window (4 rows) MEDIAN over event values — the
+    robust (outlier-immune) profile windows.rolling_window_median;
+    output is 2·median as int64 so even-window midpoints stay
+    integer-exact against the DuckDB twin."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "user_id", "value"])
+
+    def to_centi(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["value"])
+        return t.append_column(
+            "value_centi", pa.array(
+                np.floor(v * 100 + 0.5).astype(np.int64)))
+
+    out = wn.rolling_window_median(
+        ds.map_batches(to_centi, batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value_centi", window=4).to_pandas()
+    out = out[["event_id", "user_id", "win_median_x2"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_ROLLING_MEDIAN_SQL = """
+SELECT event_id, user_id,
+       CAST(2 * median(value_centi) OVER w AS BIGINT) AS win_median_x2
+FROM (SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_centi
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6877,6 +6912,7 @@ QUERIES = {
     "q_prep_funnel": q_prep_funnel,
     "q_edit_distance_pairs": q_edit_distance_pairs,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_rolling_median": q_rolling_median,
 }
 
 ORACLES = {
@@ -7007,4 +7043,5 @@ ORACLES = {
     "q_prep_funnel": Q_PREP_FUNNEL_SQL,
     "q_edit_distance_pairs": Q_EDIT_DISTANCE_SQL,
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+    "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
 }

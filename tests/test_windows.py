@@ -58,6 +58,32 @@ class TestRollingWindow:
             .sort_values("event_id").reset_index(drop=True)
         assert out["win_sum"].tolist() == [100, 200, 7, 14]
 
+    def test_rolling_median_matches_pandas(self, ray_session, events_df):
+        out = wn.rolling_window_median(
+            rd.from_pandas(events_df), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            window=4, num_buckets=8).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        ref = events_df.sort_values(["user_id", "ts", "event_id"]).copy()
+        ref["win_median_x2"] = (
+            ref.groupby("user_id")["value_centi"]
+            .rolling(4, min_periods=1).median() * 2) \
+            .reset_index(level=0, drop=True).astype("int64")
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        assert (out["win_median_x2"].to_numpy()
+                == ref["win_median_x2"].to_numpy()).all()
+
+    def test_rolling_median_even_window_midpoint(self, ray_session):
+        # window [3, 8] → median 5.5 → x2 = 11 (exact, no float seam)
+        df = pd.DataFrame({"event_id": [0, 1], "user_id": [1, 1],
+                           "ts": [10, 20], "value_centi": [3, 8]})
+        out = wn.rolling_window_median(
+            rd.from_pandas(df), key_col="user_id",
+            order_cols=["ts", "event_id"], value_col="value_centi",
+            window=4, num_buckets=2).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert out["win_median_x2"].tolist() == [6, 11]
+
 
 class TestRangeBandJoin:
     def test_band_edges_half_open(self, ray_session):
