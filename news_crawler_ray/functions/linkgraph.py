@@ -178,6 +178,16 @@ def anchor_texts_reference(pages: pd.DataFrame, *,
     return df[["dst_host", "rank", "anchor", "n"]].reset_index(drop=True)
 
 
+def _edge_blocks(edges_ds: "rd.Dataset",
+                 rows_per_block: int = 1_000_000) -> int:
+    """Block count for an iteration-reused edge table: per-iteration
+    fixed cost is one task per block, so tiny graphs must not inherit
+    the corpus's file-per-block layout; big graphs keep one block per
+    ~1M edges for parallelism."""
+    return max(1, min(edges_ds.num_blocks(),
+                      edges_ds.count() // rows_per_block + 1))
+
+
 def _pagerank_reference(edges: pd.DataFrame, *, damping: float,
                         iters: int) -> pd.DataFrame:
     """Single-process oracle (tests pin the distributed fold to this):
@@ -217,6 +227,14 @@ def host_pagerank(edges_ds: "rd.Dataset", *, damping: float = 0.85,
     """
     edges = edges_ds.select_columns(["src_host", "dst_host"]) \
         .materialize()
+    # coalesce the upstream file-per-block layout BEFORE anything that
+    # scans the table (two groupby passes + one pass per iteration):
+    # every pass costs one task per block, and extraction leaves one
+    # near-empty block per corpus file (231 blocks / 23 rows measured
+    # at bench scale — 10 iterations cost 12.1 s vs 1.0 s coalesced)
+    tb = _edge_blocks(edges)
+    if edges.num_blocks() > 4 * tb:
+        edges = edges.repartition(tb).materialize()
 
     # hosts + out-degrees: one aggregation pass each over the edge
     # table; both results are hosts-sized (the documented small side)
@@ -241,7 +259,8 @@ def host_pagerank(edges_ds: "rd.Dataset", *, damping: float = 0.85,
         return pa.table({"src": pa.array(s, pa.int64()),
                          "dst": pa.array(d, pa.int64())})
 
-    # integer-indexed edges, materialized once; iterations reuse them
+    # integer-indexed edges, materialized once (already coalesced
+    # above); iterations reuse them
     iedges = edges.map_batches(index_edges,
                                batch_format="pyarrow").materialize()
 
@@ -323,6 +342,14 @@ def pagerank_join_form(edges_ds: "rd.Dataset", *, damping: float = 0.85,
     from ..rayutil import project_blocks
     edges = project_blocks(edges_ds, ["src_host", "dst_host"]) \
         .materialize()
+    # every iteration re-scans this table into the join — coalesce the
+    # upstream file-per-block layout once so the per-iteration map-side
+    # task count tracks data size, not corpus file count (same finding
+    # as host_pagerank's _edge_blocks: 231 near-empty blocks at bench
+    # scale)
+    target_blocks = _edge_blocks(edges)
+    if edges.num_blocks() > 4 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
     # partition autoscale: `num_partitions` is the caller's CEILING
     # (sized for the cluster); below ~64k edge rows per partition each
     # extra hash-shuffle aggregator costs more in actor spin-up per
@@ -502,6 +529,10 @@ def host_hits(edges_ds: "rd.Dataset", *, iters: int = 20) -> pd.DataFrame:
     reference)."""
     edges = edges_ds.select_columns(["src_host", "dst_host"]) \
         .materialize()
+    # same coalesce-before-scanning rule as host_pagerank (see there)
+    tb = _edge_blocks(edges)
+    if edges.num_blocks() > 4 * tb:
+        edges = edges.repartition(tb).materialize()
     src_deg = edges.groupby("src_host").count().to_pandas()
     dst_deg = edges.groupby("dst_host").count().to_pandas()
     hosts = np.unique(np.concatenate(
