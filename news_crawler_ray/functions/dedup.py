@@ -613,10 +613,19 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
     # skip the UDF and reach the joins below without the key columns
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         explode, batch_format="pyarrow", batch_size=4096).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "cluster_rep": pa.array([], pa.int64())}))
+    # every propagation round joins against this table — coalesce the
+    # upstream bucket-per-block layout once so per-round map-side task
+    # count tracks edge count, not bucket count (the linkgraph
+    # _edge_blocks finding: near-empty blocks make each round pay one
+    # task per block)
+    tb = max(1, min(edges.num_blocks(), n_edges // 1_000_000 + 1))
+    if edges.num_blocks() > 4 * tb:
+        edges = edges.repartition(tb).materialize()
 
     # labels start as each node's own id: min over (node, nbr) of nbr
     # and node — i.e. the first propagation round folds initialization
@@ -630,57 +639,72 @@ def dedup_groups_distributed(pairs: "rd.Dataset",
     # vectorized over sorted runs)
     from ray.data.aggregate import Min
 
+    # partition autoscale (the pagerank_join_form rule): hash-shuffle
+    # aggregator spin-up is PER ROUND here, so a 144-edge LSH graph
+    # must not pay 8 partitions' worth of actors every round; a
+    # 10^9-edge graph keeps the ceiling
+    np_parts = max(2, min(8, n_edges // 65536 + 1))
+    _BIG = np.iinfo(np.int64).max
+
     def partial_min(t: pa.Table) -> pa.Table:
         # arrow in/out so empty pass-through blocks keep one uniform
         # block format, and metadata-free so the shuffle aggregators
         # keep their fast schema-dedup path
-        df = t.to_pandas().groupby("node", as_index=False)["label"].min()
+        cols = [c for c in ("label", "old") if c in t.column_names]
+        df = t.to_pandas().groupby("node", as_index=False)[cols].min()
         return pa.Table.from_pandas(df, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    def min_by_node(ds_in: "rd.Dataset") -> "rd.Dataset":
+    def min_by_node(ds_in: "rd.Dataset",
+                    with_old: bool = False) -> "rd.Dataset":
         from ..rayutil import project_blocks
+        cols = ["label", "old"] if with_old else ["label"]
         agg = ds_in.map_batches(partial_min, batch_format="pyarrow") \
-            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .groupby("node").aggregate(
+                *[Min(c, alias_name=c) for c in cols])
         # aggregate output feeds the next round's JOIN: normalize blocks
         # (the aggregator actors re-attach pandas schema metadata)
-        return project_blocks(agg, ["node", "label"]) \
+        return project_blocks(agg, ["node"] + cols) \
             .repartition(4).materialize()
 
     labels = min_by_node(edges.map_batches(seed, batch_format="pyarrow",
                                            batch_size=4096))
 
     for _ in range(max_iters):
-        # ship each node's label to its neighbors: edges ⋈ labels on the
-        # NEIGHBOR side, then take min(own label, incoming labels)
+        # ship each node's label to its neighbors: edges ⋈ labels on
+        # the NEIGHBOR side, then take min(own label, incoming labels).
+        # The fixpoint check rides the SAME fold: each node's self row
+        # carries old=its current label, incoming rows carry old=+inf,
+        # so Min(old) recovers the previous label and `label != old`
+        # counts changes — no second join per round.
         with _light_join_aggregators():
             incoming = edges.join(
                 labels.map_batches(
                     lambda t: pa.table({"nbr": t["node"],
                                         "nbr_label": t["label"]}),
                     batch_format="pyarrow", batch_size=4096),
-                join_type="inner", num_partitions=8,
+                join_type="inner", num_partitions=np_parts,
                 on=("nbr",)).map_batches(
-                lambda t: pa.table({"node": t["node"],
-                                    "label": t["nbr_label"]}),
+                lambda t: pa.table({
+                    "node": t["node"], "label": t["nbr_label"],
+                    "old": pa.array(np.full(len(t), _BIG), pa.int64())}),
                 batch_format="pyarrow", batch_size=4096)
-            new_labels = min_by_node(labels.union(incoming))
+            tagged = labels.map_batches(
+                lambda t: pa.table({"node": t["node"],
+                                    "label": t["label"],
+                                    "old": t["label"]}),
+                batch_format="pyarrow", batch_size=4096)
+            merged = min_by_node(tagged.union(incoming), with_old=True)
 
-        # fixpoint check: any label changed this round?
-        with _light_join_aggregators():
-            joined = new_labels.join(
-                labels.map_batches(
-                    lambda t: pa.table({"node": t["node"],
-                                        "old_label": t["label"]}),
-                    batch_format="pyarrow", batch_size=4096),
-                join_type="inner", num_partitions=8, on=("node",))
-            changed = joined.map_batches(
-                lambda t: pa.table({"n": pa.array([int(np.sum(
-                    t["label"].to_numpy(zero_copy_only=False) !=
-                    t["old_label"].to_numpy(zero_copy_only=False)))],
-                    pa.int64())}),
-                batch_format="pyarrow").sum("n")
-        labels = new_labels
+        changed = merged.map_batches(
+            lambda t: pa.table({"n": pa.array([int(np.sum(
+                t["label"].to_numpy(zero_copy_only=False) !=
+                t["old"].to_numpy(zero_copy_only=False)))],
+                pa.int64())}),
+            batch_format="pyarrow").sum("n")
+        labels = merged.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+            batch_format="pyarrow", batch_size=4096)
         if changed == 0:
             break
     else:
