@@ -147,7 +147,7 @@ def run_bench() -> dict:
                  "q_contamination_rate", "q_ccnet_buckets",
                  "q_dup_span_coverage", "q_prep_funnel",
                  "q_edit_distance_pairs", "q_snapshot_diff",
-                 "q_rolling_median"):
+                 "q_rolling_median", "q_normalize_text"):
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
         queries[name] = round(time.perf_counter() - t0, 3)

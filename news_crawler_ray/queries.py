@@ -6755,6 +6755,63 @@ ORDER BY event_id
 """
 
 
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Text canonicalization TRANSFORM (the fix-before-tokenize pass
+    q_unicode_stats audits): NFC-normalize, collapse explicit-class
+    whitespace runs ([ \\t\\n\\r\\f]+ — the RE2∩re-safe class; Python's
+    \\s is unicode-wider, a documented divergence) to single spaces,
+    strip. Emits the normalized text plus changed flag and codepoint
+    count; pure per-batch map, zero shuffle. NFC parity between
+    unicodedata and DuckDB's utf8proc is cross-validated on the
+    unicode-variant corpus sweep."""
+    import re as _re
+    import unicodedata
+
+    ws = _re.compile(r"[ \t\n\r\f]+")
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        norm, changed, nchars = [], [], []
+        for t in b["text"].fillna(""):
+            n = ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            norm.append(n)
+            changed.append(int(n != t))
+            nchars.append(len(n))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "norm_text": pd.Series(norm, dtype="object", index=b.index),
+            "changed": pd.Series(changed, dtype="int64", index=b.index),
+            "norm_chars": pd.Series(nchars, dtype="int64",
+                                    index=b.index)})
+
+    out = ds.map_batches(f, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "norm_text": pd.Series([], dtype="object"),
+            "changed": pd.Series([], dtype="int64"),
+            "norm_chars": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(text),
+                           '[ ' || chr(9) || chr(10) || chr(13)
+                               || chr(12) || ']+',
+                           ' ', 'g')) AS norm_text,
+       CAST(trim(regexp_replace(nfc_normalize(text),
+                                '[ ' || chr(9) || chr(10) || chr(13)
+                                    || chr(12) || ']+',
+                                ' ', 'g')) <> text AS BIGINT) AS changed,
+       length(trim(regexp_replace(nfc_normalize(text),
+                                  '[ ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || ']+',
+                                  ' ', 'g')))::BIGINT AS norm_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6913,6 +6970,7 @@ QUERIES = {
     "q_edit_distance_pairs": q_edit_distance_pairs,
     "q_snapshot_diff": q_snapshot_diff,
     "q_rolling_median": q_rolling_median,
+    "q_normalize_text": q_normalize_text,
 }
 
 ORACLES = {
@@ -7044,4 +7102,5 @@ ORACLES = {
     "q_edit_distance_pairs": Q_EDIT_DISTANCE_SQL,
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
+    "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
 }

@@ -71,7 +71,7 @@ QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
                "q_ngram_repetition", "q_tokenizer_fertility",
                "q_contamination_rate", "q_ccnet_buckets",
                "q_dup_span_coverage", "q_prep_funnel",
-               "q_snapshot_diff"]
+               "q_snapshot_diff", "q_normalize_text"]
 
 
 @pytest.fixture(scope="module")
