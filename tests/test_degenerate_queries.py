@@ -302,3 +302,25 @@ def test_all_duplicate_semantics(sf_dirs):
     assert (nov["n_novel"] == 0).all()
     comp = QUERIES["q_embedding_components"](sf_dirs["dups"])
     assert set(comp["component_id"]) == {0}
+
+
+def test_snapshot_diff_one_side_empty(ray_session, tmp_path):
+    """doc_ids that are multiples of 7 are excluded from the OLD
+    snapshot; a corpus of only such ids exercises the
+    empty-old-side short-circuit (everything 'added', no join)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.queries import QUERIES
+    d = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": pd.Series([7, 49], dtype="int64"),
+        "text": ["alpha body", "beta body"],
+        "lang": ["en", "en"], "source": ["s0", "s1"],
+        "n_chars": pd.Series([10, 9], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    out = QUERIES["q_snapshot_diff"](d)
+    assert out["status"].tolist() == ["added", "added"]
+    assert out["source"].tolist() == ["s0", "s1"]
+    assert out["n"].tolist() == [1, 1]
