@@ -6812,6 +6812,57 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_media_thumbnail(sf_dir: str) -> pd.DataFrame:
+    """Entropy-crop thumbnail (M26's algorithm completed — reference
+    newspaperlite/images.py:43-79 run for real over the repo's own
+    decoders; only the network fetch stays excluded per replay
+    scope): deterministic TALL BMP images with a structured upper
+    region and a flat lower band, so the entropy decision genuinely
+    picks a side; the stage squares, shrinks into 90×90, and reports
+    the trimmed-row decision trace. Payload digest keys the DECODED
+    thumbnail, so a header-only fake cannot pass."""
+    import hashlib as _hl
+
+    from .functions.multimodal import encode_bmp
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 10 == 0]
+        payloads = []
+        for i in ids:
+            w = 24 + (i % 3) * 8
+            h = w + 14 + (i % 5) * 10          # always taller than wide
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(yy * 9 + i) % 256, (xx * 7 + i) % 256,
+                           (yy + xx + i) % 256], axis=-1).astype(np.uint8)
+            flat = 10 + (i % 4) * 6            # low-entropy bottom band
+            px[h - flat:, :, :] = (i * 31) % 256
+            payloads.append(encode_bmp(px))
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "mime": pa.array(["image/bmp"] * n, pa.string())})
+
+    out = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.ThumbnailStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2)
+
+    def digest(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"],
+            "width": t["width"], "height": t["height"],
+            "trimmed_rows": t["trimmed_rows"],
+            "thumb_sha1": pa.array(
+                [_hl.sha1(p).hexdigest()[:16]
+                 for p in t["payload"].to_pylist()], pa.string())})
+
+    return out.map_batches(digest, batch_format="pyarrow").to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -6961,6 +7012,7 @@ QUERIES = {
     "media_frame_sample": q_frame_sample,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
+    "media_thumbnail": q_media_thumbnail,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_mask_pii_extended": q_mask_pii_extended,
     "q_contamination_rate": q_contamination_rate,

@@ -1674,3 +1674,88 @@ class TestEditDistancePairs:
                 for j in range(i + 1, len(names))
                 if self._lev(names[i], names[j]) <= 1}
         assert got == want
+
+
+class TestEntropyCropThumbnail:
+    """M26 completion: the reference's entropy-crop squaring
+    (newspaperlite/images.py:43-79) decision-for-decision over numpy
+    arrays, plus PIL .thumbnail box semantics (nearest-neighbor
+    resample, the documented divergence)."""
+
+    @staticmethod
+    def _noise(h, w, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_entropy_flat_vs_noise(self):
+        from news_crawler_ray.functions.multimodal import image_entropy
+        flat = np.full((20, 20, 3), 128, dtype=np.uint8)
+        # PIL histogram() concatenates the 3 channel histograms, so a
+        # constant image has THREE occupied bins → exactly log2(3) bits
+        assert abs(image_entropy(flat) - np.log2(3)) < 1e-12
+        assert image_entropy(self._noise(20, 20)) > 7.0   # ~8 bits
+
+    def test_square_trims_flat_end(self):
+        from news_crawler_ray.functions.multimodal import square_image
+        w, extra = 20, 14
+        top = self._noise(w, w)
+        flat = np.zeros((extra, w, 3), dtype=np.uint8)
+        tall = np.concatenate([top, flat])      # flat BOTTOM
+        sq = square_image(tall)
+        assert sq.shape == (w, w, 3)
+        assert (sq == top).all()                # bottom slices removed
+        tall2 = np.concatenate([flat, top])     # flat TOP
+        sq2 = square_image(tall2)
+        assert sq2.shape == (w, w, 3)
+        assert (sq2 == top).all()               # top slices removed
+
+    def test_square_passthrough_wide_and_square(self):
+        from news_crawler_ray.functions.multimodal import square_image
+        wide = self._noise(10, 30)
+        assert square_image(wide) is wide
+        sq = self._noise(15, 15)
+        assert square_image(sq) is sq
+
+    def test_ten_px_slice_steps(self):
+        # 35x10: slices of 10, 10, then 5 — the reference's
+        # min(y - x, 10) step rule
+        from news_crawler_ray.functions.multimodal import square_image
+        top = self._noise(10, 10, seed=3)
+        flat = np.zeros((25, 10, 3), dtype=np.uint8)
+        out = square_image(np.concatenate([top, flat]))
+        assert out.shape == (10, 10, 3) and (out == top).all()
+
+    def test_thumbnail_box_semantics(self):
+        from news_crawler_ray.functions.multimodal import thumbnail_pixels
+        tall = self._noise(200, 100)
+        th = thumbnail_pixels(tall, (90, 90))
+        assert th.shape == (90, 45, 3)          # aspect kept, fits box
+        small = self._noise(40, 50)
+        assert thumbnail_pixels(small, (90, 90)) is small  # shrink-only
+
+    def test_stage_end_to_end(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from news_crawler_ray.functions.multimodal import (ThumbnailStage,
+                                                           decode_bmp,
+                                                           encode_bmp)
+        w, extra = 24, 30
+        imgs = [np.concatenate([self._noise(w, w, seed=i),
+                                np.zeros((extra, w, 3), dtype=np.uint8)])
+                for i in range(4)]
+        t = pa.table({
+            "media_id": pa.array(list(range(4)), pa.int64()),
+            "payload": pa.array([encode_bmp(im) for im in imgs],
+                                pa.binary()),
+            "media_type": pa.array(["image"] * 4, pa.string()),
+            "mime": pa.array(["image/bmp"] * 4, pa.string())})
+        out = rd.from_arrow(t).map_batches(
+            ThumbnailStage, batch_format="pyarrow", batch_size=2,
+            concurrency=1).to_pandas().sort_values("media_id")
+        # flat bottom fully trimmed; square result; no upscale
+        assert out["trimmed_rows"].tolist() == [extra] * 4
+        assert out["width"].tolist() == [w] * 4
+        assert out["height"].tolist() == [w] * 4
+        px = decode_bmp(out.iloc[0]["payload"])["pixels"]
+        assert (px == imgs[0][:w]).all()        # 24≤90: no resample
