@@ -6863,6 +6863,36 @@ def q_media_thumbnail(sf_dir: str) -> pd.DataFrame:
         .sort_values("media_id").reset_index(drop=True)
 
 
+def q_docs_all_terms_indexed(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive search THROUGH the inverted index (functions/
+    index.py): build the token-bucket-partitioned parquet layout, then
+    answer the same AND-of-postings query as q_docs_all_terms by
+    reading ONLY the terms' bucket partitions — identical oracle, index
+    path (the IvfIndex pattern for text). The matched ids fetch their
+    lang via a row-filtered documents read."""
+    import shutil
+    import tempfile
+
+    from .functions.index import build_inverted_index, query_all_terms
+    terms = ["batch", "scan", "join"]
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    idx_dir = tempfile.mkdtemp(prefix="ncr_invidx_")
+    try:
+        build_inverted_index(ds, idx_dir)
+        ids = query_all_terms(idx_dir, terms).to_pandas()
+        if not len(ids):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype="object")})
+        id_list = sorted(int(i) for i in ids["doc_id"])
+        out = read_parquet(
+            _t(sf_dir, "documents"), columns=["doc_id", "lang"],
+            filter=pc.field("doc_id").isin(id_list)).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True) \
+            .astype({"doc_id": "int64"})
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -7023,6 +7053,7 @@ QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
+    "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
 }
 
 ORACLES = {
@@ -7155,4 +7186,6 @@ ORACLES = {
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
+    # same twin as the scan path — the index must reproduce it exactly
+    "q_docs_all_terms_indexed": Q_DOCS_ALL_TERMS_SQL,
 }

@@ -1759,3 +1759,55 @@ class TestEntropyCropThumbnail:
         assert out["height"].tolist() == [w] * 4
         px = decode_bmp(out.iloc[0]["payload"])["pixels"]
         assert (px == imgs[0][:w]).all()        # 24≤90: no resample
+
+
+class TestInvertedIndex:
+    def test_query_matches_scan_and_prunes(self, ray_session, tmp_path):
+        import os
+        import shutil
+
+        import ray.data as rd
+
+        from news_crawler_ray.functions.index import (_tok_bucket,
+                                                      build_inverted_index,
+                                                      query_all_terms)
+        texts = ["batch scan join fast", "batch scan", "scan join batch x",
+                 "join batch", "nothing relevant here", "batch batch scan "
+                 "join"]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        idx = str(tmp_path / "idx")
+        build_inverted_index(rd.from_pandas(df), idx)
+        terms = ["batch", "scan", "join"]
+        want = {i for i, t in enumerate(texts)
+                if set(terms).issubset(t.split())}
+        got = set(query_all_terms(idx, terms).to_pandas()["doc_id"])
+        assert got == want == {0, 2, 5}
+        # PRUNING PROOF: delete every bucket the query terms do NOT
+        # hash into; the answer must be identical — the read never
+        # touches them
+        keep = {f"bucket={_tok_bucket(t, 64)}" for t in terms}
+        removed = 0
+        for name in os.listdir(idx):
+            if name.startswith("bucket=") and name not in keep:
+                shutil.rmtree(os.path.join(idx, name))
+                removed += 1
+        assert removed > 0      # the corpus filled other buckets
+        got2 = set(query_all_terms(idx, terms).to_pandas()["doc_id"])
+        assert got2 == want
+
+    def test_collision_routing_is_exact(self, ray_session, tmp_path):
+        # two tokens FORCED into the same bucket (num_buckets=1):
+        # exact token equality must still separate them
+        import ray.data as rd
+
+        from news_crawler_ray.functions.index import (build_inverted_index,
+                                                      query_all_terms)
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["alpha", "beta"]})
+        idx = str(tmp_path / "idx1")
+        build_inverted_index(rd.from_pandas(df), idx, num_buckets=1)
+        assert set(query_all_terms(idx, ["alpha"], num_buckets=1)
+                   .to_pandas()["doc_id"]) == {0}
+        assert set(query_all_terms(idx, ["beta"], num_buckets=1)
+                   .to_pandas()["doc_id"]) == {1}
+        assert len(query_all_terms(idx, ["alpha", "beta"], num_buckets=1)
+                   .to_pandas()) == 0
