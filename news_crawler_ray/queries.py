@@ -6893,6 +6893,50 @@ def q_docs_all_terms_indexed(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
 
+def q_repeat_buyers(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT shape: customers with orders in BOTH 1995 and 1996,
+    with per-year counts — the set-intersection sibling of the ANTI
+    (q_customers_no_orders) and SEMI (q_customers_big_orders) joins.
+    Per-batch (custkey, n95, n96) conditional combiner — one row per
+    (custkey, batch) crosses the shuffle — then a salted fold and a
+    vectorized both-positive filter; no join at all."""
+    from .rayutil import bucketed_group_sum
+    ds = read_parquet(_t(sf_dir, "orders"),
+                      columns=["o_custkey", "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        yr = pd.to_datetime(b["o_orderdate"]).dt.year
+        g = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(),
+            "n95": (yr == 1995).to_numpy().astype(np.int64),
+            "n96": (yr == 1996).to_numpy().astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False).sum()
+        return g.astype({"o_custkey": "int64", "n95": "int64",
+                         "n96": "int64"})
+
+    agg = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"], {"n95": "n_1995", "n96": "n_1996"}).to_pandas()
+    if not len(agg):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("o_custkey", "n_1995", "n_1996")})
+    out = agg[(agg["n_1995"] > 0) & (agg["n_1996"] > 0)]
+    return out[["o_custkey", "n_1995", "n_1996"]] \
+        .sort_values("o_custkey").reset_index(drop=True)
+
+
+Q_REPEAT_BUYERS_SQL = """
+SELECT o_custkey,
+       sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_1995,
+       sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_1996
+FROM orders GROUP BY o_custkey
+HAVING n_1995 > 0 AND n_1996 > 0
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -7054,6 +7098,7 @@ QUERIES = {
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
+    "q_repeat_buyers": q_repeat_buyers,
 }
 
 ORACLES = {
@@ -7188,4 +7233,5 @@ ORACLES = {
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly
     "q_docs_all_terms_indexed": Q_DOCS_ALL_TERMS_SQL,
+    "q_repeat_buyers": Q_REPEAT_BUYERS_SQL,
 }
