@@ -6765,15 +6765,21 @@ def q_normalize_text(sf_dir: str) -> pd.DataFrame:
     unicodedata and DuckDB's utf8proc is cross-validated on the
     unicode-variant corpus sweep."""
     import re as _re
-    import unicodedata
+    import unicodedata as _ud
 
     ws = _re.compile(r"[ \t\n\r\f]+")
+    # DuckDB's trim() strips exactly the Unicode Zs (space-separator)
+    # category, NOT Python str.strip()'s wider isspace() set (probed:
+    # NBSP/en-space/thin-space/ideographic-space stripped; tab, LF,
+    # NEL, LS/PS control whitespace NOT) - strip the identical set
+    zs = "".join(chr(c) for c in range(0x10000)
+                 if _ud.category(chr(c)) == "Zs")
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def f(b: pd.DataFrame) -> pd.DataFrame:
         norm, changed, nchars = [], [], []
         for t in b["text"].fillna(""):
-            n = ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            n = ws.sub(" ", _ud.normalize("NFC", t)).strip(zs)
             norm.append(n)
             changed.append(int(n != t))
             nchars.append(len(n))

@@ -347,3 +347,29 @@ class TestAnchorWindowSqlParity:
         assert int(n_sql or 0) == len(hs)
         assert int(min_sql or 0) == (min(hs) if hs else 0)
         assert int(sum_sql or 0) == sum(hs)
+
+
+class TestNormalizeTrimParity:
+    """DuckDB trim() strips exactly the Unicode Zs category — neither
+    Python str.strip() (wider: control whitespace, NEL, LS/PS) nor
+    strip(' ') (narrower). The q_normalize_text engine strips the
+    Zs set; this pins the decision on every boundary codepoint the
+    fixture corpus can't be trusted to contain."""
+
+    def test_boundary_codepoints(self):
+        import re
+        import unicodedata as ud
+        ws = re.compile(r"[ \t\n\r\f]+")
+        zs = "".join(chr(c) for c in range(0x10000)
+                     if ud.category(chr(c)) == "Zs")
+        con = duckdb.connect()
+        sql = ("SELECT trim(regexp_replace(nfc_normalize(?), "
+               "'[ ' || chr(9) || chr(10) || chr(13) || chr(12) "
+               "|| ']+', ' ', 'g'))")
+        cps = [0x20, 0x09, 0x0a, 0x0b, 0x0c, 0x0d, 0x85, 0xa0, 0x1680,
+               0x2000, 0x2007, 0x2009, 0x200b, 0x2028, 0x2029, 0x202f,
+               0x205f, 0x3000, 0xfeff]
+        for cp in cps:
+            t = chr(cp) + "a  b" + chr(cp)
+            eng = ws.sub(" ", ud.normalize("NFC", t)).strip(zs)
+            assert eng == con.execute(sql, [t]).fetchone()[0], hex(cp)
