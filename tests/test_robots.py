@@ -187,6 +187,43 @@ class TestEngineRobotsSidecar:
         assert other.str.startswith("/economia/").any()
 
 
+class TestEngineRobotsCrawlDelay:
+    def test_crawl_delay_paces_dequeues(self, ray_session, tmp_path):
+        """A robots.txt Crawl-delay must pace the frontier exactly like
+        a fixture min_interval_ms: with delay == round length, at most
+        ONE fetch per host per round (mirrors
+        test_min_interval_paces_dequeues, but the interval arrives via
+        the parsed sidecar instead of the politeness table)."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from news_crawler_ray.corpus import default_corpus
+        from news_crawler_ray.pipelines.crawl import (CrawlConfig,
+                                                      CrawlEngine)
+        corpus = default_corpus("crawltest", num_hosts=2,
+                                pages_per_host=18)
+        root = str(tmp_path / "delay_corpus")
+        shutil.copytree(corpus.root, root)
+        body = "User-agent: *\nCrawl-delay: 1\nDisallow:\n"
+        pq.write_table(
+            pa.table({"host": pa.array(["news-0.example",
+                                        "news-1.example"], pa.string()),
+                      "robots_txt": pa.array([body, body], pa.string())}),
+            os.path.join(root, "robots.parquet"))
+
+        eng = CrawlEngine(CrawlConfig(
+            corpus_root=root, out_dir="/tmp/ncr_test_robots_delay",
+            max_rounds=10, round_ms=1000))
+        eng.run()
+        order = eng.crawl_order_table().to_pandas()
+        eng.shutdown()
+        per_host = order.groupby("host").size()
+        assert (per_host <= 10).all()
+        assert len(order) > 0
+
+
 class TestFrontierIntegration:
     def test_enqueue_rejections_match_stdlib(self):
         text = ("User-agent: *\nDisallow: /private/\nDisallow: /tmp\n")
