@@ -152,7 +152,8 @@ def run_bench() -> dict:
                  "q_dup_span_coverage", "q_prep_funnel",
                  "q_edit_distance_pairs", "q_snapshot_diff",
                  "q_rolling_median", "q_normalize_text",
-                 "q_docs_all_terms_indexed", "q_repeat_buyers")
+                 "q_docs_all_terms_indexed", "q_repeat_buyers",
+                 "q_interval_overlap")
     for name in suite:
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)

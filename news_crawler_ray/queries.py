@@ -6943,6 +6943,104 @@ ORDER BY o_custkey
 """
 
 
+def q_interval_overlap(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap join against a periodic calendar: per-user-day
+    event sessions [min ts, max ts] × 30-minute maintenance windows
+    opening at every 7th hour — how many windows each session touched.
+    The ENGINE does the shuffle-free arithmetic form (for a PERIODIC
+    window set, the overlapping window indices are a closed-form count
+    per row — no window table, no join, no broadcast); the twin runs
+    the LITERAL generate_series interval join, so the arithmetic is
+    verified against a real interval-join evaluation. Overlap contract:
+    closed session [st, en] vs half-open window [ws, ws+30min).
+
+    Scale shape: sessions fold from per-batch (user, day, min, max)
+    combiner rows (min rides the same MAX fold as max via negation);
+    the overlap count is pure vectorized int64 arithmetic per session —
+    the engine never even needs the calendar's global extent (only the
+    twin's generate_series does)."""
+    HOUR = 3_600_000_000
+    HALF = 1_800_000_000
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = _ts_us(t)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "day": pc.cast(pc.floor(pc.divide(
+                pc.cast(us, pa.float64()), 86_400_000_000.0)),
+                pa.int64()),
+            "us": us})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "day"], as_index=False) \
+            .agg(st=("us", "min"), en=("us", "max"))
+        # min rides the same MAX fold as max: min(st) = -max(-st)
+        g["neg_st"] = -g["st"].to_numpy(dtype=np.int64)
+        return g[["user_id", "day", "neg_st", "en"]] \
+            .astype({"user_id": "int64", "day": "int64",
+                     "neg_st": "int64", "en": "int64"})
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        from .rayutil import salt_bucket
+        b = b.copy()
+        b["bucket"] = salt_bucket(b["user_id"].to_numpy(), 32) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g.columns):
+            return g
+        s = g.groupby(["user_id", "day"], as_index=False) \
+            .agg(neg_st=("neg_st", "max"), en=("en", "max"))
+        st = -s["neg_st"].to_numpy(dtype=np.int64)
+        en = s["en"].to_numpy(dtype=np.int64)
+        # windows: hour index h (h % 7 == 0), [h·HOUR, h·HOUR + HALF).
+        # overlap iff h·HOUR ≤ en AND h·HOUR + HALF > st:
+        #   h_hi = floor(en / HOUR); h_lo = floor((st - HALF) / HOUR) + 1
+        # count multiples of 7 in [h_lo, h_hi] (empty if h_lo > h_hi)
+        h_hi = en // HOUR
+        h_lo = (st - HALF) // HOUR + 1
+        n = np.maximum(0, h_hi // 7 - (h_lo - 1) // 7)
+        out = pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(dtype=np.int64),
+            "day": s["day"].to_numpy(dtype=np.int64),
+            "n_windows": n.astype(np.int64)})
+        return out[out["n_windows"] > 0]
+
+    out = rows.map_batches(partial, batch_format="pandas") \
+        .map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("user_id", "day", "n_windows")})
+    return out[["user_id", "day", "n_windows"]] \
+        .sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+Q_INTERVAL_OVERLAP_SQL = """
+WITH s AS (
+  SELECT user_id,
+         (epoch_us(ts) // 86400000000) AS day,
+         min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(st) AS lo, max(en) AS hi FROM s),
+w AS (
+  SELECT h * 3600000000 AS ws, h * 3600000000 + 1800000000 AS we
+  FROM (SELECT unnest(range(lo // 3600000000 - 1,
+                            hi // 3600000000 + 2)) AS h FROM bounds)
+  WHERE h % 7 = 0)
+SELECT s.user_id, s.day::BIGINT AS day, count(*)::BIGINT AS n_windows
+FROM s JOIN w ON w.ws <= s.en AND w.we > s.st
+GROUP BY s.user_id, s.day
+ORDER BY s.user_id, s.day
+"""
+
+
 QUERIES = {
     # oracle-checked
     "q1_pricing_summary": q1_pricing_summary,
@@ -7105,6 +7203,7 @@ QUERIES = {
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
     "q_repeat_buyers": q_repeat_buyers,
+    "q_interval_overlap": q_interval_overlap,
 }
 
 ORACLES = {
@@ -7240,4 +7339,5 @@ ORACLES = {
     # same twin as the scan path — the index must reproduce it exactly
     "q_docs_all_terms_indexed": Q_DOCS_ALL_TERMS_SQL,
     "q_repeat_buyers": Q_REPEAT_BUYERS_SQL,
+    "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
 }
