@@ -28,6 +28,14 @@ import zlib
 _LEAKS = (struct.error, IndexError, KeyError, OverflowError, EOFError,
           TypeError, zlib.error)
 
+# Decompression-bomb cap shared by the image decoders: a corrupt
+# header dimension (16-bit in JPEG/GIF, 32-bit in PNG) can demand a
+# multi-GB allocation — and in JPEG a same-order Python MCU loop —
+# from a 100-byte payload, long before any "truncated stream" check
+# runs. 2^24 pixels = 4096×4096, above real web images; oversized
+# frames fail TYPED instead of OOMing the worker.
+MAX_DECODE_PIXELS = 1 << 24
+
 
 def typed_decode(fmt: str):
     """Decorator: corruption-induced ``_LEAKS`` become ``ValueError``;

@@ -21,11 +21,19 @@ import struct
 
 import numpy as np
 
+from .codecguard import MAX_DECODE_PIXELS as _MAX_FRAME_PIXELS
 from .codecguard import typed_decode
 
 
 def _lzw_decode(min_code_size: int, data: bytes, expected: int) -> list[int]:
     """GIF LZW: LSB-first bitstream, growing code width, 12-bit cap."""
+    # Spec range is 2..8 (palette bits); ≤11 keeps the max code width
+    # at the 12-bit cap. Anything larger is corruption — and would
+    # allocate a 2^mcs-entry table below (mcs=60 ⇒ exabytes) before
+    # any stream byte is even read.
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(
+            f"GIF LZW min code size out of range: {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     out: list[int] = []
@@ -121,6 +129,10 @@ def frames(payload: bytes):
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF frame without any color table")
+            if w * h > _MAX_FRAME_PIXELS:
+                raise ValueError(
+                    f"GIF frame {w}x{h} exceeds decode cap "
+                    f"({_MAX_FRAME_PIXELS} pixels)")
             mcs = d[pos]
             pos += 1
             chunks = bytearray()

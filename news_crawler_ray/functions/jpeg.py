@@ -29,7 +29,7 @@ import struct
 
 import numpy as np
 
-from .codecguard import typed_decode
+from .codecguard import MAX_DECODE_PIXELS, typed_decode
 
 # -- shared constants (ITU-T T.81 / JFIF, public) ---------------------------
 
@@ -619,6 +619,12 @@ def _decode_jpeg(payload: bytes) -> dict:
             if body[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             height, width = struct.unpack_from(">HH", body, 1)
+            if height * width > MAX_DECODE_PIXELS:
+                # the coefficient arrays AND the per-MCU decode loop
+                # scale with the claimed dims, not the payload size
+                raise ValueError(
+                    f"JPEG {width}x{height} exceeds decode cap "
+                    f"({MAX_DECODE_PIXELS} pixels)")
             nc = body[5]
             comps = []
             for i in range(nc):

@@ -185,6 +185,13 @@ def _parse_stbl(payload: bytes, pos: int, end: int) -> dict:
         elif fc == b"stsz":
             _, p = _full_body(payload, b)
             fixed, count = struct.unpack_from(">II", payload, p)
+            if fixed and count > len(payload):
+                # fixed-size form stores NO per-entry bytes, so a raw
+                # uint32 count would materialize a [fixed]*count list
+                # (2^31 entries = 16 GB) unrelated to the payload; a
+                # real file needs ≥fixed≥1 mdat bytes per sample
+                raise ValueError(
+                    f"stsz sample count {count} exceeds payload size")
             out["sizes"] = ([fixed] * count if fixed
                             else list(struct.unpack_from(
                                 f">{count}I", payload, p + 8)))

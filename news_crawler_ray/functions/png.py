@@ -27,7 +27,7 @@ import zlib
 
 import numpy as np
 
-from .codecguard import typed_decode
+from .codecguard import MAX_DECODE_PIXELS, typed_decode
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -121,6 +121,13 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w * h > MAX_DECODE_PIXELS:
+        # IHDR dims are 32-bit: a flipped byte can claim 2^32+ pixels
+        # from a tiny payload; every allocation below scales with the
+        # claimed dims, and the zlib stream is only bounded by the
+        # expected-size cap computed FROM these dims
+        raise ValueError(f"PNG {w}x{h} exceeds decode cap "
+                         f"({MAX_DECODE_PIXELS} pixels)")
     if comp != 0 or filt != 0:
         raise ValueError("unknown PNG compression/filter method")
     if color not in _CHANNELS:
@@ -135,7 +142,6 @@ def _decode_png(payload: bytes) -> dict:
     ch = _CHANNELS[color]
     sb = max(1, depth // 8)                    # bytes per sample
     bpp = max(1, ch * depth // 8)              # filter unit (≥1 byte)
-    raw = zlib.decompress(bytes(idat))
 
     def to_samples(arr2d: np.ndarray, height: int, width: int) -> np.ndarray:
         if sub_byte:
@@ -154,6 +160,20 @@ def _decode_png(payload: bytes) -> dict:
 
     def row_bytes(width: int) -> int:
         return -(-width * ch * depth // 8)
+
+    # Bound the inflate by the exact raw size the filtered scanlines
+    # can occupy (zlib can expand ~1000:1, so a small IDAT must not be
+    # allowed to emit beyond what the claimed dims require).
+    if interlace == 0:
+        expected = h * (1 + row_bytes(w))
+    else:
+        expected = sum(
+            ph * (1 + row_bytes(pw))
+            for pw, ph in (((w - x0 + dx - 1) // dx,
+                            (h - y0 + dy - 1) // dy)
+                           for (x0, y0, dx, dy) in _ADAM7)
+            if pw and ph)
+    raw = zlib.decompressobj().decompress(bytes(idat), expected)
 
     if interlace == 0:
         img = to_samples(_unfilter(raw, h, row_bytes(w), bpp), h, w)

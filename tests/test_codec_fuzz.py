@@ -105,6 +105,72 @@ class TestCodecFuzz:
                 pass
 
 
+class TestDecompressionBombs:
+    """Crafted payloads where a header field demands allocation (or a
+    decode loop) wildly beyond the payload size. Each must fail TYPED
+    and fast — found live when a hypothesis byteflip drove the GIF LZW
+    table to 2^60 entries (67 GB RSS before the suite was killed).
+    Deterministic here so the guard never again depends on fuzz luck."""
+
+    def test_gif_lzw_min_code_size(self):
+        p = bytearray(_gif_payload())
+        mcs_at = p.index(0x2C) + 10        # descriptor + 9-byte header
+        assert p[mcs_at] == 2
+        p[mcs_at] = 60                     # table would be 2^60 entries
+        with pytest.raises(ValueError, match="min code size"):
+            decode_gif(bytes(p))
+
+    def test_gif_giant_frame_dims(self):
+        p = bytearray(_gif_payload())
+        desc = p.index(0x2C)
+        p[desc + 5: desc + 9] = b"\xff\xff\xff\xff"   # w = h = 65535
+        with pytest.raises(ValueError, match="decode cap"):
+            decode_gif(bytes(p))
+
+    def test_png_giant_dims(self):
+        p = bytearray(encode_png(_px()))
+        ihdr = p.index(b"IHDR") + 4
+        p[ihdr: ihdr + 8] = (65535).to_bytes(4, "big") * 2
+        with pytest.raises(ValueError, match="decode cap"):
+            decode_png(bytes(p))
+
+    def test_png_overlong_idat_bounded(self):
+        # a zlib stream inflating far beyond what the dims require must
+        # not be inflated past the expected raw size (bomb containment);
+        # the in-bounds prefix still decodes
+        import struct as st
+        import zlib
+        w = h = 8
+        raw = b"".join(b"\x00" + bytes(w * 3) for _ in range(h))
+        idat = zlib.compress(raw + b"\x00" * 50_000_000)
+
+        def chunk(t, d):
+            return (st.pack(">I", len(d)) + t + d
+                    + st.pack(">I", zlib.crc32(t + d)))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        out = decode_png(png)
+        assert out["width"] == w and out["height"] == h
+
+    def test_jpeg_giant_dims(self):
+        build, _ = _BY_NAME["jpeg"]
+        p = bytearray(build())
+        sof = p.index(b"\xff\xc0") + 5     # marker + length + precision
+        p[sof: sof + 4] = b"\xff\xff\xff\xff"
+        with pytest.raises(ValueError, match="decode cap"):
+            decode_jpeg(bytes(p))
+
+    def test_mp4_stsz_fixed_count(self):
+        p = bytearray(encode_mp4([_px(16, 16)]))
+        stsz = p.index(b"stsz") + 8        # type + version/flags
+        # fixed=1, count=2^32-1 → a 34 GB [1]*count list without guard
+        p[stsz: stsz + 8] = (1).to_bytes(4, "big") + b"\xff\xff\xff\xff"
+        with pytest.raises(ValueError, match="sample count"):
+            decode_mp4(bytes(p))
+
+
 def test_valid_payloads_still_decode():
     # the guard must not swallow the happy path
     for name, build, fns in CODECS:
