@@ -1089,6 +1089,23 @@ def ngram_jaccard_pairs(ds: "rd.Dataset", *, k: int = 3,
         _gram_rows, fn_kwargs={"k": k, "text_col": text_col,
                                "id_col": id_col},
         batch_format="pyarrow").materialize()
+    return set_jaccard_pairs(sh, thr_num=thr_num, thr_den=thr_den,
+                             max_df=max_df)
+
+
+def set_jaccard_pairs(sh: "rd.Dataset", *, thr_num: int = 2,
+                      thr_den: int = 5,
+                      max_df: int = 64) -> "rd.Dataset":
+    """Exact set-similarity self-join over pre-exploded element rows —
+    the generic core of :func:`ngram_jaccard_pairs` (which feeds it
+    shingle rows) and :func:`linkgraph.mirror_hosts` (which feeds it
+    URL-path rows per host). ``sh`` is a MATERIALIZED Dataset of
+    distinct ``(doc_id: int64, h: int64)`` membership rows — "set
+    doc_id contains element h" — deduplicated per doc by the caller.
+    Returns (doc_a, doc_b, inter_sz, union_sz, jac_micro) for every
+    pair with Jaccard ≥ thr_num/thr_den, computed over elements with
+    document frequency ≤ max_df (see the caller's docstring for why
+    the cap keeps candidate generation sub-quadratic)."""
 
     def df_filter(t: pa.Table, *, lo: int) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["count()"], lo),

@@ -585,3 +585,190 @@ def host_hits(edges_ds: "rd.Dataset", *, iters: int = 20) -> pd.DataFrame:
         nh = np.linalg.norm(h)
         h = h / nh if nh > 0 else h
     return pd.DataFrame({"host": hosts, "authority": a, "hub": h})
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection (URL-path set similarity)
+# ---------------------------------------------------------------------------
+
+def _path_of(url: str) -> str:
+    """Canonical path component used as the mirror-comparison element:
+    scheme-stripped canonical form minus its netloc ('' → '/'). Uses
+    the engine-wide canonical key so http/https and trailing-slash
+    variants of the same resource collapse to one element."""
+    canon = urlnorm.canonical_url(url)
+    slash = canon.find("/")
+    return canon[slash:] if slash >= 0 else "/"
+
+
+_MIRROR_MASK = (1 << 61) - 1
+
+
+def _path_rows(batch: pa.Table) -> pa.Table:
+    """Per batch: distinct (host-hash, path-hash) membership rows plus
+    the (host-hash → host) name pairs. 61-bit md5 keys survive the
+    shuffle's pandas blocks as int64 (same identity as _gram_rows)."""
+    import hashlib
+
+    seen: set[tuple[int, int]] = set()
+    names: dict[int, str] = {}
+    for u in batch["url"].to_pylist():
+        host = urlnorm.host_of(u)
+        if not host:
+            continue
+        hh = int.from_bytes(
+            hashlib.md5(host.encode()).digest()[:8], "big") & _MIRROR_MASK
+        ph = int.from_bytes(
+            hashlib.md5(_path_of(u).encode()).digest()[:8],
+            "big") & _MIRROR_MASK
+        seen.add((hh, ph))
+        names[hh] = host
+    hh_a = np.fromiter((p[0] for p in seen), np.int64, len(seen))
+    ph_a = np.fromiter((p[1] for p in seen), np.int64, len(seen))
+    return pa.table({"doc_id": pa.array(hh_a), "h": pa.array(ph_a)})
+
+
+def _name_rows(batch: pa.Table) -> pd.DataFrame:
+    """Per batch: distinct (host-hash, host) name pairs (the O(hosts)
+    side of mirror_hosts)."""
+    import hashlib
+
+    names: dict[int, str] = {}
+    for u in batch["url"].to_pylist():
+        host = urlnorm.host_of(u)
+        if host:
+            hh = int.from_bytes(
+                hashlib.md5(host.encode()).digest()[:8],
+                "big") & _MIRROR_MASK
+            names.setdefault(hh, host)
+    return pd.DataFrame({
+        "hh": pd.Series(list(names.keys()), dtype="int64"),
+        "host": pd.Series(list(names.values()), dtype="object"),
+        "c": pd.Series(np.ones(len(names), np.int64))})
+
+
+def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
+                 max_df: int = 64, top_n: int | None = 10,
+                 batch_size: int = 1024) -> pd.DataFrame:
+    """Mirror/alias host detection over the crawl corpus: Jaccard
+    similarity between hosts' URL-PATH sets. Mirrored sites (CDN
+    aliases, www/non-www splits brought in by differing seeds,
+    syndicated archives) expose near-identical path trees, and a
+    frontier that knows two hosts mirror each other crawls one and
+    maps the other — at Common-Crawl scale this is a standard corpus
+    hygiene pass next to document-level dedup.
+
+    Composition: pages → distinct (host-hash, path-hash) membership
+    rows (canonical path via the engine-wide URL key, so scheme and
+    trailing-slash variants collapse) → the generic exact
+    :func:`dedup.set_jaccard_pairs` self-join (df-capped: a path
+    present on more than ``max_df`` hosts — '/', '/rss.xml' — is
+    boilerplate, not mirror evidence, exactly the hot-shingle rule) →
+    host names re-attached from an O(hosts) name table. Returns
+    (host_a, host_b, inter_sz, union_sz, jac_micro) for CANDIDATE
+    pairs (≥1 shared under-cap path) with Jaccard ≥ thr_num/thr_den,
+    host_a < host_b lexicographically, sorted jac_micro desc then
+    names, cut to the ``top_n`` most similar (None = all): the
+    operator is a similarity RANKING — true mirrors surface at
+    jac_micro ≈ 10^6, and the default thr 0 keeps it informative on
+    corpora with no planted mirrors. Conformance-pinned to
+    :func:`mirror_hosts_reference`."""
+    from .dedup import set_jaccard_pairs
+
+    ds = read_parquet(pages_dir, columns=["url"])
+    rows = ds.map_batches(_path_rows, batch_format="pyarrow",
+                          batch_size=batch_size)
+    # global (host, path) dedup: a path reachable from several pages
+    # of one host must count once in sizes/df. Id-level rows only.
+    from ..rayutil import bucketed_group_sum, project_blocks
+
+    def one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "c", pa.array(np.ones(t.num_rows, np.int64)))
+
+    distinct = project_blocks(
+        bucketed_group_sum(rows.map_batches(one, batch_format="pyarrow"),
+                           ["doc_id", "h"], {"c": "n"}),
+        ["doc_id", "h"]).materialize()
+
+    # O(hosts) name table: per-batch distinct (hash, host) pairs fold
+    # to one row per host before the driver sees them (like
+    # host_pagerank's hosts vector, ~10^8 hosts fit one machine; the
+    # PATH rows above are the corpus-sized part and stay distributed)
+    name_tbl = bucketed_group_sum(
+        ds.map_batches(_name_rows, batch_size=batch_size,
+                       batch_format="pyarrow"),
+        ["hh", "host"], {"c": "n"}).to_pandas()
+    names = dict(zip(name_tbl["hh"].astype("int64"),
+                     name_tbl["host"])) if len(name_tbl) else {}
+
+    pairs = set_jaccard_pairs(distinct, thr_num=thr_num,
+                              thr_den=thr_den, max_df=max_df) \
+        .to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({
+            "host_a": pd.Series([], dtype="object"),
+            "host_b": pd.Series([], dtype="object"),
+            "inter_sz": pd.Series([], dtype="int64"),
+            "union_sz": pd.Series([], dtype="int64"),
+            "jac_micro": pd.Series([], dtype="int64")})
+    na = pairs["doc_a"].map(names)
+    nb = pairs["doc_b"].map(names)
+    lo = np.minimum(na, nb)
+    hi = np.maximum(na, nb)
+    out = pd.DataFrame({
+        "host_a": pd.Series(lo, dtype="object"),
+        "host_b": pd.Series(hi, dtype="object"),
+        "inter_sz": pairs["inter_sz"].astype("int64"),
+        "union_sz": pairs["union_sz"].astype("int64"),
+        "jac_micro": pairs["jac_micro"].astype("int64")})
+    out = out.sort_values(
+        ["jac_micro", "host_a", "host_b"],
+        ascending=[False, True, True]).reset_index(drop=True)
+    return out.head(top_n).reset_index(drop=True) \
+        if top_n is not None else out
+
+
+def mirror_hosts_reference(pages: pd.DataFrame, *, thr_num: int = 0,
+                           thr_den: int = 1, max_df: int = 64,
+                           top_n: int | None = 10) -> pd.DataFrame:
+    """Single-process oracle for :func:`mirror_hosts`: plain dict of
+    path sets per host, identical df cap, candidate rule (≥1 shared
+    under-cap path) and integer threshold."""
+    from collections import Counter
+    from itertools import combinations
+
+    sets: dict[str, set[str]] = {}
+    for u in pages["url"]:
+        host = urlnorm.host_of(u)
+        if host:
+            sets.setdefault(host, set()).add(_path_of(u))
+    df: Counter = Counter()
+    for paths in sets.values():
+        df.update(paths)
+    capped = {h: {p for p in ps if df[p] <= max_df}
+              for h, ps in sets.items()}
+    rows = []
+    for a, b in combinations(sorted(capped), 2):
+        inter = len(capped[a] & capped[b])
+        union = len(capped[a] | capped[b])
+        if inter >= 1 and inter * thr_den >= union * thr_num:
+            rows.append((a, b, inter, union,
+                         inter * 1_000_000 // union))
+    out = pd.DataFrame(
+        rows, columns=["host_a", "host_b", "inter_sz", "union_sz",
+                       "jac_micro"])
+    if not len(out):
+        return pd.DataFrame({
+            "host_a": pd.Series([], dtype="object"),
+            "host_b": pd.Series([], dtype="object"),
+            "inter_sz": pd.Series([], dtype="int64"),
+            "union_sz": pd.Series([], dtype="int64"),
+            "jac_micro": pd.Series([], dtype="int64")})
+    out = out.astype({"inter_sz": "int64", "union_sz": "int64",
+                      "jac_micro": "int64"}) \
+        .sort_values(["jac_micro", "host_a", "host_b"],
+                     ascending=[False, True, True]) \
+        .reset_index(drop=True)
+    return out.head(top_n).reset_index(drop=True) \
+        if top_n is not None else out

@@ -813,6 +813,19 @@ def q_crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["dst_host", "rank"]).reset_index(drop=True)
 
 
+def q_crawl_mirror_hosts(sf_dir: str) -> pd.DataFrame:
+    """Mirror/alias host detection over the crawl corpus — Jaccard
+    over each host's canonical URL-PATH set (linkgraph.mirror_hosts:
+    the generic dedup.set_jaccard_pairs self-join fed path rows
+    instead of shingles; df cap drops boilerplate paths shared by
+    everyone). Conformance-pinned to the single-process set oracle in
+    tests/test_linkgraph.py."""
+    from .functions.linkgraph import mirror_hosts
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"flagship_{tag}", **spec)
+    return mirror_hosts(paths.pages_dir)
+
+
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = dd.minhash_lsh_pairs(ds, threshold=0.4).to_pandas()
@@ -6720,6 +6733,262 @@ FROM d GROUP BY source, status ORDER BY source, status
 """
 
 
+def q_change_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-source page-change-rate estimate — the recrawl-scheduling
+    signal behind q_snapshot_diff: given a series of corpus snapshots,
+    estimate each source's Poisson change rate with the bias-corrected
+    Cho & Garcia-Molina estimator (TOIT'03 "Estimating Frequency of
+    Change" §4.2): lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) for X
+    observed changes in n snapshot-to-snapshot comparisons. The
+    frontier uses this to set per-host revisit intervals.
+
+    Both engines derive FOUR deterministic snapshots from `documents`
+    (doc revision r(s) advances at step e iff (doc_id·37 + e·101) % 5
+    = 0; snapshot text = text ∥ ' [rev r]') and detect changes the
+    honest way — comparing consecutive snapshot md5s — so the hashing
+    + estimator math is what's oracle-checked, not the fixture.
+
+    Scale shape: each doc's 4 hashes never leave the scan batch; one
+    (source, n_obs, n_changed) combiner row per source per batch
+    crosses the shuffle, and the ln runs driver-side over ≤|sources|
+    rows. lambda_micro is the shared floor(·1e6) double expression."""
+    import hashlib
+
+    from .rayutil import bucketed_group_sum
+
+    def obs(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "n_obs_part": pd.Series([], dtype="int64"),
+                "n_changed_part": pd.Series([], dtype="int64")})
+        changed = np.zeros(len(b), np.int64)
+        for i, (did, txt) in enumerate(zip(
+                b["doc_id"].to_numpy(), b["text"].fillna(""))):
+            prev = hashlib.md5(txt.encode()).hexdigest()
+            r = x = 0
+            for e in (1, 2, 3):
+                if (did * 37 + e * 101) % 5 == 0:
+                    r += 1
+                cur = hashlib.md5(
+                    (txt if r == 0 else f"{txt} [rev{r}]").encode()
+                ).hexdigest()
+                if cur != prev:
+                    x += 1
+                prev = cur
+            changed[i] = x
+        g = pd.DataFrame({"source": b["source"].to_numpy(),
+                          "x": changed}) \
+            .groupby("source", as_index=False) \
+            .agg(n_docs=("x", "size"), n_changed_part=("x", "sum"))
+        return pd.DataFrame({
+            "source": pd.Series(g["source"].to_numpy(), dtype="object"),
+            "n_obs_part": pd.Series(3 * g["n_docs"].to_numpy(),
+                                    dtype="int64"),
+            "n_changed_part": pd.Series(g["n_changed_part"].to_numpy(),
+                                        dtype="int64")})
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "source", "text"])
+    out = bucketed_group_sum(
+        ds.map_batches(obs, batch_format="pandas"),
+        ["source"], {"n_obs_part": "n_obs",
+                     "n_changed_part": "n_changed"}).to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_obs": pd.Series([], dtype="int64"),
+            "n_changed": pd.Series([], dtype="int64"),
+            "lambda_micro": pd.Series([], dtype="int64")})
+    n = out["n_obs"].to_numpy().astype(np.float64)
+    x = out["n_changed"].to_numpy().astype(np.float64)
+    out["lambda_micro"] = np.floor(
+        -np.log((n - x + 0.5) / (n + 0.5)) * 1e6).astype(np.int64)
+    return out[["source", "n_obs", "n_changed", "lambda_micro"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+Q_CHANGE_RATE_SQL = r"""
+WITH rev AS (
+  SELECT d.doc_id, d.source, d.text, e.s,
+         (CASE WHEN e.s >= 1 AND (d.doc_id * 37 + 101) % 5 = 0
+               THEN 1 ELSE 0 END
+        + CASE WHEN e.s >= 2 AND (d.doc_id * 37 + 202) % 5 = 0
+               THEN 1 ELSE 0 END
+        + CASE WHEN e.s >= 3 AND (d.doc_id * 37 + 303) % 5 = 0
+               THEN 1 ELSE 0 END) AS r
+  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) e),
+snap AS (
+  SELECT doc_id, source, s,
+         md5(CASE WHEN r = 0 THEN text
+                  ELSE text || ' [rev' || CAST(r AS VARCHAR) || ']'
+             END) AS h
+  FROM rev),
+agg AS (
+  SELECT a.source, count(*)::BIGINT AS n_obs,
+         sum(CASE WHEN a.h <> b.h THEN 1 ELSE 0 END)::BIGINT
+           AS n_changed
+  FROM snap a JOIN snap b
+    ON a.doc_id = b.doc_id AND b.s = a.s - 1
+  WHERE a.s >= 1
+  GROUP BY a.source)
+SELECT source, n_obs, n_changed,
+       CAST(floor(-ln((n_obs - n_changed + 0.5) / (n_obs + 0.5))
+                  * 1e6) AS BIGINT) AS lambda_micro
+FROM agg ORDER BY source
+"""
+
+
+def q_decayed_freshness(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially-decayed activity score (half-life 7
+    days, anchored at the corpus max timestamp) — the recency
+    weighting a frontier uses to rank sources for revisit: an event
+    today counts 1.0, one a week old 0.5, one a month old ~0.06.
+
+    Exactness rule: each event's decay factor is floored to micro
+    units BEFORE summing (floor(exp(·)·1e6) per term, integer sum),
+    so the result is independent of batch/summation order and
+    bit-identical to the SQL twin. Scale shape: pass 1 folds a
+    per-batch max(ts) to the driver (one int per block); pass 2 emits
+    one (user, n, Σmicro) combiner row per user per batch."""
+    from .rayutil import bucketed_group_sum
+
+    ds = read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def ts_max(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"m": pa.array([], pa.int64())})
+        v = pc.cast(t["ts"], pa.int64())
+        return pa.table({"m": pa.array(
+            [pc.max(v).as_py()], pa.int64())})
+
+    parts = ds.map_batches(ts_max, batch_format="pyarrow").take_all()
+    if not parts:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "freshness_micro": pd.Series([], dtype="int64")})
+    tmax = max(p["m"] for p in parts)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # arrow-side unit-explicit cast (timestamp[us] → µs int64);
+        # a pandas .astype("int64") would silently read ns on a
+        # version that coerces the unit
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_part": pd.Series([], dtype="int64"),
+                "f_part": pd.Series([], dtype="int64")})
+        ts_us = b["ts_us"].to_numpy()
+        micro = np.floor(np.exp(
+            -np.log(2.0) * ((tmax - ts_us) / 86400000000.0) / 7.0
+        ) * 1e6).astype(np.int64)
+        g = pd.DataFrame({"user_id": b["user_id"].to_numpy(),
+                          "f": micro}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_part=("f", "size"), f_part=("f", "sum"))
+        return g.astype({"user_id": "int64", "n_part": "int64",
+                         "f_part": "int64"})
+
+    out = bucketed_group_sum(
+        ds.map_batches(to_us, batch_format="pyarrow")
+          .map_batches(partial, batch_format="pandas"),
+        ["user_id"], {"n_part": "n_events",
+                      "f_part": "freshness_micro"}).to_pandas()
+    return out[["user_id", "n_events", "freshness_micro"]] \
+        .astype({"user_id": "int64", "n_events": "int64",
+                 "freshness_micro": "int64"}) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+Q_DECAYED_FRESHNESS_SQL = r"""
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CAST(floor(exp(-ln(2) * ((t.tmax - epoch_us(ts))
+                                    / 86400000000.0) / 7.0)
+                      * 1e6) AS BIGINT))::BIGINT AS freshness_micro
+FROM events, t
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source winsorized mean of document length — the robust
+    profiling step that stops a few giant (or empty) pages from
+    skewing per-source budgets: clamp every n_chars into the global
+    [p05, p95] band (quantile_cont semantics via the oracle-pinned
+    windows.interpolated_quantiles histogram fold), then average the
+    clamped values per source.
+
+    Exactness: clamped values are floored to micro units per doc
+    (int64 sum), and the mean is BIGINT floor-division of that sum by
+    the count on both sides — no double accumulation anywhere. Scale
+    shape: pass 1 is the one-row-per-DISTINCT-length histogram
+    shuffle; pass 2 emits one (source, n, Σmicro) row per batch."""
+    from .rayutil import bucketed_group_sum
+
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["source", "n_chars"])
+    qs = wn.interpolated_quantiles(ds, value_col="n_chars",
+                                   qs=[0.05, 0.95])
+    if not len(qs):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "win_mean_micro": pd.Series([], dtype="int64")})
+    lo, hi = qs["val"].to_numpy()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "n_part": pd.Series([], dtype="int64"),
+                "s_part": pd.Series([], dtype="int64")})
+        v = b["n_chars"].to_numpy(dtype=np.float64)
+        micro = np.floor(np.minimum(np.maximum(v, lo), hi) * 1e6) \
+            .astype(np.int64)
+        g = pd.DataFrame({"source": b["source"].to_numpy(),
+                          "m": micro}) \
+            .groupby("source", as_index=False) \
+            .agg(n_part=("m", "size"), s_part=("m", "sum"))
+        return pd.DataFrame({
+            "source": pd.Series(g["source"].to_numpy(), dtype="object"),
+            "n_part": pd.Series(g["n_part"].to_numpy(), dtype="int64"),
+            "s_part": pd.Series(g["s_part"].to_numpy(), dtype="int64")})
+
+    out = bucketed_group_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source"], {"n_part": "n_docs", "s_part": "s_micro"}) \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "source": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "win_mean_micro": pd.Series([], dtype="int64")})
+    out["win_mean_micro"] = (out["s_micro"].to_numpy()
+                             // out["n_docs"].to_numpy()).astype("int64")
+    return out[["source", "n_docs", "win_mean_micro"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+Q_WINSORIZED_STATS_SQL = r"""
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CAST(floor(least(greatest(n_chars::DOUBLE, b.lo), b.hi)
+                      * 1e6) AS BIGINT))::BIGINT
+         // count(*)::BIGINT AS win_mean_micro
+FROM documents, b
+GROUP BY source ORDER BY source
+"""
+
+
 def q_rolling_median(sf_dir: str) -> pd.DataFrame:
     """Per-user sliding-window (4 rows) MEDIAN over event values — the
     robust (outlier-immune) profile windows.rolling_window_median;
@@ -7181,6 +7450,7 @@ QUERIES = {
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_hits": q_crawl_hits,
     "crawl_anchor_texts": q_crawl_anchor_texts,
+    "crawl_mirror_hosts": q_crawl_mirror_hosts,
     "media_metadata": q_media_metadata,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_png_decode": q_media_png_decode,
@@ -7199,6 +7469,9 @@ QUERIES = {
     "q_prep_funnel": q_prep_funnel,
     "q_edit_distance_pairs": q_edit_distance_pairs,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_change_rate": q_change_rate,
+    "q_decayed_freshness": q_decayed_freshness,
+    "q_winsorized_stats": q_winsorized_stats,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7334,6 +7607,9 @@ ORACLES = {
     "q_prep_funnel": Q_PREP_FUNNEL_SQL,
     "q_edit_distance_pairs": Q_EDIT_DISTANCE_SQL,
     "q_snapshot_diff": Q_SNAPSHOT_DIFF_SQL,
+    "q_change_rate": Q_CHANGE_RATE_SQL,
+    "q_decayed_freshness": Q_DECAYED_FRESHNESS_SQL,
+    "q_winsorized_stats": Q_WINSORIZED_STATS_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly

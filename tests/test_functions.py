@@ -985,6 +985,53 @@ class TestHostPagerank:
             got, want.sort_values(["dst_host", "rank"])
             .reset_index(drop=True), check_dtype=False)
 
+    def test_mirror_hosts_match_reference(self, ray_session):
+        import pyarrow.dataset as pads
+        from news_crawler_ray import corpus as corpus_mod
+        from news_crawler_ray.functions.linkgraph import (
+            mirror_hosts, mirror_hosts_reference)
+        paths = corpus_mod.default_corpus(
+            "linkgraph_t", num_hosts=4, pages_per_host=40)
+        got = mirror_hosts(paths.pages_dir)
+        pages = pads.dataset(paths.pages_dir).to_table(
+            columns=["url"]).to_pandas()
+        want = mirror_hosts_reference(pages)
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_mirror_hosts_planted_mirror(self, ray_session, tmp_path):
+        # a true mirror pair must rank first at jac_micro = 1e6, and
+        # the boilerplate path shared by EVERY host (df > cap) must
+        # not count as mirror evidence
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from news_crawler_ray.functions.linkgraph import (
+            mirror_hosts, mirror_hosts_reference)
+        urls = []
+        for p in ("/news/1", "/news/2", "/about", "/contact"):
+            urls.append("http://hosta.example" + p)
+            urls.append("http://hostb.example" + p)     # exact mirror
+        urls += ["http://hostc.example/other/%d" % i for i in range(4)]
+        urls += ["http://host%s.example/hub" % s for s in "abc"]
+        pdir = str(tmp_path / "pages")
+        import os
+        os.makedirs(pdir)
+        pq.write_table(pa.table({"url": pa.array(urls, pa.string())}),
+                       os.path.join(pdir, "part-0.parquet"))
+        got = mirror_hosts(pdir, max_df=2)
+        want = mirror_hosts_reference(
+            pd.DataFrame({"url": urls}), max_df=2)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        top = got.iloc[0]
+        assert (top["host_a"], top["host_b"]) == \
+            ("hosta.example", "hostb.example")
+        # '/hub' (df=3 > cap) is banned: the mirror pair's sets are the
+        # 4 real paths only, so similarity is exactly 1
+        assert top["jac_micro"] == 1_000_000
+        assert top["inter_sz"] == 4 and top["union_sz"] == 4
+        # hostc shares nothing under the cap with anyone → only 1 pair
+        assert len(got) == 1
+
     def test_corpus_edges_and_rank(self, ray_session):
         from news_crawler_ray import corpus as corpus_mod
         from news_crawler_ray.functions.linkgraph import (
