@@ -153,7 +153,9 @@ def run_bench() -> dict:
                  "q_edit_distance_pairs", "q_snapshot_diff",
                  "q_rolling_median", "q_normalize_text",
                  "q_docs_all_terms_indexed", "q_repeat_buyers",
-                 "q_interval_overlap")
+                 "q_interval_overlap", "q_change_rate",
+                 "q_decayed_freshness", "q_winsorized_stats",
+                 "q_tfidf_cosine_pairs")
     for name in suite:
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)
@@ -185,6 +187,13 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         n_anchor_rows = anchor_texts(paths.pages_dir).count()
         queries["anchor_texts"] = round(time.perf_counter() - t0, 3)
+
+        # 4c. mirror-host detection (url-only scan + set-similarity
+        #     self-join; id-level after the path explosion)
+        from news_crawler_ray.functions.linkgraph import mirror_hosts
+        t0 = time.perf_counter()
+        mirror_hosts(paths.pages_dir)
+        queries["mirror_hosts"] = round(time.perf_counter() - t0, 3)
         assert list(jf["host"]) == list(hp["host"])
         pagerank_diff = float((jf["rank"] - hp["rank"]).abs().max())
         assert pagerank_diff < 1e-9, pagerank_diff

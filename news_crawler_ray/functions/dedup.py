@@ -1652,3 +1652,189 @@ def edit_distance_pairs(ds: "rd.Dataset", *, text_col: str = "c_name",
         cand.map_batches(add_pair_bucket, batch_format="pandas")
         .groupby("pb").map_groups(dedup_pairs, batch_format="pandas"),
         ["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# Tf-idf weighted cosine pairs (lexical similarity join)
+# ---------------------------------------------------------------------------
+
+def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
+                       max_df: int = 64, num_buckets: int = 64,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> "rd.Dataset":
+    """Document pairs by COSINE over tf-idf vectors — the weighted
+    sibling of :func:`ngram_jaccard_pairs` (and of what SemDeDup does
+    in embedding space): Jaccard treats every shared shingle equally,
+    cosine lets rare terms dominate, which is the standard lexical
+    near-dup/same-story signal when copies paraphrase boilerplate but
+    keep the distinctive vocabulary.
+
+    Semantics: vector space = terms with df ≤ ``max_df`` (boilerplate
+    terms beyond the cap carry no similarity evidence AND would make
+    candidate generation quadratic — the identical hot-shingle rule);
+    per-term weight ``w = floor(tf·ln(N/df)·1e3 + 0.5)`` (milli, not
+    micro: w ≤ ~1e6 keeps Σ w_a·w_b inside int64); score
+    ``cos_micro = floor(dot·1e6 / sqrt(na2·nb2))`` — dot and the two
+    norms are EXACT int64, the one double expression is shared
+    verbatim with the SQL twin. Pairs join on the 61-bit md5 token
+    hash and the twin hashes identically, so even a hash collision
+    (≈2e-10 at fixture vocab) affects both engines the same way.
+
+    Distributed shape: per-doc term counts (map) → ONE token-bucket
+    shuffle computes df and weights in place (tfidf_top_terms' trick)
+    → norms fold per doc (one row per (doc, batch)) → hash self-join
+    emits weight products (fan-out ≤ max_df per key side) →
+    salted-bucket pair-sum → two norm joins → threshold filter."""
+    from .textops import term_frequencies
+    from ..rayutil import bucketed_group_sum, project_blocks, salt_bucket
+
+    def _empty() -> "rd.Dataset":
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dot": pa.array([], pa.int64()),
+            "cos_micro": pa.array([], pa.int64())}))
+
+    n_docs = float(ds.count())
+    if n_docs == 0:
+        return _empty()
+    tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
+
+    def add_token_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = salt_bucket(b["token"].to_numpy(), num_buckets) \
+            if len(b) else pd.Series([], dtype="int32")
+        return b
+
+    def weight_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "token" not in g.columns:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "h": pd.Series([], dtype="int64"),
+                "w": pd.Series([], dtype="int64")})
+        # a token lives in exactly one bucket → group size IS df
+        df = g.groupby("token")["doc_id"].transform("size")
+        keep = (df <= max_df).to_numpy()
+        g, df = g[keep], df[keep]
+        if not len(g):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "h": pd.Series([], dtype="int64"),
+                "w": pd.Series([], dtype="int64")})
+        idf = np.log(n_docs / df.to_numpy(dtype=np.float64))
+        w = np.floor(g["tf"].to_numpy(dtype=np.float64) * idf
+                     * 1_000 + 0.5).astype(np.int64)
+        hmap = {t: int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "big") & _MERSENNE
+            for t in g["token"].unique()}
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "h": g["token"].map(hmap).to_numpy(dtype=np.int64),
+            "w": w})
+
+    rows = tf.map_batches(add_token_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(weight_bucket,
+                                      batch_format="pandas")
+    # repartition, not just project: empty sort partitions emit
+    # ZERO-COLUMN pandas frames that short-circuit past map UDFs
+    # (project_blocks included) and would reach the hash join with no
+    # key column; repartition rebuilds every block from a typed
+    # concatenation (the ngram_jaccard_pairs rule)
+    rows = project_blocks(rows, ["doc_id", "h", "w"]) \
+        .repartition(8).materialize()
+
+    def norm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "w2": pd.Series([], dtype="int64")})
+        w = b["w"].to_numpy()
+        g = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                          "w2": w * w}) \
+            .groupby("doc_id", as_index=False)["w2"].sum()
+        return g.astype({"doc_id": "int64", "w2": "int64"})
+
+    norms = project_blocks(
+        bucketed_group_sum(
+            rows.map_batches(norm_partial, batch_format="pandas"),
+            ["doc_id"], {"w2": "n2"}),
+        ["doc_id", "n2"]).materialize()
+
+    with _light_join_aggregators():
+        sa = rows.map_batches(
+            lambda t: pa.table({"h": t["h"], "doc_a": t["doc_id"],
+                                "wa": t["w"]}),
+            batch_format="pyarrow")
+        sb = rows.map_batches(
+            lambda t: pa.table({"h": t["h"], "doc_b": t["doc_id"],
+                                "wb": t["w"]}),
+            batch_format="pyarrow")
+
+        def keep_lt(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["doc_a"], t["doc_b"]))
+            p = t["wa"].to_numpy(zero_copy_only=False).astype(np.int64) \
+                * t["wb"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                             "p": pa.array(p),
+                             "bucket": pa.array(
+                                 salt_bucket(t["doc_a"]
+                                             .to_numpy(
+                                                 zero_copy_only=False)))})
+
+        pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
+                            on=("h",)) \
+            .map_batches(keep_lt, batch_format="pyarrow") \
+            .repartition(32).materialize()
+        if pair_rows.count() == 0:
+            return _empty()
+
+        def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "doc_a" not in g.columns:
+                return pd.DataFrame({
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="int64")})
+            s = g.groupby(["doc_a", "doc_b"], as_index=False)["p"].sum()
+            return pd.DataFrame({
+                "doc_a": s["doc_a"].to_numpy(dtype=np.int64),
+                "doc_b": s["doc_b"].to_numpy(dtype=np.int64),
+                "dot": s["p"].to_numpy(dtype=np.int64)})
+
+        dots = pair_rows.groupby("bucket").map_groups(
+            sum_pairs, batch_format="pandas") \
+            .repartition(4).materialize()
+
+        na = norms.map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"], "na2": t["n2"]}),
+            batch_format="pyarrow")
+        nb = norms.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"], "nb2": t["n2"]}),
+            batch_format="pyarrow")
+
+        def finish(t: pa.Table) -> pa.Table:
+            dot = t["dot"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            na2 = t["na2"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            nb2 = t["nb2"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            ok = (na2 > 0) & (nb2 > 0)
+            cos = np.zeros(len(dot), np.int64)
+            cos[ok] = np.floor(dot[ok] * 1e6
+                               / np.sqrt(na2[ok] * nb2[ok])) \
+                .astype(np.int64)
+            keep = ok & (cos >= thr_micro)
+            return pa.table({
+                "doc_a": pa.array(t["doc_a"].to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)),
+                "doc_b": pa.array(t["doc_b"].to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)),
+                "dot": pa.array(t["dot"].to_numpy(
+                    zero_copy_only=False)[keep].astype(np.int64)),
+                "cos_micro": pa.array(cos[keep])})
+
+        return dots.join(na, join_type="inner", num_partitions=8,
+                         on=("doc_a",)).repartition(4) \
+            .join(nb, join_type="inner", num_partitions=8,
+                  on=("doc_b",)) \
+            .map_batches(finish, batch_format="pyarrow").materialize()

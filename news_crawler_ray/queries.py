@@ -6916,6 +6916,62 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_tfidf_cosine_pairs(sf_dir: str) -> pd.DataFrame:
+    """Tf-idf weighted cosine document pairs (cos ≥ 0.5) — the
+    weighted lexical-similarity join (dedup.tfidf_cosine_pairs):
+    rare-term-dominated same-story/near-dup detection between the
+    unweighted q_ngram_jaccard and the embedding-space q_semdedup.
+    dot and both norms are exact int64; the one double expression is
+    shared verbatim with the twin."""
+    ds = read_parquet(_t(sf_dir, "documents"),
+                      columns=["doc_id", "text"])
+    out = dd.tfidf_cosine_pairs(ds).to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "dot": pd.Series([], dtype="int64"),
+            "cos_micro": pd.Series([], dtype="int64")})
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "dot": "int64", "cos_micro": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+Q_TFIDF_COSINE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (
+  SELECT t.doc_id,
+         (('0x' || substr(md5(t.token), 1, 16))::UBIGINT
+          & ((1::UBIGINT << 61) - 1))::BIGINT AS h,
+         CAST(floor(t.tf * ln((SELECT n FROM nd) / d.df) * 1000 + 0.5)
+              AS BIGINT) AS w
+  FROM tf t JOIN df d USING (token) WHERE d.df <= 64),
+norm AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         sum(a.w * b.w)::BIGINT AS dot
+  FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_a, doc_b, dot,
+         CAST(floor(dot * 1e6 / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE))
+              AS BIGINT) AS cos_micro
+  FROM dots
+  JOIN norm na ON na.doc_id = dots.doc_a
+  JOIN norm nb ON nb.doc_id = dots.doc_b
+  WHERE na.n2 > 0 AND nb.n2 > 0)
+SELECT doc_a, doc_b, dot, cos_micro FROM scored
+WHERE cos_micro >= 500000 ORDER BY doc_a, doc_b
+"""
+
+
 def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source winsorized mean of document length — the robust
     profiling step that stops a few giant (or empty) pages from
@@ -7472,6 +7528,7 @@ QUERIES = {
     "q_change_rate": q_change_rate,
     "q_decayed_freshness": q_decayed_freshness,
     "q_winsorized_stats": q_winsorized_stats,
+    "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7610,6 +7667,7 @@ ORACLES = {
     "q_change_rate": Q_CHANGE_RATE_SQL,
     "q_decayed_freshness": Q_DECAYED_FRESHNESS_SQL,
     "q_winsorized_stats": Q_WINSORIZED_STATS_SQL,
+    "q_tfidf_cosine_pairs": Q_TFIDF_COSINE_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly

@@ -72,7 +72,8 @@ QUERY_NAMES = ["q_bm25_topk", "q_embedding_components", "q_lm_quality",
                "q_contamination_rate", "q_ccnet_buckets",
                "q_dup_span_coverage", "q_prep_funnel",
                "q_snapshot_diff", "q_normalize_text",
-               "q_change_rate", "q_winsorized_stats"]
+               "q_change_rate", "q_winsorized_stats",
+               "q_tfidf_cosine_pairs"]
 
 
 @pytest.fixture(scope="module")
