@@ -6916,6 +6916,92 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
+    """Per-segment power-law fit of the customer activity distribution
+    — the Hill maximum-likelihood tail-index estimator (Hill'75; with
+    d_min = 1: alpha_hat = 1 + n / Σ ln(d)) that web-graph analysis
+    runs on degree distributions to verify the scale-free shape (and
+    that a crawler runs on per-host page counts to size frontier skew
+    salting). Degrees here are per-customer order counts.
+
+    Exactness: per-customer floor(ln(d)·1e6) terms sum as int64, and
+    alpha is BIGINT arithmetic (1e6 + n·1e12 // S) on both sides.
+    Shape: per-batch (custkey, n) combiner → groupby fold → native
+    inner join to customer (aggregate-then-join pushdown, no customer
+    broadcast) → one (segment, n, S) row per batch."""
+    from .rayutil import bucketed_group_sum
+
+    cust = read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"])
+    orders = read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False) \
+            .agg(d=("o_custkey", "size"))
+        return g.astype({"o_custkey": "int64", "d": "int64"})
+
+    deg = orders.map_batches(cnt_partial, batch_format="pandas") \
+        .groupby("o_custkey").aggregate(Sum("d", alias_name="d"))
+    with light_shuffle_aggregators():
+        joined = cust.join(deg, join_type="inner", num_partitions=8,
+                           on=("c_custkey",), right_on=("o_custkey",))
+
+    def seg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "segment": pd.Series([], dtype="object"),
+                "n_part": pd.Series([], dtype="int64"),
+                "s_part": pd.Series([], dtype="int64")})
+        d = b["d"].to_numpy(dtype=np.float64)
+        ln_micro = np.floor(np.log(d) * 1e6).astype(np.int64)
+        g = pd.DataFrame({"segment": b["c_mktsegment"].to_numpy(),
+                          "s": ln_micro}) \
+            .groupby("segment", as_index=False) \
+            .agg(n_part=("s", "size"), s_part=("s", "sum"))
+        return pd.DataFrame({
+            "segment": pd.Series(g["segment"].to_numpy(),
+                                 dtype="object"),
+            "n_part": pd.Series(g["n_part"].to_numpy(), dtype="int64"),
+            "s_part": pd.Series(g["s_part"].to_numpy(), dtype="int64")})
+
+    out = bucketed_group_sum(
+        joined.map_batches(seg_partial, batch_format="pandas"),
+        ["segment"], {"n_part": "n_customers", "s_part": "s_micro"}) \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "segment": pd.Series([], dtype="object"),
+            "n_customers": pd.Series([], dtype="int64"),
+            "s_micro": pd.Series([], dtype="int64"),
+            "alpha_micro": pd.Series([], dtype="float64")})
+    n = out["n_customers"].to_numpy()
+    s = out["s_micro"].to_numpy()
+    alpha = np.where(s > 0, 1_000_000 + n * 1_000_000_000_000
+                     // np.maximum(s, 1), np.nan)
+    out["alpha_micro"] = alpha
+    return out[["segment", "n_customers", "s_micro", "alpha_micro"]] \
+        .sort_values("segment").reset_index(drop=True)
+
+
+Q_DEGREE_POWERLAW_SQL = r"""
+WITH deg AS (
+  SELECT o_custkey, count(*)::BIGINT AS d FROM orders GROUP BY 1),
+j AS (
+  SELECT c.c_mktsegment AS segment, deg.d
+  FROM deg JOIN customer c ON c.c_custkey = deg.o_custkey),
+agg AS (
+  SELECT segment, count(*)::BIGINT AS n_customers,
+         sum(CAST(floor(ln(d) * 1e6) AS BIGINT))::BIGINT AS s_micro
+  FROM j GROUP BY 1)
+SELECT segment, n_customers, s_micro,
+       CASE WHEN s_micro > 0
+            THEN CAST(1000000 + n_customers * 1000000000000 // s_micro
+                      AS DOUBLE)
+            ELSE NULL END AS alpha_micro
+FROM agg ORDER BY segment
+"""
+
+
 def q_tfidf_cosine_pairs(sf_dir: str) -> pd.DataFrame:
     """Tf-idf weighted cosine document pairs (cos ≥ 0.5) — the
     weighted lexical-similarity join (dedup.tfidf_cosine_pairs):
@@ -7529,6 +7615,7 @@ QUERIES = {
     "q_decayed_freshness": q_decayed_freshness,
     "q_winsorized_stats": q_winsorized_stats,
     "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "q_degree_powerlaw": q_degree_powerlaw,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7668,6 +7755,7 @@ ORACLES = {
     "q_decayed_freshness": Q_DECAYED_FRESHNESS_SQL,
     "q_winsorized_stats": Q_WINSORIZED_STATS_SQL,
     "q_tfidf_cosine_pairs": Q_TFIDF_COSINE_SQL,
+    "q_degree_powerlaw": Q_DEGREE_POWERLAW_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly
