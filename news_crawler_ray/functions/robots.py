@@ -182,3 +182,23 @@ def merge_robots_rows(politeness: dict[str, list], hosts: list[str],
                 if col not in known:
                     out[col].append(None)
     return out
+
+
+def sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` references from a robots.txt body (RFC 9309 §2.3 /
+    sitemaps.org: the field is FILE-GLOBAL — valid anywhere, outside
+    group semantics — and case-insensitive). Returns absolute sitemap
+    urls in file order, first-occurrence deduped. Unlike Disallow
+    values, sitemap values are full URLs, so no prefix handling."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, colon, value = line.partition(":")
+        if not colon or field.strip().lower() != "sitemap":
+            continue
+        v = value.strip()
+        if v and v not in seen:
+            seen.add(v)
+            out.append(v)
+    return out

@@ -26,7 +26,8 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
                  max_attempts: int = 2, dequeue_cap: int = 200,
                  max_in_flight_override: int | None = None,
                  round_ms: int = 1000, max_rounds: int = 10_000,
-                 rss_discovery: bool = False) -> dict:
+                 rss_discovery: bool = False,
+                 sitemaps: bool = False) -> dict:
     """Run the crawl sequentially; returns
     ``{"pages": pa.Table, "order": pa.Table, "seen": set[str]}``.
 
@@ -70,6 +71,43 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
             recs["seq64"].append(seq)
             recs["url_to_refer"].append(None)
     frontier.enqueue(recs)
+
+    # Sitemap discovery (engine `_enqueue_sitemaps` contract, written
+    # independently): robots ``Sitemap:`` lines → sidecar bodies →
+    # page entries seen-checked and enqueued at round 0 in
+    # advertisement order, seq64 block at 2,000,000 (after RSS)
+    if sitemaps:
+        rpath = os.path.join(corpus_root, "robots.parquet")
+        spath = os.path.join(corpus_root, "sitemaps.parquet")
+        if os.path.exists(rpath) and os.path.exists(spath):
+            from .functions.robots import sitemap_urls
+            from .sources.sitemap import expand_sitemaps
+            rt = pq.read_table(rpath).to_pydict()
+            st = pq.read_table(spath).to_pydict()
+            bodies = {urlnorm.canonical_url(u): x
+                      for u, x in zip(st["url"], st["xml"])}
+            advertised: list[str] = []
+            for body in rt["robots_txt"]:
+                advertised.extend(sitemap_urls(body or ""))
+            sm_seq = 2_000_000
+            enq = {k: [] for k in ("url", "host", "is_webnews",
+                                   "round_added", "seq64",
+                                   "url_to_refer")}
+            for loc, sm_url in expand_sitemaps(
+                    advertised, bodies, canon=urlnorm.canonical_url):
+                link = urlnorm.clean_url(loc, remove_arguments=False)
+                canon = urlnorm.canonical_url(link)
+                if not seen.add_if_absent([urlnorm.url_key(canon)])[0]:
+                    sm_seq += 1
+                    continue
+                enq["url"].append(canon)
+                enq["host"].append(urlnorm.host_of(link))
+                enq["is_webnews"].append(urlnorm.is_news_url(link))
+                enq["round_added"].append(0)
+                enq["seq64"].append(sm_seq)
+                enq["url_to_refer"].append(sm_url)
+                sm_seq += 1
+            frontier.enqueue(enq)
 
     # S8 auto-discovery state (sidecar rows in file order + the
     # browsed-once set + freshness timestamps + entry seq counter)

@@ -112,6 +112,16 @@ class CrawlConfig:
     # Composes with rss_refresh_every (refresh re-parses only the feeds
     # discovered so far). Overrides scrape_rss's enqueue-at-start.
     rss_discovery: bool = False
+    # Sitemap discovery (sitemaps.org protocol; the third standard
+    # discovery channel next to seeds and RSS — the reference has
+    # none): robots.txt ``Sitemap:`` lines advertise sitemap urls,
+    # bodies replay from a ``sitemaps.parquet`` sidecar (url, xml),
+    # sitemapindex documents expand against the sidecar, entries
+    # enqueue at startup exactly like RSS entries (seen-dedup
+    # idempotent, seq64 block after the RSS block so per-host order
+    # stays a pure function of lineage). No-op when either sidecar is
+    # absent, so existing corpora and goldens are untouched.
+    scrape_sitemaps: bool = True
     # Below this many work items a round runs as plain Ray tasks over the
     # same batch functions — a per-round Dataset costs ~1-2 s of planning,
     # which dominates politeness-bounded rounds (measured: tasks mode wins
@@ -414,6 +424,7 @@ class CrawlEngine:
         self._host_shard_memo: dict[str, int] = {}
         self._rss_last_update: dict[str, str] = {}   # feed_url → iso ts
         self._rss_seq = 1_000_000                    # after the seeds
+        self._sitemap_seq = 2_000_000                # after the RSS block
         self._rss_discovered: set[str] = set()       # canonical feed urls
         self._pending_feed_urls: set[str] = set()    # found this round
         self.seen = [SeenShard.remote(i) for i in range(cfg.num_seen_shards)]
@@ -435,6 +446,8 @@ class CrawlEngine:
             self._enqueue_seeds()
             if cfg.scrape_rss and not cfg.rss_discovery:
                 self._enqueue_rss()
+            if cfg.scrape_sitemaps:
+                self._enqueue_sitemaps()
 
     # -- setup ---------------------------------------------------------
     def _configure_politeness(self):
@@ -568,6 +581,13 @@ class CrawlEngine:
                 recs["url_to_refer"].append(feed_url)
                 keys.append(urlnorm.url_key(canon))
                 self._rss_seq += 1
+        return self._admit_records(recs, keys)
+
+    def _admit_records(self, recs: dict, keys: list) -> int:
+        """Seen-check + frontier enqueue for pre-known records (the
+        shared tail of RSS and sitemap admission): shard-batched
+        ``add_if_absent``, then route the new urls to their frontier
+        shards. Returns admitted count."""
         if not keys:
             return 0
         by_seen: dict[int, list[int]] = {}
@@ -588,6 +608,44 @@ class CrawlEngine:
         return sum(ray.get([self.frontier[s].enqueue.remote(
             {k: [v[i] for i in idxs] for k, v in recs.items()})
             for s, idxs in by_frontier.items()]))
+
+    def _enqueue_sitemaps(self) -> int:
+        """Sitemap discovery (sources/sitemap.py): robots.txt
+        ``Sitemap:`` lines → sidecar bodies → (page, sitemap) pairs →
+        seen-checked frontier records. Only sitemaps ADVERTISED by a
+        robots body are parsed (a sidecar row nothing advertises is
+        never read — the `_enqueue_rss` discovery rule); entries carry
+        the direct parent sitemap as ``url_to_refer`` and a seq64
+        block after RSS so per-host order stays lineage-pure."""
+        spath = os.path.join(self.cfg.corpus_root, "sitemaps.parquet")
+        rpath = os.path.join(self.cfg.corpus_root, "robots.parquet")
+        if not (os.path.exists(spath) and os.path.exists(rpath)):
+            return 0
+        from ..functions.robots import sitemap_urls
+        from ..sources.sitemap import expand_sitemaps
+        rt = pq.read_table(rpath).to_pydict()
+        st = pq.read_table(spath).to_pydict()
+        bodies = {urlnorm.canonical_url(u): x
+                  for u, x in zip(st["url"], st["xml"])}
+        advertised: list[str] = []
+        for body in rt["robots_txt"]:
+            advertised.extend(sitemap_urls(body or ""))
+        recs = {k: [] for k in ("url", "host", "is_webnews",
+                                "round_added", "seq64", "url_to_refer")}
+        keys = []
+        for loc, sm_url in expand_sitemaps(
+                advertised, bodies, canon=urlnorm.canonical_url):
+            link = urlnorm.clean_url(loc, remove_arguments=False)
+            canon = urlnorm.canonical_url(link)
+            recs["url"].append(canon)
+            recs["host"].append(urlnorm.host_of(link))
+            recs["is_webnews"].append(urlnorm.is_news_url(link))
+            recs["round_added"].append(self.round)
+            recs["seq64"].append(self._sitemap_seq)
+            recs["url_to_refer"].append(sm_url)
+            keys.append(urlnorm.url_key(canon))
+            self._sitemap_seq += 1
+        return self._admit_records(recs, keys)
 
     @contextmanager
     def _phase(self, name: str):

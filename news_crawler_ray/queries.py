@@ -813,6 +813,68 @@ def q_crawl_anchor_texts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["dst_host", "rank"]).reset_index(drop=True)
 
 
+def q_crawl_sitemap_discovery(sf_dir: str) -> pd.DataFrame:
+    """Sitemap discovery end-to-end (sources/sitemap.py): a
+    sidecar-augmented copy of the corpus — robots.txt advertising a
+    sitemapindex whose urlset lists the feed-only article (reachable
+    by NO link) — crawled by the ENGINE; returns the sitemap-sourced
+    order rows (url, url_to_refer). Conformance incl. per-host order
+    is pinned against the oracle in tests/test_sitemap.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+    tag, spec = _sf_tag(sf_dir)
+    paths = corpus_mod.default_corpus(f"sitemapq_{tag}", **spec,
+                                      feed_only_article=True)
+    root = os.path.join(
+        "/tmp", f"ncr_sitemapq_{tag}_v{corpus_mod.CORPUS_VERSION}")
+    if not os.path.isdir(root):
+        # build under a temp name, rename into place last — a crash
+        # mid-build must not leave a half-corpus behind the cache check
+        tmp_root = root + ".build"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        shutil.copytree(paths.root, tmp_root)
+        import pyarrow.dataset as pads
+        urls = pads.dataset(os.path.join(tmp_root, "pages")) \
+            .to_table(columns=["url"]).to_pandas()["url"]
+        orphan = sorted(u for u in urls if "feed-only-story" in u)
+        host = orphan[0].split("/")[0]
+        urlset = ("<urlset>" + "".join(
+            f"<url><loc>http://{u}</loc></url>" for u in orphan)
+            + "</urlset>").encode()
+        index = (f"<sitemapindex><sitemap>"
+                 f"<loc>http://{host}/smap/pages.xml</loc></sitemap>"
+                 f"</sitemapindex>").encode()
+        pq.write_table(pa.table({
+            "url": pa.array([f"http://{host}/sitemap.xml",
+                             f"http://{host}/smap/pages.xml"]),
+            "xml": pa.array([index, urlset], pa.binary())}),
+            os.path.join(tmp_root, "sitemaps.parquet"))
+        pq.write_table(pa.table({
+            "host": pa.array([host]),
+            "robots_txt": pa.array(
+                [f"User-agent: *\nDisallow:\n"
+                 f"Sitemap: http://{host}/sitemap.xml\n"])}),
+            os.path.join(tmp_root, "robots.parquet"))
+        os.rename(tmp_root, root)
+    out_dir = f"/tmp/ncr_sitemapq_out_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    eng = CrawlEngine(CrawlConfig(corpus_root=root, out_dir=out_dir))
+    eng.run()
+    pages = eng.pages_dataset().to_pandas()
+    eng.shutdown()
+    # the feed-only articles are reachable by NO link: every returned
+    # row exists ONLY because the sitemap chain admitted it (page rows
+    # carry url_to_refer only for alias rows, reference semantics, so
+    # reachability — not a referrer column — is the assertable signal)
+    got = pages[pages["url"].str.contains("feed-only-story",
+                                          regex=False)]
+    return got[["url", "scraped", "http_response_code"]] \
+        .sort_values("url").reset_index(drop=True)
+
+
 def q_crawl_mirror_hosts(sf_dir: str) -> pd.DataFrame:
     """Mirror/alias host detection over the crawl corpus — Jaccard
     over each host's canonical URL-PATH set (linkgraph.mirror_hosts:
@@ -7593,6 +7655,7 @@ QUERIES = {
     "crawl_hits": q_crawl_hits,
     "crawl_anchor_texts": q_crawl_anchor_texts,
     "crawl_mirror_hosts": q_crawl_mirror_hosts,
+    "crawl_sitemap_discovery": q_crawl_sitemap_discovery,
     "media_metadata": q_media_metadata,
     "media_jpeg_decode": q_media_jpeg_decode,
     "media_png_decode": q_media_png_decode,
