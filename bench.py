@@ -155,7 +155,8 @@ def run_bench() -> dict:
                  "q_docs_all_terms_indexed", "q_repeat_buyers",
                  "q_interval_overlap", "q_change_rate",
                  "q_decayed_freshness", "q_winsorized_stats",
-                 "q_tfidf_cosine_pairs", "q_degree_powerlaw")
+                 "q_tfidf_cosine_pairs", "q_degree_powerlaw",
+                 "q_watermark_lateness")
     for name in suite:
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)

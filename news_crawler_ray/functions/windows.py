@@ -389,6 +389,87 @@ def prefix_sum(ds: "rd.Dataset", *, key_col: str, value_col: str,
         .groupby("part").map_groups(scan, batch_format="pandas")
 
 
+def prefix_max(ds: "rd.Dataset", *, key_col: str, value_col: str,
+               extra_cols: list[str] | None = None,
+               part_size: int = 4096) -> "rd.Dataset":
+    """Distributed prefix MAX (running maximum in ``key_col`` order) —
+    the order-statistic sibling of :func:`prefix_sum` and the scan
+    behind event-time WATERMARKS: in a stream ordered by arrival, the
+    watermark at row i is the max event time seen so far.
+
+    Identical two-pass shape and contract as prefix_sum (UNIQUE int
+    ``key_col`` as the ORDER BY; per-partition max → driver cummax of
+    one int per partition → broadcast exclusive prefixes → local
+    cummax + floor). Max is idempotent and order-insensitive inside a
+    partition slice, so the result is exact for any dtype, but the
+    int64 contract is kept for symmetry. ``extra_cols`` pass through
+    pass 2 untouched (pass 2 re-scans the original rows, so carrying
+    e.g. an event-type column is free — no join back needed).
+
+    Returns (key_col, value_col, *extra_cols, running) with
+    ``running`` the INCLUSIVE prefix max; SQL twin
+    ``MAX(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)``."""
+    import ray
+
+    from ..rayutil import cached_object
+
+    extra_cols = list(extra_cols or [])
+    in_cols = [key_col, value_col] + extra_cols
+    int64_min = np.iinfo(np.int64).min
+
+    def partials(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        part = keys // part_size
+        uniq, inv = np.unique(part, return_inverse=True)
+        pmax = np.full(len(uniq), int64_min, np.int64)
+        np.maximum.at(pmax, inv, vals)
+        return pa.table({"part": pa.array(uniq, pa.int64()),
+                         "pmax": pa.array(pmax)})
+
+    totals = ds.select_columns([key_col, value_col]) \
+        .map_batches(partials, batch_format="pyarrow") \
+        .groupby("part").max("pmax").to_pandas()
+    # empty input: schema may survive (empty frame WITH "part") or not
+    if "part" not in totals.columns or not len(totals):
+        empty = {key_col: pa.array([], pa.int64()),
+                 value_col: pa.array([], pa.int64())}
+        for c in extra_cols:
+            empty[c] = pa.array([], pa.string())
+        empty["running"] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(empty))
+    totals = totals.sort_values("part").reset_index(drop=True)
+    # exclusive prefix max per partition (INT64_MIN floor = "nothing
+    # before the first partition")
+    excl = totals["max(pmax)"].cummax().shift(1, fill_value=int64_min)
+    offsets_ref = ray.put((totals["part"].to_numpy(dtype=np.int64),
+                           excl.to_numpy(dtype=np.int64)))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(keys // part_size))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        parts_arr, offs_arr = cached_object(offsets_ref)
+        g = g.sort_values(key_col, kind="mergesort") \
+            .reset_index(drop=True)
+        i = int(np.searchsorted(parts_arr, int(g["part"].iloc[0])))
+        base = int(offs_arr[i]) if i < len(parts_arr) \
+            and parts_arr[i] == int(g["part"].iloc[0]) else int64_min
+        run = np.maximum(g[value_col].astype("int64").cummax()
+                         .to_numpy(), base)
+        out = {key_col: g[key_col], value_col: g[value_col]}
+        for c in extra_cols:
+            out[c] = g[c]
+        out["running"] = pd.Series(run, dtype="int64")
+        return pd.DataFrame(out)
+
+    return ds.select_columns(in_cols) \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(scan, batch_format="pandas")
+
+
 def grouped_running_sum(ds: "rd.Dataset", *, key_col: str,
                         order_cols: list[str], value_col: str,
                         num_buckets: int = 32) -> "rd.Dataset":

@@ -7120,6 +7120,98 @@ WHERE cos_micro >= 500000 ORDER BY doc_a, doc_b
 """
 
 
+def q_watermark_lateness(sf_dir: str) -> pd.DataFrame:
+    """Event-time WATERMARK / allowed-lateness accounting (the §2.9
+    streaming semantic, exact): replaying the events table in arrival
+    order (event_id — the stream's ingest sequence), the watermark at
+    each row is the max event time seen so far; a row whose event time
+    trails the watermark by more than the 1-hour allowed lateness
+    would be DISCARDED by a streaming window. Reports per (event-hour,
+    type) admitted/discarded counts — the "how much data would my
+    lateness bound drop" audit run before picking a watermark policy.
+
+    The fixture stream is perfectly time-ordered (generator artifact),
+    so both engines derive the same deterministic out-of-orderness —
+    event time delayed by ``(event_id % 7) · 17 min`` (a network-delay
+    model, up to 102 min > the 60-min bound) — which makes ~24% of
+    rows late; the WATERMARK/lateness machinery, not the fixture's
+    ordering, is what gets oracle-checked.
+
+    Shape: windows.prefix_max two-pass scan (per-partition max rows →
+    driver cummax over one int per partition → local cummax; the
+    event_type column rides pass 2, no join back), then a per-batch
+    (hour, type) combiner fold."""
+    from .rayutil import bucketed_group_sum
+
+    late_us = 3_600_000_000
+
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "ts", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) - (eid % 7) * 1_020_000_000
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": pa.array(ts_us),
+                         "event_type": t["event_type"]})
+
+    wm = wn.prefix_max(ds.map_batches(to_us, batch_format="pyarrow"),
+                       key_col="event_id", value_col="ts_us",
+                       extra_cols=["event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "hour_us": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "adm_part": pd.Series([], dtype="int64"),
+                "dis_part": pd.Series([], dtype="int64")})
+        ts = b["ts_us"].to_numpy()
+        late = (b["running"].to_numpy() - ts) > late_us
+        g = pd.DataFrame({
+            "hour_us": (ts // late_us) * late_us,
+            "event_type": b["event_type"].to_numpy(),
+            "adm": (~late).astype(np.int64),
+            "dis": late.astype(np.int64)}) \
+            .groupby(["hour_us", "event_type"], as_index=False) \
+            .agg(adm_part=("adm", "sum"), dis_part=("dis", "sum"))
+        return g.astype({"hour_us": "int64", "adm_part": "int64",
+                         "dis_part": "int64"})
+
+    out = bucketed_group_sum(
+        wm.map_batches(partial, batch_format="pandas"),
+        ["hour_us", "event_type"],
+        {"adm_part": "n_admitted", "dis_part": "n_discarded"}) \
+        .to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "hour_us": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "n_admitted": pd.Series([], dtype="int64"),
+            "n_discarded": pd.Series([], dtype="int64")})
+    return out[["hour_us", "event_type", "n_admitted", "n_discarded"]] \
+        .sort_values(["hour_us", "event_type"]).reset_index(drop=True)
+
+
+Q_WATERMARK_LATENESS_SQL = r"""
+WITH w AS (
+  SELECT event_id, event_type,
+         epoch_us(ts) - (event_id % 7) * 1020000000 AS ts_us,
+         max(epoch_us(ts) - (event_id % 7) * 1020000000)
+             OVER (ORDER BY event_id
+                   ROWS UNBOUNDED PRECEDING) AS wm
+  FROM events)
+SELECT (ts_us // 3600000000) * 3600000000 AS hour_us, event_type,
+       sum(CASE WHEN wm - ts_us <= 3600000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_admitted,
+       sum(CASE WHEN wm - ts_us > 3600000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_discarded
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source winsorized mean of document length — the robust
     profiling step that stops a few giant (or empty) pages from
@@ -7679,6 +7771,7 @@ QUERIES = {
     "q_winsorized_stats": q_winsorized_stats,
     "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "q_degree_powerlaw": q_degree_powerlaw,
+    "q_watermark_lateness": q_watermark_lateness,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7819,6 +7912,7 @@ ORACLES = {
     "q_winsorized_stats": Q_WINSORIZED_STATS_SQL,
     "q_tfidf_cosine_pairs": Q_TFIDF_COSINE_SQL,
     "q_degree_powerlaw": Q_DEGREE_POWERLAW_SQL,
+    "q_watermark_lateness": Q_WATERMARK_LATENESS_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly

@@ -333,6 +333,66 @@ class TestPrefixSum:
         assert out["running"].tolist() == [10, 30, 60, 100]
 
 
+class TestPrefixMax:
+    def test_matches_pandas_cummax(self, ray_session):
+        rng = np.random.RandomState(19)
+        n = 5000
+        keys = rng.permutation(n).astype(np.int64)
+        vals = rng.randint(-1000, 1000, size=n).astype(np.int64)
+        df = pd.DataFrame({"k": keys, "v": vals})
+        out = wn.prefix_max(rd.from_pandas(df).repartition(8),
+                            key_col="k", value_col="v",
+                            part_size=64).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = df.sort_values("k").reset_index(drop=True)
+        assert (out["k"].to_numpy() == want["k"].to_numpy()).all()
+        assert (out["running"].to_numpy()
+                == want["v"].cummax().to_numpy()).all()
+
+    def test_extra_cols_ride_pass_two(self, ray_session):
+        df = pd.DataFrame({
+            "k": np.array([2, 0, 1, 3], dtype=np.int64),
+            "v": np.array([5, 9, 1, 4], dtype=np.int64),
+            "tag": ["c", "a", "b", "d"]})
+        out = wn.prefix_max(rd.from_pandas(df), key_col="k",
+                            value_col="v", extra_cols=["tag"],
+                            part_size=2).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["tag"].tolist() == ["a", "b", "c", "d"]
+        assert out["running"].tolist() == [9, 9, 9, 9]
+
+    def test_sparse_keys_with_gaps(self, ray_session):
+        df = pd.DataFrame({"k": np.array([5, 3000, 9000, 9001],
+                                         dtype=np.int64),
+                           "v": np.array([40, 20, 30, 10],
+                                         dtype=np.int64)})
+        out = wn.prefix_max(rd.from_pandas(df), key_col="k",
+                            value_col="v", part_size=100).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["running"].tolist() == [40, 40, 40, 40]
+
+    def test_negative_values_floor(self, ray_session):
+        # all-negative values: the INT64_MIN exclusive floor must not
+        # leak into results
+        df = pd.DataFrame({"k": np.arange(6, dtype=np.int64),
+                           "v": np.array([-5, -9, -1, -7, -2, -8],
+                                         dtype=np.int64)})
+        out = wn.prefix_max(rd.from_pandas(df), key_col="k",
+                            value_col="v", part_size=2).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        assert out["running"].tolist() == [-5, -5, -1, -1, -1, -1]
+
+    def test_empty_typed(self, ray_session):
+        df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        out = wn.prefix_max(rd.from_pandas(df), key_col="k",
+                            value_col="v")
+        # the DATASET stays typed (Ray's to_pandas drops schema on
+        # all-empty blocks, a known quirk shared with prefix_sum)
+        assert out.schema().names == ["k", "v", "running"]
+        assert out.count() == 0
+
+
 class TestGroupedRunningSum:
     def test_matches_pandas_groupby_cumsum(self, ray_session):
         rng = np.random.RandomState(23)
