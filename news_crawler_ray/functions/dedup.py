@@ -1659,7 +1659,7 @@ def edit_distance_pairs(ds: "rd.Dataset", *, text_col: str = "c_name",
 # ---------------------------------------------------------------------------
 
 def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
-                       max_df: int = 64, num_buckets: int = 64,
+                       max_df: int | None = None, num_buckets: int = 64,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> "rd.Dataset":
     """Document pairs by COSINE over tf-idf vectors — the weighted
@@ -1671,7 +1671,12 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
 
     Semantics: vector space = terms with df ≤ ``max_df`` (boilerplate
     terms beyond the cap carry no similarity evidence AND would make
-    candidate generation quadratic — the identical hot-shingle rule);
+    candidate generation quadratic — the identical hot-shingle rule).
+    The default cap is CORPUS-RELATIVE, ``max(64, n_docs // 8)``
+    ("in more than 12.5% of documents", floored at the fixture-scale
+    64): unigram vocabularies grow far slower than shingle spaces, so
+    ngram_jaccard's fixed 64 would empty the whole vector space on a
+    large corpus with a small vocabulary (observed at sf0.1);
     per-term weight ``w = floor(tf·ln(N/df)·1e3 + 0.5)`` (milli, not
     micro: w ≤ ~1e6 keeps Σ w_a·w_b inside int64); score
     ``cos_micro = floor(dot·1e6 / sqrt(na2·nb2))`` — dot and the two
@@ -1698,6 +1703,8 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
     n_docs = float(ds.count())
     if n_docs == 0:
         return _empty()
+    if max_df is None:
+        max_df = max(64, int(n_docs) // 8)
     tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
 
     def add_token_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -1742,6 +1749,10 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
     # concatenation (the ngram_jaccard_pairs rule)
     rows = project_blocks(rows, ["doc_id", "h", "w"]) \
         .repartition(8).materialize()
+    if rows.count() == 0:
+        # every term over the df cap (tiny corpus, huge cap mismatch):
+        # an all-empty join side would fail FieldRef resolution
+        return _empty()
 
     def norm_partial(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
@@ -1754,11 +1765,13 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
             .groupby("doc_id", as_index=False)["w2"].sum()
         return g.astype({"doc_id": "int64", "w2": "int64"})
 
+    # same repartition rule as `rows` above: the fold's empty sort
+    # partitions would otherwise reach the norm joins schema-less
     norms = project_blocks(
         bucketed_group_sum(
             rows.map_batches(norm_partial, batch_format="pandas"),
             ["doc_id"], {"w2": "n2"}),
-        ["doc_id", "n2"]).materialize()
+        ["doc_id", "n2"]).repartition(4).materialize()
 
     with _light_join_aggregators():
         sa = rows.map_batches(

@@ -686,10 +686,15 @@ def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
         return t.append_column(
             "c", pa.array(np.ones(t.num_rows, np.int64)))
 
+    # repartition is load-bearing: the bucketed fold's empty sort
+    # partitions emit zero-column blocks that short-circuit past map
+    # UDFs and would reach set_jaccard_pairs' hash join without the
+    # key column (surfaced at 32 CPUs, where empty partitions are
+    # common; the ngram_jaccard_pairs rule)
     distinct = project_blocks(
         bucketed_group_sum(rows.map_batches(one, batch_format="pyarrow"),
                            ["doc_id", "h"], {"c": "n"}),
-        ["doc_id", "h"]).materialize()
+        ["doc_id", "h"]).repartition(8).materialize()
 
     # O(hosts) name table: per-batch distinct (hash, host) pairs fold
     # to one row per host before the driver sees them (like

@@ -7100,7 +7100,8 @@ w AS (
           & ((1::UBIGINT << 61) - 1))::BIGINT AS h,
          CAST(floor(t.tf * ln((SELECT n FROM nd) / d.df) * 1000 + 0.5)
               AS BIGINT) AS w
-  FROM tf t JOIN df d USING (token) WHERE d.df <= 64),
+  FROM tf t JOIN df d USING (token)
+  WHERE d.df <= greatest(64, (SELECT count(*) FROM documents) // 8)),
 norm AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY 1),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
