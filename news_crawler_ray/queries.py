@@ -6988,10 +6988,10 @@ def q_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
 
     Exactness: per-customer floor(ln(d)·1e6) terms sum as int64, and
     alpha is BIGINT arithmetic (1e6 + n·1e12 // S) on both sides.
-    Shape: per-batch (custkey, n) combiner → groupby fold → native
+    Shape: per-batch (custkey, n) combiner → bucketed fold → native
     inner join to customer (aggregate-then-join pushdown, no customer
     broadcast) → one (segment, n, S) row per batch."""
-    from .rayutil import bucketed_group_sum
+    from .rayutil import bucketed_group_sum, project_blocks
 
     cust = read_parquet(_t(sf_dir, "customer"),
                         columns=["c_custkey", "c_mktsegment"])
@@ -7002,8 +7002,16 @@ def q_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
             .agg(d=("o_custkey", "size"))
         return g.astype({"o_custkey": "int64", "d": "int64"})
 
-    deg = orders.map_batches(cnt_partial, batch_format="pandas") \
-        .groupby("o_custkey").aggregate(Sum("d", alias_name="d"))
+    # bucketed fold, not groupby().aggregate(Sum): the native
+    # sort-aggregate degrades ~12x on pandas partial blocks (the
+    # bucketed_group_sum rule — this line was 23 s at sf0.1 as a
+    # native aggregate, <2 s folded); repartition before the join per
+    # the empty-sort-partition rule
+    deg = project_blocks(
+        bucketed_group_sum(
+            orders.map_batches(cnt_partial, batch_format="pandas"),
+            ["o_custkey"], {"d": "d"}),
+        ["o_custkey", "d"]).repartition(4)
     with light_shuffle_aggregators():
         joined = cust.join(deg, join_type="inner", num_partitions=8,
                            on=("c_custkey",), right_on=("o_custkey",))
