@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -605,19 +606,34 @@ _MIRROR_MASK = (1 << 61) - 1
 
 
 def _path_rows(batch: pa.Table) -> pa.Table:
-    """Per batch: distinct (host-hash, path-hash) membership rows plus
-    the (host-hash → host) name pairs. 61-bit md5 keys survive the
-    shuffle's pandas blocks as int64 (same identity as _gram_rows)."""
+    """Per batch: distinct (host-hash, path-hash, host-name) membership
+    rows. 61-bit md5 keys survive the shuffle's pandas blocks as int64
+    (same identity as _gram_rows); the name column rides along so no
+    second corpus scan is needed for the O(hosts) name table. Host
+    resolution (principal-domain walk + md5) is cached per NETLOC —
+    a corpus batch holds few distinct hosts but many urls."""
     import hashlib
 
     seen: set[tuple[int, int]] = set()
     names: dict[int, str] = {}
+    by_netloc: dict[str, tuple[int, str] | None] = {}
     for u in batch["url"].to_pylist():
-        host = urlnorm.host_of(u)
-        if not host:
+        body = u.split("://", 1)[-1]
+        netloc = body.split("/", 1)[0]
+        cached = by_netloc.get(netloc, 0)
+        if cached == 0:
+            host = urlnorm.host_of(u)
+            if host:
+                hh = int.from_bytes(
+                    hashlib.md5(host.encode()).digest()[:8],
+                    "big") & _MIRROR_MASK
+                cached = (hh, host)
+            else:
+                cached = None
+            by_netloc[netloc] = cached
+        if cached is None:
             continue
-        hh = int.from_bytes(
-            hashlib.md5(host.encode()).digest()[:8], "big") & _MIRROR_MASK
+        hh, host = cached
         ph = int.from_bytes(
             hashlib.md5(_path_of(u).encode()).digest()[:8],
             "big") & _MIRROR_MASK
@@ -625,26 +641,9 @@ def _path_rows(batch: pa.Table) -> pa.Table:
         names[hh] = host
     hh_a = np.fromiter((p[0] for p in seen), np.int64, len(seen))
     ph_a = np.fromiter((p[1] for p in seen), np.int64, len(seen))
-    return pa.table({"doc_id": pa.array(hh_a), "h": pa.array(ph_a)})
-
-
-def _name_rows(batch: pa.Table) -> pd.DataFrame:
-    """Per batch: distinct (host-hash, host) name pairs (the O(hosts)
-    side of mirror_hosts)."""
-    import hashlib
-
-    names: dict[int, str] = {}
-    for u in batch["url"].to_pylist():
-        host = urlnorm.host_of(u)
-        if host:
-            hh = int.from_bytes(
-                hashlib.md5(host.encode()).digest()[:8],
-                "big") & _MIRROR_MASK
-            names.setdefault(hh, host)
-    return pd.DataFrame({
-        "hh": pd.Series(list(names.keys()), dtype="int64"),
-        "host": pd.Series(list(names.values()), dtype="object"),
-        "c": pd.Series(np.ones(len(names), np.int64))})
+    return pa.table({"doc_id": pa.array(hh_a), "h": pa.array(ph_a),
+                     "host": pa.array([names[x] for x in hh_a],
+                                      pa.string())})
 
 
 def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
@@ -679,7 +678,10 @@ def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
     rows = ds.map_batches(_path_rows, batch_format="pyarrow",
                           batch_size=batch_size)
     # global (host, path) dedup: a path reachable from several pages
-    # of one host must count once in sizes/df. Id-level rows only.
+    # of one host must count once in sizes/df. Id-level rows only;
+    # the host NAME is functionally dependent on the host hash, so
+    # keying the fold on all three keeps one row per (host, path)
+    # while the name rides the same shuffle (no second corpus scan).
     from ..rayutil import bucketed_group_sum, project_blocks
 
     def one(t: pa.Table) -> pa.Table:
@@ -693,21 +695,29 @@ def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
     # common; the ngram_jaccard_pairs rule)
     distinct = project_blocks(
         bucketed_group_sum(rows.map_batches(one, batch_format="pyarrow"),
-                           ["doc_id", "h"], {"c": "n"}),
-        ["doc_id", "h"]).repartition(8).materialize()
+                           ["doc_id", "h", "host"], {"c": "n"}),
+        ["doc_id", "h", "host"]).repartition(8).materialize()
 
-    # O(hosts) name table: per-batch distinct (hash, host) pairs fold
-    # to one row per host before the driver sees them (like
-    # host_pagerank's hosts vector, ~10^8 hosts fit one machine; the
-    # PATH rows above are the corpus-sized part and stay distributed)
-    name_tbl = bucketed_group_sum(
-        ds.map_batches(_name_rows, batch_size=batch_size,
-                       batch_format="pyarrow"),
-        ["hh", "host"], {"c": "n"}).to_pandas()
-    names = dict(zip(name_tbl["hh"].astype("int64"),
-                     name_tbl["host"])) if len(name_tbl) else {}
+    # O(hosts) name table: per-batch unique (hash → host) pairs off
+    # the already-materialized membership rows (like host_pagerank's
+    # hosts vector, ~10^8 hosts fit one machine; the PATH rows stay
+    # distributed)
+    def uniq_names(t: pa.Table) -> pa.Table:
+        hh = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.unique(hh, return_index=True)[1]
+        return pa.table({
+            "hh": pa.array(hh[idx].astype(np.int64)),
+            "host": pc.take(t["host"].combine_chunks(),
+                            pa.array(idx))})
 
-    pairs = set_jaccard_pairs(distinct, thr_num=thr_num,
+    name_tbl = distinct.map_batches(
+        uniq_names, batch_format="pyarrow").to_pandas()
+    names = (dict(zip(name_tbl["hh"].astype("int64"),
+                      name_tbl["host"]))
+             if len(name_tbl) and "hh" in name_tbl.columns else {})
+
+    members = project_blocks(distinct, ["doc_id", "h"]).materialize()
+    pairs = set_jaccard_pairs(members, thr_num=thr_num,
                               thr_den=thr_den, max_df=max_df) \
         .to_pandas()
     if not len(pairs):
