@@ -405,3 +405,114 @@ def pq_ann_topk(ds: "rd.Dataset", query: np.ndarray, k: int = 10,
     short = pq_topk(codes, cb, query, k=max(refine, k), id_col=id_col)
     return pq_refine(ds, short[id_col].to_numpy(), query, k=k,
                      id_col=id_col, vec_col=vec_col)
+
+
+class IvfPqIndex:
+    """IVF + PQ composed — the standard large-scale ANN layout (FAISS
+    IVFPQ, Jégou'11 §IV): coarse centroids partition the corpus into
+    cluster directories (the IVF pruning structure), and each cluster
+    stores ``m``-BYTE PQ codes instead of ``dim·4``-byte vectors. A
+    query touches ``nprobe`` clusters' code partitions (physical
+    pruning, same as :class:`IvfIndex`), ADC-scans those codes against
+    a broadcast distance table, then exact-refines the shortlist
+    against the FULL-precision dataset with O(shortlist) vector reads.
+
+    At 10^10 vectors: codes = m·10^10 bytes (~160 GB at m=16) spread
+    over cluster partitions, centroids + codebooks broadcast-small,
+    refine touches ``refine`` full vectors per query — the only
+    corpus-scale full-precision pass is the one-time encode."""
+
+    def __init__(self, index_dir: str, centroids: np.ndarray,
+                 codebooks: np.ndarray, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        self.index_dir = index_dir
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.last_scan_rows: int | None = None
+
+    @classmethod
+    def build(cls, ds: "rd.Dataset", index_dir: str, *,
+              n_clusters: int = 16, m: int = 8, n_codes: int = 16,
+              sample_limit: int = 4096, iters: int = 10,
+              seed: int = 42, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "IvfPqIndex":
+        """ONE streaming pass assigns the coarse cluster AND encodes
+        the PQ code per vector, then one partitioned parquet write —
+        the corpus's full vectors are read exactly once."""
+        sample = ds.limit(sample_limit).to_pandas()
+        mat = _normalize(np.array(sample[vec_col].to_list(),
+                                  dtype=np.float64))
+        cent = _normalize(kmeans_centroids(mat, n_clusters,
+                                           iters=iters, seed=seed))
+        cb = train_pq(ds, m=m, n_codes=n_codes, iters=iters,
+                      sample_limit=sample_limit, vec_col=vec_col,
+                      seed=seed)
+        cent_ref = ray.put(cent)
+        cb_ref = ray.put(np.ascontiguousarray(cb))
+
+        def assign_encode(batch: pa.Table) -> pa.Table:
+            from ..rayutil import cached_object
+            cents = cached_object(cent_ref)
+            books = cached_object(cb_ref)
+            mat_b = _normalize(_as_matrix(batch[vec_col]))
+            cl = (mat_b @ cents.T).argmax(axis=1).astype(np.int32)
+            mm, ncd, sub = books.shape
+            codes = np.empty((len(mat_b), mm), dtype=np.uint8)
+            for j in range(mm):
+                x = mat_b[:, j * sub:(j + 1) * sub]
+                d = -2.0 * (x @ books[j].T) \
+                    + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+            return pa.table({
+                id_col: batch[id_col],
+                "code": pa.array([c.tobytes() for c in codes],
+                                 pa.binary()),
+                "cluster": pa.array(cl)})
+
+        ds.select_columns([id_col, vec_col]) \
+            .map_batches(assign_encode, batch_format="pyarrow") \
+            .write_parquet(index_dir, partition_cols=["cluster"])
+        return cls(index_dir, cent, cb, id_col=id_col, vec_col=vec_col)
+
+    def query(self, query: np.ndarray, *, k: int = 10, nprobe: int = 4,
+              refine: int = 50,
+              full_ds: "rd.Dataset | None" = None) -> pd.DataFrame:
+        """nprobe cluster partitions → ADC shortlist (``refine``
+        candidates, or ``k`` when refine=0) → exact re-rank against
+        ``full_ds`` (required when refine > 0)."""
+        import os
+        q = np.asarray(query, dtype=np.float64).reshape(-1)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        probe = np.argsort(-(self.centroids @ qn))[:nprobe]
+        dirs = [os.path.join(self.index_dir, f"cluster={int(c)}")
+                for c in probe]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        self.last_scan_rows = IvfIndex._dir_rows(dirs)
+        files = [os.path.join(d, f) for d in dirs
+                 for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        if not files:
+            return pd.DataFrame({
+                self.id_col: pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64")})
+        from ..rayutil import read_parquet
+        codes = read_parquet(files, columns=[self.id_col, "code"])
+        shortlist = pq_topk(codes, self.codebooks, qn,
+                            k=(refine or k), id_col=self.id_col)
+        if not refine:
+            return shortlist
+        if full_ds is None:
+            raise ValueError("refine > 0 needs full_ds for the exact "
+                             "re-rank pass")
+        return pq_refine(full_ds, shortlist[self.id_col].to_numpy(),
+                         qn, k=k, id_col=self.id_col,
+                         vec_col=self.vec_col)
+
+    @property
+    def total_rows(self) -> int:
+        import os
+        dirs = [os.path.join(self.index_dir, d)
+                for d in os.listdir(self.index_dir)
+                if d.startswith("cluster=")]
+        return IvfIndex._dir_rows(dirs)

@@ -816,6 +816,50 @@ def grouped_lag(ds: "rd.Dataset", *, key_col: str,
         .groupby("bucket").map_groups(scan, batch_format="pandas")
 
 
+def grouped_percent_rank(ds: "rd.Dataset", *, key_col: str,
+                         order_col: str, id_cols: list[str],
+                         num_buckets: int = 64) -> "rd.Dataset":
+    """Per-key PERCENT_RANK — the per-key feature-scaling window
+    (``(rank-1)/(n-1)`` with RANK tie semantics): per-user score
+    percentiles, per-host latency percentiles. Emitted as exact
+    integers — ``rnk`` (1-based RANK, ties share), ``n_key``, and
+    ``pr_micro = (rnk-1)·1e6 // (n_key-1)`` (0 for singleton keys) —
+    so the twin comparison needs no float tolerance.
+
+    Shape: ONE salted-bucket shuffle (a full per-key rank admits no
+    local pruning — every row of a key must meet every other), one
+    vectorized ``groupby.rank(method='min')`` + transform-size pass
+    per bucket. ``id_cols`` ride the shuffle for output identity."""
+    from ..rayutil import salt_bucket
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pa.array(salt_bucket(t[key_col], num_buckets),
+                               pa.int32()))
+
+    out_cols = id_cols + [key_col, "rnk", "n_key", "pr_micro"]
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or key_col not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in out_cols})
+        grp = g.groupby(key_col)[order_col]
+        rnk = grp.rank(method="min").astype("int64")
+        n = grp.transform("size").astype("int64")
+        pr = np.where(n > 1, (rnk - 1) * 1_000_000 // np.maximum(
+            n - 1, 1), 0)
+        out = {c: g[c] for c in id_cols}
+        out[key_col] = g[key_col]
+        out["rnk"] = rnk
+        out["n_key"] = n
+        out["pr_micro"] = pd.Series(pr, index=g.index, dtype="int64")
+        return pd.DataFrame(out)
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank_bucket,
+                                      batch_format="pandas")
+
+
 def grouped_topk_dense(ds: "rd.Dataset", *, key_col: str,
                        value_col: str, k: int = 3,
                        num_buckets: int = 64) -> "rd.Dataset":

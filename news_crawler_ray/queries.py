@@ -3247,6 +3247,25 @@ def q_pq_ann_topk(sf_dir: str) -> pd.DataFrame:
     return sim.pq_ann_topk(ds, _query_vec(sf_dir), k=10, m=8, n_codes=32)
 
 
+def q_ivfpq_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF+PQ composed ANN (similarity.IvfPqIndex — the FAISS IVFPQ
+    layout: cluster-partitioned parquet of m-byte PQ codes, nprobe
+    physical pruning, ADC shortlist, exact refine over O(shortlist)
+    full vectors). Recall pinned against cosine_topk in tests
+    (rows-only driver check: approximate by design)."""
+    import tempfile
+    ds = read_parquet(_t(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    idx = sim.IvfPqIndex.build(
+        ds, tempfile.mkdtemp(prefix="ncr_ivfpq_"),
+        n_clusters=8, m=8, n_codes=32)
+    out = idx.query(_query_vec(sf_dir), k=10, nprobe=4, refine=50,
+                    full_ds=ds)
+    out["cos_sim"] = out["cos_sim"].round(5)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approx distinct users per event type (sketches.
     grouped_hll_distinct) — pinned against the exact
@@ -7221,6 +7240,39 @@ FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_user_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-user PERCENT_RANK of each event's value
+    (windows.grouped_percent_rank — one salted-bucket shuffle, full
+    per-key rank): the per-key feature-scaling window, integer-exact
+    (RANK tie semantics, (rnk-1)·1e6 // (n-1))."""
+    ds = read_parquet(_t(sf_dir, "events"),
+                      columns=["event_id", "user_id", "value"])
+    out = wn.grouped_percent_rank(
+        ds, key_col="user_id", order_col="value",
+        id_cols=["event_id"]).to_pandas()
+    if not len(out):
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("event_id", "user_id", "rnk",
+                                       "n_key", "pr_micro")})
+    return out[["event_id", "user_id", "rnk", "n_key", "pr_micro"]] \
+        .astype("int64").sort_values("event_id").reset_index(drop=True)
+
+
+Q_USER_PERCENT_RANK_SQL = r"""
+SELECT event_id, user_id,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(count(*) OVER p AS BIGINT) AS n_key,
+       CASE WHEN count(*) OVER p > 1
+            THEN (CAST(rank() OVER w AS BIGINT) - 1) * 1000000
+                 // (CAST(count(*) OVER p AS BIGINT) - 1)
+            ELSE 0 END AS pr_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value),
+       p AS (PARTITION BY user_id)
+ORDER BY event_id
+"""
+
+
 def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source winsorized mean of document length — the robust
     profiling step that stops a few giant (or empty) pages from
@@ -7714,6 +7766,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "ivf_ann_topk": q_ivf_ann,
     "pq_ann_topk": q_pq_ann_topk,
+    "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "crawl_har_ads": q_har_ads,
@@ -7781,6 +7834,7 @@ QUERIES = {
     "q_tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "q_degree_powerlaw": q_degree_powerlaw,
     "q_watermark_lateness": q_watermark_lateness,
+    "q_user_percent_rank": q_user_percent_rank,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7922,6 +7976,7 @@ ORACLES = {
     "q_tfidf_cosine_pairs": Q_TFIDF_COSINE_SQL,
     "q_degree_powerlaw": Q_DEGREE_POWERLAW_SQL,
     "q_watermark_lateness": Q_WATERMARK_LATENESS_SQL,
+    "q_user_percent_rank": Q_USER_PERCENT_RANK_SQL,
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly

@@ -346,6 +346,39 @@ class TestSimilarity:
         full = idx.query(mat[3], k=10, nprobe=4)   # probe everything
         assert list(full["vec_id"]) == list(exact["vec_id"])
 
+    def test_ivfpq_prunes_and_recalls(self, emb_ds, tmp_path):
+        """The composed index must (a) store every vector's code once,
+        (b) physically scan only the probed clusters' CODE partitions,
+        (c) recover most of the exact top-k after the refine pass."""
+        ds, mat = emb_ds
+        idx = sim.IvfPqIndex.build(ds, str(tmp_path / "ivfpq"),
+                                   n_clusters=8, m=8, n_codes=16)
+        assert idx.total_rows == 100
+        exact = set(sim.cosine_topk(ds, mat[0], k=5)["vec_id"])
+        out = idx.query(mat[0], k=5, nprobe=4, refine=30, full_ds=ds)
+        assert idx.last_scan_rows is not None
+        assert 0 < idx.last_scan_rows < idx.total_rows
+        assert 0 in set(out["vec_id"])             # self-match
+        assert len(exact & set(out["vec_id"])) >= 3
+
+    def test_ivfpq_full_probe_refine_equals_bruteforce(self, emb_ds,
+                                                       tmp_path):
+        # probe everything + refine a wide shortlist: the exact
+        # re-rank must reproduce brute force exactly
+        ds, mat = emb_ds
+        idx = sim.IvfPqIndex.build(ds, str(tmp_path / "ivfpq_f"),
+                                   n_clusters=4, m=8, n_codes=32)
+        exact = sim.cosine_topk(ds, mat[3], k=5)
+        out = idx.query(mat[3], k=5, nprobe=4, refine=100, full_ds=ds)
+        assert list(out["vec_id"]) == list(exact["vec_id"])
+
+    def test_ivfpq_refine_requires_full_ds(self, emb_ds, tmp_path):
+        ds, mat = emb_ds
+        idx = sim.IvfPqIndex.build(ds, str(tmp_path / "ivfpq_g"),
+                                   n_clusters=4)
+        with pytest.raises(ValueError, match="full_ds"):
+            idx.query(mat[0], k=5, refine=10)
+
 
 class TestTextOps:
     def test_token_counts(self, docs_ds):

@@ -601,6 +601,37 @@ class TestGlobalRankByValue:
         assert set(out.schema().names) == {"id", "v", "rank"}
 
 
+class TestGroupedPercentRank:
+    def test_matches_pandas_rank(self, ray_session):
+        rng = np.random.RandomState(31)
+        n = 3000
+        df = pd.DataFrame({
+            "eid": np.arange(n, dtype=np.int64),
+            "user": rng.randint(0, 40, size=n).astype(np.int64),
+            "v": rng.randint(0, 50, size=n).astype(np.float64)})
+        out = wn.grouped_percent_rank(
+            rd.from_pandas(df).repartition(8), key_col="user",
+            order_col="v", id_cols=["eid"]).to_pandas() \
+            .sort_values("eid").reset_index(drop=True)
+        want = df.sort_values("eid").reset_index(drop=True)
+        rnk = want.groupby("user")["v"].rank(method="min") \
+            .astype("int64")
+        nk = want.groupby("user")["v"].transform("size").astype("int64")
+        pr = np.where(nk > 1, (rnk - 1) * 1_000_000
+                      // np.maximum(nk - 1, 1), 0)
+        assert (out["rnk"].to_numpy() == rnk.to_numpy()).all()
+        assert (out["n_key"].to_numpy() == nk.to_numpy()).all()
+        assert (out["pr_micro"].to_numpy() == pr).all()
+
+    def test_singleton_key_zero(self, ray_session):
+        df = pd.DataFrame({"eid": [0], "user": [7], "v": [3.5]})
+        out = wn.grouped_percent_rank(
+            rd.from_pandas(df), key_col="user", order_col="v",
+            id_cols=["eid"]).to_pandas()
+        assert out["pr_micro"].tolist() == [0]
+        assert out["rnk"].tolist() == [1] and out["n_key"].tolist() == [1]
+
+
 class TestGroupedZscore:
     def test_matches_pandas_two_pass(self, ray_session, events_df):
         out = wn.grouped_zscore(
