@@ -157,7 +157,7 @@ def run_bench() -> dict:
                  "q_decayed_freshness", "q_winsorized_stats",
                  "q_tfidf_cosine_pairs", "q_degree_powerlaw",
                  "q_watermark_lateness", "q_user_percent_rank",
-                 "ivfpq_ann_topk")
+                 "ivfpq_ann_topk", "q_leakage_free_split")
     for name in suite:
         t0 = time.perf_counter()
         QUERIES[name](SF_DIR)

@@ -7273,6 +7273,104 @@ ORDER BY event_id
 """
 
 
+def q_leakage_free_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-free train/val/test split — the eval-contamination
+    guard a per-document hash split DOESN'T give you: a near-duplicate
+    of a train document must not land in test, so the split key is the
+    near-dup CLUSTER REPRESENTATIVE (Lee'21 "Deduplicating Training
+    Data Makes Language Models Better" §6 reports exactly this
+    train/test leakage). Whole clusters move together by construction.
+
+    Composition of three oracle-pinned pieces: minhash_lsh_pairs →
+    dedup_groups_distributed (min-label CC, no driver pair state) →
+    the assign_split md5 rule applied to the representative. Counts
+    fold distributively (one (split, n) row per batch; distinct
+    clusters via a (split, rep)-keyed fold). The twin re-derives the
+    clusters with the recursive-CTE closure and applies the identical
+    md5 expression to the representative."""
+    from .functions.splits import split_label
+    from .rayutil import bucketed_group_sum, project_blocks
+
+    docs = read_parquet(_t(sf_dir, "documents"),
+                        columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.4)
+    labels = dd.dedup_groups_distributed(pairs)
+    ids = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    with light_shuffle_aggregators():
+        j = ids.join(labels, join_type="left_outer", num_partitions=8,
+                     on=("doc_id",))
+    j = project_blocks(j, ["doc_id", "cluster_rep"])
+
+    def to_split(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "split": pd.Series([], dtype="object"),
+                "rep": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64")})
+        rep = b["cluster_rep"].fillna(b["doc_id"]).astype("int64")
+        return pd.DataFrame({
+            "split": [split_label(r) for r in rep],
+            "rep": rep.to_numpy(),
+            "c": np.ones(len(b), np.int64)})
+
+    assigned = j.map_batches(to_split, batch_format="pandas")
+    # docs per split: one combiner row per (split, batch)
+    doc_counts = bucketed_group_sum(assigned, ["split"],
+                                    {"c": "n_docs"}).to_pandas()
+    # clusters per split: distinct (split, rep) fold, then count
+    distinct_reps = project_blocks(
+        bucketed_group_sum(assigned, ["split", "rep"], {"c": "n"}),
+        ["split", "rep"])
+
+    def cl_part(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "split" not in b.columns:
+            return pd.DataFrame({
+                "split": pd.Series([], dtype="object"),
+                "cc": pd.Series([], dtype="int64")})
+        g = b.groupby("split", as_index=False).size()
+        return pd.DataFrame({
+            "split": pd.Series(g["split"].to_numpy(), dtype="object"),
+            "cc": pd.Series(g["size"].to_numpy(), dtype="int64")})
+
+    cl_counts = bucketed_group_sum(
+        distinct_reps.map_batches(cl_part, batch_format="pandas"),
+        ["split"], {"cc": "n_clusters"}).to_pandas()
+    if not len(doc_counts):
+        return pd.DataFrame({
+            "split": pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64")})
+    out = doc_counts.merge(cl_counts, on="split", how="left")
+    out["n_clusters"] = out["n_clusters"].fillna(0).astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["split", "n_docs", "n_clusters"]] \
+        .sort_values("split").reset_index(drop=True)
+
+
+def _leakage_free_split_sql() -> str:
+    return ("WITH RECURSIVE " + _minhash_ctes() + ",\npairs AS ("
+            + _MINHASH_PAIR_SELECT + """),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(doc, r) AS (
+  SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.doc = e.v),
+rep AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc),
+s AS (
+  SELECT d.doc_id, rep.rep,
+         CAST(('0x' || substr(md5('split-v1'
+                                  || CAST(rep.rep AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10 AS b
+  FROM documents d JOIN rep ON rep.doc = d.doc_id)
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT rep)::BIGINT AS n_clusters
+FROM s GROUP BY 1 ORDER BY split""")
+
+
 def q_winsorized_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source winsorized mean of document length — the robust
     profiling step that stops a few giant (or empty) pages from
@@ -7835,6 +7933,7 @@ QUERIES = {
     "q_degree_powerlaw": q_degree_powerlaw,
     "q_watermark_lateness": q_watermark_lateness,
     "q_user_percent_rank": q_user_percent_rank,
+    "q_leakage_free_split": q_leakage_free_split,
     "q_rolling_median": q_rolling_median,
     "q_normalize_text": q_normalize_text,
     "q_docs_all_terms_indexed": q_docs_all_terms_indexed,
@@ -7977,6 +8076,7 @@ ORACLES = {
     "q_degree_powerlaw": Q_DEGREE_POWERLAW_SQL,
     "q_watermark_lateness": Q_WATERMARK_LATENESS_SQL,
     "q_user_percent_rank": Q_USER_PERCENT_RANK_SQL,
+    "q_leakage_free_split": _leakage_free_split_sql(),
     "q_rolling_median": Q_ROLLING_MEDIAN_SQL,
     "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
     # same twin as the scan path — the index must reproduce it exactly
