@@ -792,11 +792,6 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
     2^width per segment — at corpus sizes where n >> 2^width the buckets
     themselves go quadratic. Keep d ≤ 3-4 (16-bit segments, the Manku
     production setting) for 10^9+-doc corpora; large d is for modest n."""
-    import pyarrow.compute as pc
-
-    layout = _segment_layout(max_hamming)
-    n_seg = len(layout)
-
     fps = ds.map_batches(SimHasher,
                          fn_constructor_kwargs={"text_col": text_col,
                                                 "id_col": id_col},
@@ -804,6 +799,28 @@ def simhash_pairs(ds: "rd.Dataset", *, max_hamming: int = 3,
                          # autoscaling: fixed pools deadlock the join's
                          # shuffle actors when the pool covers all CPUs
                          concurrency=(1, _hash_pool_cap(concurrency)))
+    return hamming_pairs(fps, max_hamming=max_hamming)
+
+
+def hamming_pairs(fps: "rd.Dataset", *, max_hamming: int = 3,
+                  id_col: str = "doc_id",
+                  code_col: str = "simhash") -> "rd.Dataset":
+    """Generic EXACT Hamming-≤d pair join over 64-bit codes — the
+    pigeonhole core of :func:`simhash_pairs` (which feeds it text
+    simhashes) and of perceptual-hash image dedup
+    (:class:`multimodal.DHashStage` feeds it dHashes). ``fps`` is a
+    Dataset with an int64 id column and a uint64-valued code column;
+    returns (doc_a, doc_b, hamming) with doc_a < doc_b, full recall
+    for any d ≤ 31 (see simhash_pairs' scale note on segment width)."""
+    import pyarrow.compute as pc
+
+    layout = _segment_layout(max_hamming)
+    n_seg = len(layout)
+    if not (id_col == "doc_id" and code_col == "simhash"):
+        fps = fps.map_batches(
+            lambda t: pa.table({"doc_id": t[id_col],
+                                "simhash": t[code_col]}),
+            batch_format="pyarrow")
 
     # pigeonhole segment explosion, vectorized per batch: n_seg rows/doc,
     # each carrying the full 64-bit fingerprint (8 bytes — cheap to ship)

@@ -660,3 +660,89 @@ class ThumbnailStage:
             "height": pa.array(hs, pa.int32()),
             "trimmed_rows": pa.array(trims, pa.int32()),
         })
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) — near-dup dedup over DECODED pixels
+# ---------------------------------------------------------------------------
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash — the standard perceptual
+    image-dedup fingerprint: resized-gradient signs survive
+    re-encoding, scaling and small edits that change every byte of
+    the payload): integer ITU-R 601 luma, nearest-neighbor resample
+    to 9 columns × 8 rows, one sign bit per adjacent-column pair,
+    row-major MSB-first. Integer arithmetic end-to-end, so the hash
+    is bit-reproducible across platforms."""
+    r = px[..., 0].astype(np.int64)
+    g = px[..., 1].astype(np.int64)
+    b = px[..., 2].astype(np.int64)
+    luma = (299 * r + 587 * g + 114 * b) // 1000
+    h, w = luma.shape
+    rows = (np.arange(8, dtype=np.int64) * h) // 8
+    cols = (np.arange(9, dtype=np.int64) * w) // 9
+    grid = luma[rows[:, None], cols[None, :]]
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).reshape(-1)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    return int((bits << shifts).sum(dtype=np.uint64))
+
+
+def _decode_image_pixels(payload: bytes) -> np.ndarray:
+    """RGB array via the repo's own decoders (the REAL decode path —
+    a payload-hash could not see through re-encoding)."""
+    kind = sniff_format(payload or b"")
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)["pixels"]
+    if kind == "png":
+        from .png import decode_png
+        return decode_png(payload)["pixels"]
+    if kind == "gif":
+        from .gif import decode_gif
+        return decode_gif(payload)["pixels"]
+    if kind == "bmp":
+        return decode_bmp(payload)["pixels"]
+    if kind == "ppm":
+        return decode_ppm(payload)["pixels"]
+    raise NotImplementedError(
+        f"dhash needs a decodable still image (got {kind!r})")
+
+
+class DHashStage:
+    """Actor-pool stage: image payloads → (id, dhash) rows for
+    :func:`dedup.hamming_pairs` (pigeonhole Hamming join). Decode
+    happens HERE, once per image, inside the actor; only 8-byte codes
+    leave the stage — the multimodal twin of text simhash dedup."""
+
+    def __init__(self, *, id_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        ids = batch[self.id_col].to_pylist()
+        codes = np.empty(len(ids), np.uint64)
+        for i, payload in enumerate(batch[self.payload_col].to_pylist()):
+            codes[i] = dhash64(_decode_image_pixels(payload))
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "dhash": pa.array(codes)})
+
+
+def image_neardup_reference(ids: list, payloads: list,
+                            max_hamming: int = 10) -> "pd.DataFrame":
+    """Single-process oracle for the dHash dedup path: decode + hash +
+    brute-force all-pairs Hamming."""
+    import pandas as pd
+    codes = [dhash64(_decode_image_pixels(p)) for p in payloads]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(codes[i] ^ codes[j]).count("1")
+            if d <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, d))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "hamming": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -3266,6 +3266,58 @@ def q_ivfpq_ann_topk(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
+    """Perceptual-hash image dedup — dHash over REAL decoded pixels
+    (multimodal.DHashStage) + the pigeonhole Hamming join
+    (dedup.hamming_pairs, the simhash core): finds re-encoded and
+    lightly-edited copies whose payload bytes all differ. The
+    deterministic fixture plants groups of five PNGs per base image —
+    an exact copy, a brightness-nudged corner, a stripe edit, and two
+    unrelated textures — so the hash must CLUSTER the first three and
+    SEPARATE the rest (pinned against the single-process brute-force
+    reference in tests). Conformance rows-only: perceptual distance
+    is not SQL-expressible."""
+    from .functions.png import encode_png
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 2 == 0]
+        payloads = []
+        for i in ids:
+            base_id, variant = i // 10, (i // 2) % 5
+            rng = np.random.RandomState(1000 + base_id)
+            px = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+            if variant == 1:           # near-dup: brightness nudge
+                px = px.copy()
+                px[:6, :8] = np.minimum(px[:6, :8].astype(np.int64)
+                                        + 2, 255).astype(np.uint8)
+            elif variant == 2:         # near-dup: small stripe edit
+                px = px.copy()
+                px[10:12, :] = 128
+            elif variant in (3, 4):    # unrelated texture
+                rng2 = np.random.RandomState(777_000 + i)
+                px = rng2.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+            payloads.append(encode_png(px))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    codes = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.DHashStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=2)
+    out = dd.hamming_pairs(codes, max_hamming=10, id_col="media_id",
+                           code_col="dhash").to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64")})
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "hamming": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approx distinct users per event type (sketches.
     grouped_hll_distinct) — pinned against the exact
@@ -7865,6 +7917,7 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann,
     "pq_ann_topk": q_pq_ann_topk,
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
+    "media_phash_dups": q_media_phash_dups,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "crawl_har_ads": q_har_ads,

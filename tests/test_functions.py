@@ -431,6 +431,65 @@ class TestAsofJoin:
         assert pd.isna(out.loc[3, "ts_right"])  # user 8 has no marker
 
 
+class TestDHashDedup:
+    """Perceptual-hash image dedup: DHashStage + hamming_pairs must
+    reproduce the single-process decode+brute-force reference, cluster
+    the planted edits and separate unrelated textures."""
+
+    def _images(self, n_groups=6):
+        from news_crawler_ray.functions.png import encode_png
+        ids, payloads = [], []
+        for g in range(n_groups):
+            rng = np.random.RandomState(5000 + g)
+            base = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+            nudged = base.copy()
+            nudged[:6, :8] = np.minimum(
+                nudged[:6, :8].astype(np.int64) + 2, 255) \
+                .astype(np.uint8)
+            other = np.random.RandomState(9000 + g) \
+                .randint(0, 256, (24, 32, 3)).astype(np.uint8)
+            for k, px in enumerate((base, nudged, other)):
+                ids.append(g * 10 + k)
+                payloads.append(encode_png(px))
+        return ids, payloads
+
+    def test_matches_reference_and_clusters(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from news_crawler_ray.functions.multimodal import (
+            DHashStage, image_neardup_reference)
+        ids, payloads = self._images()
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())}))
+        codes = ds.map_batches(DHashStage, batch_format="pyarrow",
+                               batch_size=8, concurrency=2)
+        got = dd.hamming_pairs(codes, max_hamming=10,
+                               id_col="media_id", code_col="dhash") \
+            .to_pandas().astype("int64") \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        want = image_neardup_reference(ids, payloads, max_hamming=10)
+        pd.testing.assert_frame_equal(got, want)
+        # the base/nudged pair of every group is found...
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        for g in range(6):
+            assert (g * 10, g * 10 + 1) in pairs
+        # ...and no pair ever crosses base groups
+        assert all(a // 10 == b // 10 for a, b in pairs)
+
+    def test_dhash_survives_reencoding(self):
+        # the SAME pixels through two different codecs hash identically
+        # (payload-hash dedup cannot do this)
+        from news_crawler_ray.functions.multimodal import (
+            dhash64, encode_bmp, _decode_image_pixels)
+        from news_crawler_ray.functions.png import encode_png
+        px = np.random.RandomState(3).randint(
+            0, 256, (16, 16, 3)).astype(np.uint8)
+        h_png = dhash64(_decode_image_pixels(encode_png(px)))
+        h_bmp = dhash64(_decode_image_pixels(encode_bmp(px)))
+        assert h_png == h_bmp == dhash64(px)
+
+
 class TestMultimodal:
     def test_decode_stub_schema(self, docs_ds):
         out = mm.media_metadata(docs_ds, batch_size=2, concurrency=2).to_pandas()
