@@ -3318,6 +3318,68 @@ def q_media_phash_dups(sf_dir: str) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_media_audio_dups(sf_dir: str) -> pd.DataFrame:
+    """Audio fingerprint dedup — spectral dHash over REAL decoded PCM
+    (multimodal.AudioDHashStage) + dedup.hamming_pairs: the same
+    recording stored as WAV, G.711 µ-law AU (real companding loss)
+    and gain-scaled AIFF must cluster; different broadband content
+    must separate. Fixture plants groups of five: the three codec
+    variants of one seeded broadband signal + two unrelated signals.
+    Conformance rows-only (pinned vs the single-process brute-force
+    reference in tests)."""
+    from .functions import audio as aud
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 4 == 0]
+        payloads = []
+        for i in ids:
+            base_id, variant = i // 20, (i // 4) % 5
+            seed = 3000 + base_id if variant < 3 else 600_000 + i
+            rng = np.random.RandomState(seed)
+            # NON-stationary broadband content (a fresh spectral
+            # envelope per time segment): a stationary signal repeats
+            # one band ordering across all 8 frames, collapsing the
+            # 64-bit fingerprint to ~8 effective bits — unrelated
+            # signals then collide below the Hamming threshold
+            n, m = 4096, 4096 // 8
+            segs = []
+            for _ in range(8):
+                mag = np.interp(np.arange(m // 2 + 1),
+                                np.linspace(0, m // 2, 10),
+                                rng.uniform(0.2, 2.0, 10))
+                spec = mag * np.exp(1j * rng.uniform(
+                    0, 2 * np.pi, m // 2 + 1))
+                segs.append(np.fft.irfft(spec, m))
+            x = np.concatenate(segs)
+            x = (x / np.abs(x).max() * 20000).astype(np.int16)
+            if variant == 1:
+                payloads.append(aud.encode_au(x, encoding="ulaw"))
+            elif variant == 2:
+                payloads.append(aud.encode_aiff(
+                    (x * 0.6).astype(np.int16)))
+            else:
+                payloads.append(mm.encode_wav(x[:, None]))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    codes = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.AudioDHashStage, batch_format="pyarrow",
+                     batch_size=32, concurrency=2)
+    out = dd.hamming_pairs(codes, max_hamming=10, id_col="media_id",
+                           code_col="dhash").to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64")})
+    return out.astype({"doc_a": "int64", "doc_b": "int64",
+                       "hamming": "int64"}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approx distinct users per event type (sketches.
     grouped_hll_distinct) — pinned against the exact
@@ -7918,6 +7980,7 @@ QUERIES = {
     "pq_ann_topk": q_pq_ann_topk,
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "media_phash_dups": q_media_phash_dups,
+    "media_audio_dups": q_media_audio_dups,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "crawl_har_ads": q_har_ads,

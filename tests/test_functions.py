@@ -490,6 +490,59 @@ class TestDHashDedup:
         assert h_png == h_bmp == dhash64(px)
 
 
+class TestAudioDHashDedup:
+    """Spectral fingerprint dedup: the same non-stationary recording
+    through three codecs (WAV, G.711 µ-law AU, gain-scaled AIFF) must
+    cluster; unrelated content must separate; distributed pairs must
+    equal the single-process reference."""
+
+    def _signals(self, n_groups=4):
+        from news_crawler_ray.functions import audio as aud
+        from news_crawler_ray.functions import multimodal as mmod
+        ids, payloads = [], []
+        for g in range(n_groups):
+            rng = np.random.RandomState(4000 + g)
+            n, m = 4096, 512
+            segs = []
+            for _ in range(8):
+                mag = np.interp(np.arange(m // 2 + 1),
+                                np.linspace(0, m // 2, 10),
+                                rng.uniform(0.2, 2.0, 10))
+                spec = mag * np.exp(1j * rng.uniform(
+                    0, 2 * np.pi, m // 2 + 1))
+                segs.append(np.fft.irfft(spec, m))
+            x = np.concatenate(segs)
+            x = (x / np.abs(x).max() * 20000).astype(np.int16)
+            ids += [g * 10, g * 10 + 1, g * 10 + 2]
+            payloads += [mmod.encode_wav(x[:, None]),
+                         aud.encode_au(x, encoding="ulaw"),
+                         aud.encode_aiff((x * 0.6).astype(np.int16))]
+        return ids, payloads
+
+    def test_matches_reference_and_clusters(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from news_crawler_ray.functions.multimodal import (
+            AudioDHashStage, audio_neardup_reference)
+        ids, payloads = self._signals()
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())}))
+        codes = ds.map_batches(AudioDHashStage, batch_format="pyarrow",
+                               batch_size=4, concurrency=2)
+        got = dd.hamming_pairs(codes, max_hamming=10,
+                               id_col="media_id", code_col="dhash") \
+            .to_pandas().astype("int64") \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        want = audio_neardup_reference(ids, payloads, max_hamming=10)
+        pd.testing.assert_frame_equal(got, want)
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        for g in range(4):   # all three codec variants pair up
+            assert {(g * 10, g * 10 + 1), (g * 10, g * 10 + 2),
+                    (g * 10 + 1, g * 10 + 2)} <= pairs
+        assert all(a // 10 == b // 10 for a, b in pairs)
+
+
 class TestMultimodal:
     def test_decode_stub_schema(self, docs_ds):
         out = mm.media_metadata(docs_ds, batch_size=2, concurrency=2).to_pandas()
