@@ -158,7 +158,7 @@ def run_bench() -> dict:
                  "q_tfidf_cosine_pairs", "q_degree_powerlaw",
                  "q_watermark_lateness", "q_user_percent_rank",
                  "ivfpq_ann_topk", "media_phash_dups",
-                 "media_audio_dups")
+                 "media_audio_dups", "media_video_dups")
     # (q_leakage_free_split is correctness-swept but not bench-timed:
     # like minhash_dedup_keep it re-runs the already-timed LSH pair
     # generation plus the CC — timing it double-counts those kernels)

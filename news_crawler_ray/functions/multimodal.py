@@ -670,18 +670,24 @@ def dhash64(px: np.ndarray) -> int:
     """64-bit difference hash (dHash — the standard perceptual
     image-dedup fingerprint: resized-gradient signs survive
     re-encoding, scaling and small edits that change every byte of
-    the payload): integer ITU-R 601 luma, nearest-neighbor resample
-    to 9 columns × 8 rows, one sign bit per adjacent-column pair,
-    row-major MSB-first. Integer arithmetic end-to-end, so the hash
-    is bit-reproducible across platforms."""
+    the payload): integer ITU-R 601 luma, BLOCK-MEAN pooled to a
+    9-column × 8-row grid (pooling, not nearest-sampling: cell means
+    average out codec error — measured worst jpeg-roundtrip flip 3
+    bits vs 10 for single-pixel sampling), one sign bit per
+    adjacent-column pair, row-major MSB-first. Integer arithmetic
+    end-to-end, so the hash is bit-reproducible across platforms."""
     r = px[..., 0].astype(np.int64)
     g = px[..., 1].astype(np.int64)
     b = px[..., 2].astype(np.int64)
     luma = (299 * r + 587 * g + 114 * b) // 1000
     h, w = luma.shape
-    rows = (np.arange(8, dtype=np.int64) * h) // 8
-    cols = (np.arange(9, dtype=np.int64) * w) // 9
-    grid = luma[rows[:, None], cols[None, :]]
+    rb = (np.arange(9, dtype=np.int64) * h) // 8
+    cb = (np.arange(10, dtype=np.int64) * w) // 9
+    grid = np.empty((8, 9), np.int64)
+    for i in range(8):
+        for j in range(9):
+            blk = luma[rb[i]:rb[i + 1], cb[j]:cb[j + 1]]
+            grid[i, j] = blk.sum() // max(blk.size, 1)
     bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).reshape(-1)
     shifts = np.arange(63, -1, -1, dtype=np.uint64)
     return int((bits << shifts).sum(dtype=np.uint64))
@@ -823,3 +829,128 @@ def audio_neardup_reference(ids: list, payloads: list,
     return out.astype({"doc_a": "int64", "doc_b": "int64",
                        "hamming": "int64"}) \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# frame keys pack (video_id, frame_idx) into one int64
+VIDEO_FRAME_STRIDE = 1024
+
+
+class VideoFrameHashStage:
+    """Actor-pool stage: video payloads (AVI/Y4M/MP4) → one
+    (frame_key, dhash) row per sampled frame, where ``frame_key =
+    video_id · 1024 + frame_idx`` — the frame-LEVEL input of
+    :func:`dedup.hamming_pairs`. Video near-dup detection then scores
+    each video pair by its fraction of Hamming-matched frames
+    (tolerant of lossy re-encoding — jpeg-in-MP4 shifts a frame's
+    block-mean dHash by ≤3 bits, far under unrelated-frame
+    distances), regardless of container. Container walk + full frame
+    decode + hashing stay inside the actor; 8-byte codes leave."""
+
+    def __init__(self, *, id_col: str = "media_id",
+                 payload_col: str = "payload",
+                 every: int = 1):
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.every = every
+
+    def _frames(self, payload: bytes):
+        kind = sniff_format(payload or b"")
+        from . import video as vd
+        if kind == "avi":
+            return vd.avi_frames(payload)
+        if kind == "y4m":
+            return vd.y4m_frames(payload)
+        if kind == "mp4":
+            from . import mp4 as m4
+            return m4.mp4_frames(payload)
+        raise NotImplementedError(
+            f"frame hashing needs a decodable container (got {kind!r})")
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        keys_out: list[int] = []
+        hs_out: list[int] = []
+        for vid, payload in zip(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist()):
+            for k, fr in enumerate(self._frames(payload)):
+                if k % self.every or k >= VIDEO_FRAME_STRIDE:
+                    continue
+                keys_out.append(vid * VIDEO_FRAME_STRIDE + k)
+                hs_out.append(dhash64(fr["rgb"]))
+        return pa.table({
+            "frame_key": pa.array(keys_out, pa.int64()),
+            "dhash": pa.array(np.array(hs_out, dtype=np.uint64))})
+
+
+def video_neardup_reference(ids: list, payloads: list, *,
+                            max_hamming: int = 3,
+                            thr_micro: int = 400_000) -> "pd.DataFrame":
+    """Single-process oracle for the frame-match video dedup path:
+    decode + hash every frame, brute-force frame matches at Hamming ≤
+    d, Dice score per video pair = (matched_a + matched_b)/(n_a+n_b),
+    keep ≥ thr."""
+    import pandas as pd
+    stage = VideoFrameHashStage()
+    frames = {}
+    for vid, p in zip(ids, payloads):
+        frames[vid] = [dhash64(fr["rgb"]) for fr in stage._frames(p)]
+    rows = []
+    keys = sorted(frames)
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            a, b = keys[i], keys[j]
+            ma = {ia for ia, ha in enumerate(frames[a])
+                  if any(bin(ha ^ hb).count("1") <= max_hamming
+                         for hb in frames[b])}
+            mb = {ib for ib, hb in enumerate(frames[b])
+                  if any(bin(ha ^ hb).count("1") <= max_hamming
+                         for ha in frames[a])}
+            na, nb = len(frames[a]), len(frames[b])
+            if not (na + nb):
+                continue
+            dice = (len(ma) + len(mb)) * 1_000_000 // (na + nb)
+            if dice >= thr_micro:
+                rows.append((a, b, len(ma) + len(mb), na + nb, dice))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "matched",
+                                      "total", "dice_micro"])
+    return out.astype({c: "int64" for c in
+                       ("doc_a", "doc_b", "matched", "total",
+                        "dice_micro")}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def score_video_pairs(fpairs: "pd.DataFrame", counts: dict, *,
+                      thr_micro: int = 400_000) -> "pd.DataFrame":
+    """Frame-match rows → per-video-pair Dice scores (the scoring tail
+    shared by queries.q_media_video_dups and the conformance tests):
+    ``fpairs`` is hamming_pairs' (doc_a, doc_b, hamming) over
+    frame_keys, ``counts`` maps video_id → frame count. Returns
+    (doc_a, doc_b, matched, total, dice_micro) with dice ≥ thr."""
+    import pandas as pd
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("doc_a", "doc_b", "matched",
+                                    "total", "dice_micro")})
+    if not len(fpairs):
+        return empty
+    va = fpairs["doc_a"].to_numpy() // VIDEO_FRAME_STRIDE
+    vb = fpairs["doc_b"].to_numpy() // VIDEO_FRAME_STRIDE
+    cross = va != vb
+    fp = pd.DataFrame({
+        "va": np.minimum(va[cross], vb[cross]),
+        "vb": np.maximum(va[cross], vb[cross]),
+        "fa": fpairs["doc_a"].to_numpy()[cross],
+        "fb": fpairs["doc_b"].to_numpy()[cross]})
+    if not len(fp):
+        return empty
+    g = fp.groupby(["va", "vb"]).agg(
+        ma=("fa", "nunique"), mb=("fb", "nunique")).reset_index()
+    na = g["va"].map(counts).astype("int64")
+    nb = g["vb"].map(counts).astype("int64")
+    g["matched"] = (g["ma"] + g["mb"]).astype("int64")
+    g["total"] = (na + nb).astype("int64")
+    g["dice_micro"] = (g["matched"] * 1_000_000
+                       // g["total"]).astype("int64")
+    g = g[g["dice_micro"] >= thr_micro]
+    out = g.rename(columns={"va": "doc_a", "vb": "doc_b"})
+    return out[["doc_a", "doc_b", "matched", "total", "dice_micro"]] \
+        .astype("int64").sort_values(["doc_a", "doc_b"]) \
+        .reset_index(drop=True)

@@ -3380,6 +3380,81 @@ def q_media_audio_dups(sf_dir: str) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def q_media_video_dups(sf_dir: str) -> pd.DataFrame:
+    """Video near-dup detection by FRAME MATCHING: every sampled frame
+    is block-mean-dHashed inside the decode actors
+    (multimodal.VideoFrameHashStage, frame_key = video·1024 + idx),
+    dedup.hamming_pairs joins FRAMES at Hamming ≤ 3 (tolerant of
+    lossy re-encode — jpeg-in-MP4 shifts a frame hash ≤3 bits, far
+    under unrelated-frame distances), and each video pair scores the
+    Dice fraction of matched frames. The fixture plants per-base
+    groups: the SAME frames as raw-DIB AVI and as jpeg-in-MP4, a
+    3-of-5-frames partial re-cut, and two unrelated clips — so the
+    operator must see through a lossy codec change AND a re-cut while
+    separating unrelated content. Conformance rows-only (pinned vs
+    the single-process brute-force reference in tests)."""
+    from .functions import video as vd
+    from .functions.mp4 import encode_mp4
+    from .functions.multimodal import VIDEO_FRAME_STRIDE
+
+    ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+
+    def frame(seed: int, k: int) -> np.ndarray:
+        rng = np.random.RandomState(seed * 100 + k)
+        yy, xx = np.mgrid[0:24, 0:32].astype(np.float64)
+        chans = []
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            chans.append(128 + 100 * np.sin(
+                2 * np.pi * (fx * xx / 32 + fy * yy / 24) + ph))
+        return np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 4 == 0]
+        payloads = []
+        for i in ids:
+            base_id, variant = i // 20, (i // 4) % 5
+            if variant in (0, 1):
+                frames = [frame(base_id, k) for k in range(5)]
+                payloads.append(
+                    vd.encode_avi(frames, codec="DIB ") if variant == 0
+                    else encode_mp4(frames))
+            elif variant == 2:          # partial re-cut: 3 shared + 2 new
+                frames = [frame(base_id, k) for k in range(3)] + \
+                         [frame(900 + base_id, k) for k in range(2)]
+                payloads.append(vd.encode_avi(frames, codec="DIB "))
+            else:                       # unrelated clip
+                frames = [frame(10_000 + i, k) for k in range(5)]
+                payloads.append(vd.encode_avi(frames, codec="DIB "))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())})
+
+    rows = ds.map_batches(synth, batch_format="pyarrow") \
+        .map_batches(mm.VideoFrameHashStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2).materialize()
+
+    # per-video frame counts (O(videos), driver-side like the
+    # mirror-host name table)
+    def vid_counts(t: pa.Table) -> pd.DataFrame:
+        fk = t["frame_key"].to_numpy(zero_copy_only=False)
+        vids, cnts = np.unique(fk // VIDEO_FRAME_STRIDE,
+                               return_counts=True)
+        return pd.DataFrame({"vid": vids.astype("int64"),
+                             "n": cnts.astype("int64")})
+
+    counts = rows.map_batches(
+        lambda t: pa.Table.from_pandas(vid_counts(t),
+                                       preserve_index=False),
+        batch_format="pyarrow").to_pandas() \
+        .groupby("vid")["n"].sum().to_dict()
+
+    fpairs = dd.hamming_pairs(rows, max_hamming=3, id_col="frame_key",
+                              code_col="dhash").to_pandas()
+    return mm.score_video_pairs(fpairs, counts)
+
+
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:
     """Approx distinct users per event type (sketches.
     grouped_hll_distinct) — pinned against the exact
@@ -7981,6 +8056,7 @@ QUERIES = {
     "ivfpq_ann_topk": q_ivfpq_ann_topk,
     "media_phash_dups": q_media_phash_dups,
     "media_audio_dups": q_media_audio_dups,
+    "media_video_dups": q_media_video_dups,
     "doc_langid": q_langid,
     "doc_fingerprints": q_fingerprints,
     "crawl_har_ads": q_har_ads,

@@ -490,6 +490,70 @@ class TestDHashDedup:
         assert h_png == h_bmp == dhash64(px)
 
 
+class TestVideoFrameDedup:
+    """Frame-match video dedup: the same frames through AVI-DIB and
+    jpeg-in-MP4 must pair at full Dice, a partial re-cut at its true
+    overlap, unrelated clips not at all; the distributed frame-pair
+    path must agree with the single-process reference."""
+
+    def _frame(self, seed, k):
+        rng = np.random.RandomState(seed * 100 + k)
+        yy, xx = np.mgrid[0:24, 0:32].astype(np.float64)
+        chans = []
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 3.0, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            chans.append(128 + 100 * np.sin(
+                2 * np.pi * (fx * xx / 32 + fy * yy / 24) + ph))
+        return np.clip(np.stack(chans, -1), 0, 255).astype(np.uint8)
+
+    def test_matches_reference_cross_codec_and_recut(self, ray_session):
+        from news_crawler_ray.functions import video as vd
+        from news_crawler_ray.functions.mp4 import encode_mp4
+        from news_crawler_ray.functions.multimodal import (
+            video_neardup_reference)
+        ids, payloads = [], []
+        for g in range(3):
+            base = [self._frame(g, k) for k in range(5)]
+            recut = base[:3] + [self._frame(50 + g, k) for k in range(2)]
+            other = [self._frame(100 + g, k) for k in range(5)]
+            ids += [g * 10, g * 10 + 1, g * 10 + 2, g * 10 + 3]
+            payloads += [vd.encode_avi(base, codec="DIB "),
+                         encode_mp4(base),
+                         vd.encode_avi(recut, codec="DIB "),
+                         vd.encode_avi(other, codec="DIB ")]
+        want = video_neardup_reference(ids, payloads)
+        # distributed path: stage → hamming_pairs → shared scoring
+        import pyarrow as pa
+        import ray.data as rd
+        from news_crawler_ray.functions.multimodal import (
+            VIDEO_FRAME_STRIDE, VideoFrameHashStage, score_video_pairs)
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary())}))
+        rows = ds.map_batches(VideoFrameHashStage,
+                              batch_format="pyarrow", batch_size=4,
+                              concurrency=2).materialize()
+        counts = {}
+        for b in rows.to_pandas()["frame_key"] // VIDEO_FRAME_STRIDE:
+            counts[b] = counts.get(b, 0) + 1
+        fpairs = dd.hamming_pairs(rows, max_hamming=3,
+                                  id_col="frame_key",
+                                  code_col="dhash").to_pandas()
+        got = score_video_pairs(fpairs, counts)
+        pd.testing.assert_frame_equal(got, want)
+        pairs = set(zip(want["doc_a"], want["doc_b"]))
+        for g in range(3):
+            assert (g * 10, g * 10 + 1) in pairs       # codec change
+            assert (g * 10, g * 10 + 2) in pairs       # re-cut
+            assert not any((a // 10 != b // 10) or g * 10 + 3 in (a, b)
+                           for a, b in pairs
+                           if g * 10 + 3 in (a, b))    # unrelated out
+        full = want.set_index(["doc_a", "doc_b"])
+        assert full.loc[(0, 1), "dice_micro"] == 1_000_000
+        assert full.loc[(0, 2), "dice_micro"] == 600_000
+
+
 class TestAudioDHashDedup:
     """Spectral fingerprint dedup: the same non-stationary recording
     through three codecs (WAV, G.711 µ-law AU, gain-scaled AIFF) must
