@@ -835,6 +835,17 @@ def audio_neardup_reference(ids: list, payloads: list,
 VIDEO_FRAME_STRIDE = 1024
 
 
+def select_frame(k: int, every: int = 1) -> bool:
+    """Frame-sampling predicate shared by the distributed
+    :class:`VideoFrameHashStage` AND the single-process
+    :func:`video_neardup_reference`: keep frame ``k`` iff it sits on
+    the ``every`` stride and fits the frame-key packing
+    (``k < VIDEO_FRAME_STRIDE``). Sharing the predicate keeps the
+    distributed Dice denominators and the pinned oracle in lockstep
+    for long videos / sparse sampling."""
+    return k % every == 0 and k < VIDEO_FRAME_STRIDE
+
+
 class VideoFrameHashStage:
     """Actor-pool stage: video payloads (AVI/Y4M/MP4) → one
     (frame_key, dhash) row per sampled frame, where ``frame_key =
@@ -872,7 +883,7 @@ class VideoFrameHashStage:
         for vid, payload in zip(batch[self.id_col].to_pylist(),
                                 batch[self.payload_col].to_pylist()):
             for k, fr in enumerate(self._frames(payload)):
-                if k % self.every or k >= VIDEO_FRAME_STRIDE:
+                if not select_frame(k, self.every):
                     continue
                 keys_out.append(vid * VIDEO_FRAME_STRIDE + k)
                 hs_out.append(dhash64(fr["rgb"]))
@@ -883,16 +894,21 @@ class VideoFrameHashStage:
 
 def video_neardup_reference(ids: list, payloads: list, *,
                             max_hamming: int = 3,
-                            thr_micro: int = 400_000) -> "pd.DataFrame":
+                            thr_micro: int = 400_000,
+                            every: int = 1) -> "pd.DataFrame":
     """Single-process oracle for the frame-match video dedup path:
-    decode + hash every frame, brute-force frame matches at Hamming ≤
-    d, Dice score per video pair = (matched_a + matched_b)/(n_a+n_b),
-    keep ≥ thr."""
+    decode + hash each SAMPLED frame (same :func:`select_frame`
+    predicate as the distributed stage, so both sides agree on frame
+    sets and Dice denominators), brute-force frame matches at Hamming
+    ≤ d, Dice score per video pair = (matched_a + matched_b) /
+    (n_a + n_b), keep ≥ thr."""
     import pandas as pd
-    stage = VideoFrameHashStage()
+    stage = VideoFrameHashStage(every=every)
     frames = {}
     for vid, p in zip(ids, payloads):
-        frames[vid] = [dhash64(fr["rgb"]) for fr in stage._frames(p)]
+        frames[vid] = [dhash64(fr["rgb"])
+                       for k, fr in enumerate(stage._frames(p))
+                       if select_frame(k, every)]
     rows = []
     keys = sorted(frames)
     for i in range(len(keys)):

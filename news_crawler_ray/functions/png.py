@@ -121,6 +121,11 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     w, h, depth, color, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        # A zero dimension makes `expected` 0 below, and
+        # decompressobj().decompress(data, 0) means UNLIMITED output —
+        # a zlib-bomb IDAT would bypass the inflation cap entirely.
+        raise ValueError(f"PNG {w}x{h} has a zero dimension")
     if w * h > MAX_DECODE_PIXELS:
         # IHDR dims are 32-bit: a flipped byte can claim 2^32+ pixels
         # from a tiny payload; every allocation below scales with the

@@ -27,7 +27,7 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
                  max_in_flight_override: int | None = None,
                  round_ms: int = 1000, max_rounds: int = 10_000,
                  rss_discovery: bool = False,
-                 sitemaps: bool = False) -> dict:
+                 sitemaps: bool = True) -> dict:
     """Run the crawl sequentially; returns
     ``{"pages": pa.Table, "order": pa.Table, "seen": set[str]}``.
 
@@ -75,7 +75,10 @@ def crawl_oracle(corpus_root: str, *, only_webnews: bool = False,
     # Sitemap discovery (engine `_enqueue_sitemaps` contract, written
     # independently): robots ``Sitemap:`` lines → sidecar bodies →
     # page entries seen-checked and enqueued at round 0 in
-    # advertisement order, seq64 block at 2,000,000 (after RSS)
+    # advertisement order, seq64 block at 2,000,000 (after RSS).
+    # Default ON to mirror CrawlConfig.scrape_sitemaps: both sides
+    # then gate purely on sidecar presence, staying in lockstep by
+    # construction for any corpus that gains the sidecars.
     if sitemaps:
         rpath = os.path.join(corpus_root, "robots.parquet")
         spath = os.path.join(corpus_root, "sitemaps.parquet")

@@ -26,8 +26,8 @@ feedparser-style tolerance, matching ``parse_feed_xml``.
 
 from __future__ import annotations
 
-import gzip
 import xml.etree.ElementTree as ET
+import zlib
 
 # protocol limit: 50,000 entries per sitemap file
 MAX_ENTRIES = 50_000
@@ -50,10 +50,14 @@ def parse_sitemap_xml(payload: bytes | str) -> dict:
     else:
         data = payload or b""
     if data[:2] == b"\x1f\x8b":
+        # Bound the INFLATED size, not the compressed input: 50 MB of
+        # compressed data can inflate ~1000:1, so the cap must be
+        # enforced by the decompressor itself (png.py's bounded-inflate
+        # rule). wbits=31 selects the gzip wrapper.
         try:
-            data = gzip.decompress(data[:MAX_INFLATED])
-            data = data[:MAX_INFLATED]
-        except (OSError, EOFError):
+            data = zlib.decompressobj(wbits=31).decompress(
+                data, MAX_INFLATED)
+        except zlib.error:
             return {"kind": None, "locs": []}
     try:
         root = ET.fromstring(data.decode("utf-8", "replace"))

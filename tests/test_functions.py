@@ -553,6 +553,49 @@ class TestVideoFrameDedup:
         assert full.loc[(0, 1), "dice_micro"] == 1_000_000
         assert full.loc[(0, 2), "dice_micro"] == 600_000
 
+    def test_sampling_and_stride_shared_with_reference(self, monkeypatch):
+        """The stage and the single-process reference must select the
+        SAME frames under `every` sampling and the frame-key stride
+        cap (frames ≥ STRIDE dropped), or Dice denominators silently
+        diverge for long / sparsely-sampled videos. Exercised
+        single-process with a tiny patched stride so a 6-frame clip
+        overflows it."""
+        import pyarrow as pa
+        from news_crawler_ray.functions import multimodal as mmod
+        from news_crawler_ray.functions import video as vd
+        monkeypatch.setattr(mmod, "VIDEO_FRAME_STRIDE", 4)
+        base = [self._frame(7, k) for k in range(6)]     # 6 > stride 4
+        recut = base[:4] + [self._frame(77, k) for k in range(2)]
+        ids = [0, 1, 2]
+        payloads = [vd.encode_avi(base, codec="DIB "),
+                    vd.encode_avi(recut, codec="DIB "),
+                    vd.encode_avi(base, codec="DIB ")]
+        for every in (1, 2, 3):
+            want = mmod.video_neardup_reference(
+                ids, payloads, every=every, thr_micro=0)
+            stage = mmod.VideoFrameHashStage(every=every)
+            t = stage(pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary())}))
+            fk = t["frame_key"].to_numpy(zero_copy_only=False)
+            hs = t["dhash"].to_numpy(zero_copy_only=False)
+            counts = {}
+            for v in fk // mmod.VIDEO_FRAME_STRIDE:
+                counts[v] = counts.get(v, 0) + 1
+            rows = []
+            for i in range(len(fk)):        # brute-force frame pairs
+                for j in range(i + 1, len(fk)):
+                    d = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                    if d <= 3:
+                        a, b = sorted((int(fk[i]), int(fk[j])))
+                        rows.append((a, b, d))
+            fpairs = pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "hamming"])
+            got = mmod.score_video_pairs(fpairs, counts, thr_micro=0)
+            pd.testing.assert_frame_equal(got, want)
+            # the stride cap really bit: no frame index ≥ 4 survives
+            assert (fk % mmod.VIDEO_FRAME_STRIDE).max() < 4
+
 
 class TestAudioDHashDedup:
     """Spectral fingerprint dedup: the same non-stationary recording

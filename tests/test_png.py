@@ -147,6 +147,15 @@ class TestPngRobustness:
         with pytest.raises(ValueError):
             decode_png(bytes(payload))
 
+    def test_zero_dim_zlib_bomb_rejected(self):
+        """w==0 makes the expected raw size 0, and decompress(data, 0)
+        means UNLIMITED output — so a zero-dim IHDR must be rejected
+        BEFORE the inflate, or a zlib-bomb IDAT bypasses the cap."""
+        bomb_raws = b"\x00" * (8 * 1024 * 1024)  # ~8 KB once deflated
+        for w, h in ((0, 8), (8, 0), (0, 0)):
+            with pytest.raises(ValueError, match="zero dimension"):
+                decode_png(_make_png(w, h, 8, 2, bomb_raws))
+
 
 class TestPngExternalFixtures:
     """Real libpng-encoded files from the OS image."""

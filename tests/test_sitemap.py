@@ -56,6 +56,19 @@ class TestParse:
         assert sm.parse_sitemap_xml(b"\x1f\x8b junk") == {
             "kind": None, "locs": []}
 
+    def test_gzip_bomb_inflation_is_bounded(self, monkeypatch):
+        """The inflate cap must bound the INFLATED size, not the
+        compressed input: ~64 KB of compressed zeros claims ~6 MB
+        inflated, which must be truncated AT the decompressor (never
+        materialized whole) and then fail XML parse gracefully."""
+        monkeypatch.setattr(sm, "MAX_INFLATED", 1 * 1024 * 1024)
+        bomb = gzip.compress(b"\x00" * (6 * 1024 * 1024))
+        assert len(bomb) < sm.MAX_INFLATED  # compressed side is small
+        assert sm.parse_sitemap_xml(bomb) == {"kind": None, "locs": []}
+        # a legitimate gzipped sitemap under the cap still parses
+        out = sm.parse_sitemap_xml(gzip.compress(URLSET))
+        assert out["kind"] == "urlset" and len(out["locs"]) == 2
+
     def test_entry_cap(self, monkeypatch):
         monkeypatch.setattr(sm, "MAX_ENTRIES", 3)
         body = (b"<urlset>" + b"".join(
