@@ -34,6 +34,15 @@ from ..rayutil import light_shuffle_aggregators as _light_join_aggregators
 
 _MERSENNE = (1 << 61) - 1
 
+# Absolute df ceiling for tfidf_cosine_pairs' default max_df: the hash
+# self-join emits up to df² weight-product rows per term, so the cap
+# must not scale with the corpus (n_docs // 8 alone would admit ~1e18
+# candidate rows from one 10%-frequency term at 1e10 docs). 1e4 keeps
+# worst-case per-term fan-out at df·1e4 while staying far above any
+# term that still carries cosine signal (idf ≈ ln(n/1e4) is already
+# large at web scale). Shared with the SQL twin via this constant.
+TFIDF_MAX_DF_CAP = 10_000
+
 
 def _text_md5(batch: pa.Table, col: str) -> pa.Table:
     h = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
@@ -1689,11 +1698,21 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
     Semantics: vector space = terms with df ≤ ``max_df`` (boilerplate
     terms beyond the cap carry no similarity evidence AND would make
     candidate generation quadratic — the identical hot-shingle rule).
-    The default cap is CORPUS-RELATIVE, ``max(64, n_docs // 8)``
-    ("in more than 12.5% of documents", floored at the fixture-scale
-    64): unigram vocabularies grow far slower than shingle spaces, so
-    ngram_jaccard's fixed 64 would empty the whole vector space on a
-    large corpus with a small vocabulary (observed at sf0.1);
+    The default cap is CORPUS-RELATIVE with an ABSOLUTE ceiling,
+    ``min(max(64, n_docs // 8), TFIDF_MAX_DF_CAP)``: the relative
+    part ("in more than 12.5% of documents", floored at the
+    fixture-scale 64) exists because unigram vocabularies grow far
+    slower than shingle spaces, so ngram_jaccard's fixed 64 would
+    empty the whole vector space on a large corpus with a small
+    vocabulary (observed at sf0.1); the absolute ceiling exists
+    because the self-join emits df² pair rows per term, so a purely
+    corpus-relative cap admits ~(n/8)² rows from a single
+    mid-frequency term at web scale ("according", "yesterday" in news
+    text) — with the ceiling, candidate fan-out per term is bounded
+    by df·TFIDF_MAX_DF_CAP ≤ 1e4·df regardless of corpus size, and
+    terms above it (≥ the cap in absolute df — pure boilerplate by
+    then) carry no cosine signal anyway, which is this operator's own
+    rare-terms-dominate premise;
     per-term weight ``w = floor(tf·ln(N/df)·1e3 + 0.5)`` (milli, not
     micro: w ≤ ~1e6 keeps Σ w_a·w_b inside int64); score
     ``cos_micro = floor(dot·1e6 / sqrt(na2·nb2))`` — dot and the two
@@ -1721,7 +1740,7 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
     if n_docs == 0:
         return _empty()
     if max_df is None:
-        max_df = max(64, int(n_docs) // 8)
+        max_df = min(max(64, int(n_docs) // 8), TFIDF_MAX_DF_CAP)
     tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
 
     def add_token_bucket(b: pd.DataFrame) -> pd.DataFrame:

@@ -7301,7 +7301,9 @@ def q_tfidf_cosine_pairs(sf_dir: str) -> pd.DataFrame:
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-Q_TFIDF_COSINE_SQL = r"""
+# the df cap's absolute ceiling is shared with the engine via
+# dedup.TFIDF_MAX_DF_CAP (both sides: min(max(64, n//8), CAP))
+Q_TFIDF_COSINE_SQL = rf"""
 WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
                                     x -> x <> '')) AS token
@@ -7317,7 +7319,8 @@ w AS (
          CAST(floor(t.tf * ln((SELECT n FROM nd) / d.df) * 1000 + 0.5)
               AS BIGINT) AS w
   FROM tf t JOIN df d USING (token)
-  WHERE d.df <= greatest(64, (SELECT count(*) FROM documents) // 8)),
+  WHERE d.df <= least(greatest(64, (SELECT count(*) FROM documents) // 8),
+                      {dd.TFIDF_MAX_DF_CAP})),
 norm AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY 1),
 dots AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -788,6 +788,53 @@ class TestTfIdf:
         assert (doc4["tfidf_micro"] == expect).all()
 
 
+class TestTfIdfCosinePairCap:
+    """The default df cap must carry an ABSOLUTE ceiling
+    (dd.TFIDF_MAX_DF_CAP): the self-join emits df² candidate rows per
+    term, so a purely corpus-relative n//8 cap admits quadratic
+    fan-out from one mid-frequency term at web scale."""
+
+    def _corpus(self, n=40):
+        import ray.data as rd
+        # every doc shares the planted hot term; docs pair up on a
+        # rare term ("rare{i//2}") shared by exactly two docs
+        texts = [f"hotterm rare{i // 2} filler{i}" for i in range(n)]
+        return rd.from_pandas(
+            pd.DataFrame({"doc_id": range(n), "text": texts}))
+
+    def test_default_cap_is_ceiled(self, ray_session, monkeypatch):
+        import news_crawler_ray.functions.dedup as ddm
+        n = 40
+        monkeypatch.setattr(ddm, "TFIDF_MAX_DF_CAP", 8)
+        # max(64, 40//8)=64 would keep the df=40 hot term; the ceiling
+        # (8) must drop it, leaving only the df=2 rare-term pairs —
+        # candidate fan-out 40·1=40 rows instead of 40²=1600
+        out = ddm.tfidf_cosine_pairs(self._corpus(n), thr_micro=1) \
+            .to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        want_pairs = {(2 * k, 2 * k + 1) for k in range(n // 2)}
+        assert set(zip(out["doc_a"], out["doc_b"])) == want_pairs
+        # identical to an explicit max_df at the ceiling: the default
+        # is exactly min(max(64, n//8), CAP)
+        explicit = ddm.tfidf_cosine_pairs(
+            self._corpus(n), thr_micro=1, max_df=8).to_pandas() \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, explicit)
+
+    def test_hot_term_only_corpus_emits_no_pairs(self, ray_session,
+                                                 monkeypatch):
+        import ray.data as rd
+        import news_crawler_ray.functions.dedup as ddm
+        monkeypatch.setattr(ddm, "TFIDF_MAX_DF_CAP", 8)
+        n = 24
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": range(n),
+            "text": [f"hotterm uniq{i}" for i in range(n)]}))
+        # the ONLY shared term is over the ceiling → zero candidates
+        # (n²/2 ≈ 288 under the old corpus-relative-only default)
+        assert ddm.tfidf_cosine_pairs(ds, thr_micro=1).count() == 0
+
+
 class TestCommonNgrams:
     def test_shared_ngrams_found(self, docs_ds):
         out = to.common_ngrams(docs_ds, n=3, min_docs=2).to_pandas()
