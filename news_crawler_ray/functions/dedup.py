@@ -879,12 +879,17 @@ def hamming_pairs(fps: "rd.Dataset", *, max_hamming: int = 3,
             "doc_b": pa.array([], pa.int64()),
             "hamming": pa.array([], pa.int64())}))
     # repartition after the join: the groupby's sort inherits the join's
-    # block count (8), which would cap the downstream verify at 8 tasks
-    # and leave 3/4 of a 32-core box idle during the O(bucket²) verify.
-    # (Raising the join's own num_partitions instead makes it SLOWER —
-    # hash-shuffle aggregator overhead grows with partition count.)
-    colliding = seg_ds.join(hot, join_type="inner", num_partitions=8,
-                            on=("segment", "value")).repartition(32)
+    # block count, which would cap the downstream verify at join-width
+    # tasks and leave 3/4 of a 32-core box idle during the O(bucket²)
+    # verify. (Raising the join's own num_partitions instead makes it
+    # SLOWER — hash-shuffle aggregator overhead grows with partition
+    # count, hence the lower join ratio.) Widths derive from cluster
+    # CPUs (measured-good at 32 CPUs: join 8, verify 32).
+    from ..rayutil import shuffle_partitions
+    colliding = seg_ds.join(hot, join_type="inner",
+                            num_partitions=shuffle_partitions(0.25),
+                            on=("segment", "value")) \
+        .repartition(shuffle_partitions(1.0))
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

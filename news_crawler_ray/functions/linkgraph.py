@@ -693,15 +693,18 @@ def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
     # UDFs and would reach set_jaccard_pairs' hash join without the
     # key column (surfaced at 32 CPUs, where empty partitions are
     # common; the ngram_jaccard_pairs rule)
+    from ..rayutil import salt_bucket, shuffle_partitions
     distinct = project_blocks(
         bucketed_group_sum(rows.map_batches(one, batch_format="pyarrow"),
                            ["doc_id", "h", "host"], {"c": "n"}),
-        ["doc_id", "h", "host"]).repartition(8).materialize()
+        ["doc_id", "h", "host"]) \
+        .repartition(shuffle_partitions(0.25)).materialize()
 
-    # O(hosts) name table: per-batch unique (hash → host) pairs off
-    # the already-materialized membership rows (like host_pagerank's
-    # hosts vector, ~10^8 hosts fit one machine; the PATH rows stay
-    # distributed)
+    # O(hosts) name DATASET: per-batch unique (hash → host) pairs off
+    # the already-materialized membership rows, folded to one row per
+    # host hash (any name per hash is THE name — functionally
+    # dependent). Stays distributed: pair↔name attachment below is a
+    # native join, so no host table ever lands on the driver.
     def uniq_names(t: pa.Table) -> pa.Table:
         hh = t["doc_id"].to_numpy(zero_copy_only=False)
         idx = np.unique(hh, return_index=True)[1]
@@ -710,38 +713,79 @@ def mirror_hosts(pages_dir: str, *, thr_num: int = 0, thr_den: int = 1,
             "host": pc.take(t["host"].combine_chunks(),
                             pa.array(idx))})
 
-    name_tbl = distinct.map_batches(
-        uniq_names, batch_format="pyarrow").to_pandas()
-    names = (dict(zip(name_tbl["hh"].astype("int64"),
-                      name_tbl["host"]))
-             if len(name_tbl) and "hh" in name_tbl.columns else {})
+    def first_name(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g.columns):
+            return g
+        out = g.drop_duplicates("hh")
+        return pd.DataFrame({"hh": out["hh"].astype("int64"),
+                             "host": out["host"].astype("object")})
+
+    names = project_blocks(
+        distinct.map_batches(uniq_names, batch_format="pyarrow")
+        .map_batches(lambda b: b.assign(
+            bucket=salt_bucket(b["hh"].to_numpy())) if len(b)
+            else b.assign(bucket=pd.Series([], dtype="int32")),
+            batch_format="pandas")
+        .groupby("bucket").map_groups(first_name,
+                                      batch_format="pandas"),
+        ["hh", "host"]).repartition(4).materialize()
 
     members = project_blocks(distinct, ["doc_id", "h"]).materialize()
-    pairs = set_jaccard_pairs(members, thr_num=thr_num,
-                              thr_den=thr_den, max_df=max_df) \
-        .to_pandas()
-    if not len(pairs):
-        return pd.DataFrame({
-            "host_a": pd.Series([], dtype="object"),
-            "host_b": pd.Series([], dtype="object"),
-            "inter_sz": pd.Series([], dtype="int64"),
-            "union_sz": pd.Series([], dtype="int64"),
-            "jac_micro": pd.Series([], dtype="int64")})
-    na = pairs["doc_a"].map(names)
-    nb = pairs["doc_b"].map(names)
-    lo = np.minimum(na, nb)
-    hi = np.maximum(na, nb)
-    out = pd.DataFrame({
-        "host_a": pd.Series(lo, dtype="object"),
-        "host_b": pd.Series(hi, dtype="object"),
-        "inter_sz": pairs["inter_sz"].astype("int64"),
-        "union_sz": pairs["union_sz"].astype("int64"),
-        "jac_micro": pairs["jac_micro"].astype("int64")})
-    out = out.sort_values(
-        ["jac_micro", "host_a", "host_b"],
-        ascending=[False, True, True]).reset_index(drop=True)
-    return out.head(top_n).reset_index(drop=True) \
-        if top_n is not None else out
+    # repartition before the native name joins: map_groups' empty sort
+    # partitions ship zero-column blocks whose missing key column fails
+    # Acero FieldRef resolution (the engine-wide empty-block rule)
+    pairs = project_blocks(
+        set_jaccard_pairs(members, thr_num=thr_num,
+                          thr_den=thr_den, max_df=max_df),
+        ["doc_a", "doc_b", "inter_sz", "union_sz", "jac_micro"]) \
+        .repartition(shuffle_partitions(0.25)).materialize()
+    empty = pd.DataFrame({
+        "host_a": pd.Series([], dtype="object"),
+        "host_b": pd.Series([], dtype="object"),
+        "inter_sz": pd.Series([], dtype="int64"),
+        "union_sz": pd.Series([], dtype="int64"),
+        "jac_micro": pd.Series([], dtype="int64")})
+    if pairs.count() == 0 or names.count() == 0:
+        return empty
+
+    def order_names(t: pa.Table) -> pa.Table:
+        na = t["na"].to_pylist()
+        nb = t["nb"].to_pylist()
+        lo = [a if a <= b else b for a, b in zip(na, nb)]
+        hi = [b if a <= b else a for a, b in zip(na, nb)]
+        return pa.table({
+            "host_a": pa.array(lo, pa.string()),
+            "host_b": pa.array(hi, pa.string()),
+            "inter_sz": pc.cast(t["inter_sz"], pa.int64()),
+            "union_sz": pc.cast(t["union_sz"], pa.int64()),
+            "jac_micro": pc.cast(t["jac_micro"], pa.int64())})
+
+    na_side = names.map_batches(
+        lambda t: pa.table({"doc_a": t["hh"], "na": t["host"]}),
+        batch_format="pyarrow")
+    nb_side = names.map_batches(
+        lambda t: pa.table({"doc_b": t["hh"], "nb": t["host"]}),
+        batch_format="pyarrow")
+    with _light_aggs():
+        scored = pairs.join(na_side, join_type="inner",
+                            num_partitions=shuffle_partitions(0.25),
+                            on=("doc_a",)) \
+            .join(nb_side, join_type="inner",
+                  num_partitions=shuffle_partitions(0.25),
+                  on=("doc_b",)) \
+            .map_batches(order_names, batch_format="pyarrow") \
+            .materialize()
+    # ranking tail: distributed sort; only the top_n rows (or the
+    # thresholded survivors) reach the driver
+    scored = scored.sort(["jac_micro", "host_a", "host_b"],
+                         descending=[True, False, False])
+    if top_n is not None:
+        scored = scored.limit(top_n)
+    out = scored.to_pandas()
+    if not len(out):
+        return empty
+    return out.astype({"inter_sz": "int64", "union_sz": "int64",
+                       "jac_micro": "int64"}).reset_index(drop=True)
 
 
 def mirror_hosts_reference(pages: pd.DataFrame, *, thr_num: int = 0,

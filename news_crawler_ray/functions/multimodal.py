@@ -970,3 +970,126 @@ def score_video_pairs(fpairs: "pd.DataFrame", counts: dict, *,
     return out[["doc_a", "doc_b", "matched", "total", "dice_micro"]] \
         .astype("int64").sort_values(["doc_a", "doc_b"]) \
         .reset_index(drop=True)
+
+
+def video_frame_counts(rows: "rd.Dataset") -> "rd.Dataset":
+    """Per-video sampled-frame counts as a DATASET (vid, n) off the
+    frame-hash rows — the distributed replacement for the driver-side
+    counts dict (at corpus scale the video count is unbounded; only
+    per-batch (vid, n) partials cross the shuffle)."""
+    import pandas as pd
+
+    def partial(t: "pa.Table") -> "pd.DataFrame":
+        if not t.num_rows:
+            return pd.DataFrame({"vid": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        fk = t["frame_key"].to_numpy(zero_copy_only=False)
+        vids, cnts = np.unique(fk // VIDEO_FRAME_STRIDE,
+                               return_counts=True)
+        return pd.DataFrame({"vid": vids.astype("int64"),
+                             "c": cnts.astype("int64")})
+
+    from ..rayutil import bucketed_group_sum, project_blocks
+    return project_blocks(
+        bucketed_group_sum(
+            rows.map_batches(partial, batch_format="pyarrow"),
+            ["vid"], {"c": "n"}),
+        ["vid", "n"]).repartition(4)
+
+
+def score_video_pairs_ds(fpairs: "rd.Dataset", counts: "rd.Dataset", *,
+                         thr_micro: int = 400_000) -> "rd.Dataset":
+    """Distributed Dice scoring tail over the frame-pair Dataset —
+    same semantics as :func:`score_video_pairs` (the single-process
+    form kept for the pinned references) but the per-video-pair
+    matched-frame nunique runs as a salted-bucket map_groups fold and
+    the frame-count denominators attach via native joins, so no pair
+    frame ever lands on the driver.
+
+    ``fpairs``: (doc_a, doc_b, hamming) over frame_keys from
+    dedup.hamming_pairs. ``counts``: (vid, n) from
+    :func:`video_frame_counts`. Returns (doc_a, doc_b, matched,
+    total, dice_micro) with dice ≥ thr, one row per video pair.
+    Bucketing on va alone co-locates every row of a (va, vb) pair, so
+    the in-bucket pandas nunique is exact."""
+    import pandas as pd
+
+    from ..rayutil import (light_shuffle_aggregators, project_blocks,
+                           salt_bucket, shuffle_partitions)
+
+    def _empty() -> "rd.Dataset":
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "matched": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+            "dice_micro": pa.array([], pa.int64())}))
+
+    def cross_video(t: "pa.Table") -> "pd.DataFrame":
+        cols = ("va", "vb", "fa", "fb")
+        if not t.num_rows:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        va, vb = a // VIDEO_FRAME_STRIDE, b // VIDEO_FRAME_STRIDE
+        keep = va != vb
+        a, b, va, vb = a[keep], b[keep], va[keep], vb[keep]
+        out = pd.DataFrame({
+            "va": np.minimum(va, vb).astype("int64"),
+            "vb": np.maximum(va, vb).astype("int64"),
+            "fa": a.astype("int64"), "fb": b.astype("int64")})
+        out["bucket"] = salt_bucket(out["va"].to_numpy()) if len(out) \
+            else pd.Series([], dtype="int32")
+        return out
+
+    def dice_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ("va", "vb", "ma", "mb")
+        if not len(g) or "va" not in g.columns:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        s = g.groupby(["va", "vb"], as_index=False).agg(
+            ma=("fa", "nunique"), mb=("fb", "nunique"))
+        return s.astype({c: "int64" for c in cols})
+
+    scored = project_blocks(
+        fpairs.map_batches(cross_video, batch_format="pyarrow")
+        .groupby("bucket").map_groups(dice_fold, batch_format="pandas"),
+        ["va", "vb", "ma", "mb"]) \
+        .repartition(shuffle_partitions(0.25)).materialize()
+    cnt = counts.materialize()
+    if scored.count() == 0 or cnt.count() == 0:
+        return _empty()
+    na = cnt.map_batches(
+        lambda t: pa.table({"va": t["vid"], "na": t["n"]}),
+        batch_format="pyarrow")
+    nb = cnt.map_batches(
+        lambda t: pa.table({"vb": t["vid"], "nb": t["n"]}),
+        batch_format="pyarrow")
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        ma = t["ma"].to_numpy(zero_copy_only=False)
+        mb = t["mb"].to_numpy(zero_copy_only=False)
+        na_ = t["na"].to_numpy(zero_copy_only=False)
+        nb_ = t["nb"].to_numpy(zero_copy_only=False)
+        matched = (ma + mb).astype(np.int64)
+        total = (na_ + nb_).astype(np.int64)
+        dice = matched * 1_000_000 // total
+        keep = dice >= thr_micro
+        return pa.table({
+            "doc_a": pa.array(t["va"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "doc_b": pa.array(t["vb"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "matched": pa.array(matched[keep]),
+            "total": pa.array(total[keep]),
+            "dice_micro": pa.array(dice[keep])})
+
+    with light_shuffle_aggregators():
+        return scored.join(na, join_type="inner",
+                           num_partitions=shuffle_partitions(0.25),
+                           on=("va",)) \
+            .join(nb, join_type="inner",
+                  num_partitions=shuffle_partitions(0.25),
+                  on=("vb",)) \
+            .map_batches(finish, batch_format="pyarrow").materialize()

@@ -3391,11 +3391,13 @@ def q_media_video_dups(sf_dir: str) -> pd.DataFrame:
     groups: the SAME frames as raw-DIB AVI and as jpeg-in-MP4, a
     3-of-5-frames partial re-cut, and two unrelated clips — so the
     operator must see through a lossy codec change AND a re-cut while
-    separating unrelated content. Conformance rows-only (pinned vs
-    the single-process brute-force reference in tests)."""
+    separating unrelated content. The scoring tail is fully
+    distributed (multimodal.score_video_pairs_ds: salted Dice fold +
+    native count joins — no pair frame on the driver). Conformance
+    rows-only (pinned vs the single-process brute-force reference in
+    tests)."""
     from .functions import video as vd
     from .functions.mp4 import encode_mp4
-    from .functions.multimodal import VIDEO_FRAME_STRIDE
 
     ds = read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
 
@@ -3435,24 +3437,16 @@ def q_media_video_dups(sf_dir: str) -> pd.DataFrame:
         .map_batches(mm.VideoFrameHashStage, batch_format="pyarrow",
                      batch_size=16, concurrency=2).materialize()
 
-    # per-video frame counts (O(videos), driver-side like the
-    # mirror-host name table)
-    def vid_counts(t: pa.Table) -> pd.DataFrame:
-        fk = t["frame_key"].to_numpy(zero_copy_only=False)
-        vids, cnts = np.unique(fk // VIDEO_FRAME_STRIDE,
-                               return_counts=True)
-        return pd.DataFrame({"vid": vids.astype("int64"),
-                             "n": cnts.astype("int64")})
-
-    counts = rows.map_batches(
-        lambda t: pa.Table.from_pandas(vid_counts(t),
-                                       preserve_index=False),
-        batch_format="pyarrow").to_pandas() \
-        .groupby("vid")["n"].sum().to_dict()
-
+    # fully distributed tail: per-video frame counts as a Dataset and
+    # the Dice fold as a salted map_groups + native count joins — no
+    # pair frame on the driver (mm.score_video_pairs stays as the
+    # single-process form the conformance references pin against)
+    counts = mm.video_frame_counts(rows)
     fpairs = dd.hamming_pairs(rows, max_hamming=3, id_col="frame_key",
-                              code_col="dhash").to_pandas()
-    return mm.score_video_pairs(fpairs, counts)
+                              code_col="dhash")
+    out = mm.score_video_pairs_ds(fpairs, counts).to_pandas()
+    return out.astype({c: "int64" for c in out.columns}) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def q_grouped_hll_distinct(sf_dir: str) -> pd.DataFrame:

@@ -228,6 +228,28 @@ def light_shuffle_aggregators(cpus_per_partition: float = 0.1):
             prev_s
 
 
+def shuffle_partitions(per_cpu: float = 1.0, *, lo: int = 4,
+                       hi: int = 512) -> int:
+    """Shuffle/partition width derived from the CLUSTER's CPU count
+    instead of a constant tuned to one box. ``per_cpu`` is the
+    partitions-per-CPU ratio measured good at 32 CPUs — e.g. the
+    hamming_pairs verify repartition used a measured 32 (1.0/CPU) and
+    its join 8 (0.25/CPU); those ratios now hold on a 1024-CPU
+    cluster instead of silently capping task parallelism at the
+    sandbox constants. Clamped to [lo, hi]: ``lo`` keeps tiny test
+    sessions (4 CPUs) at the block counts the empty-partition suite
+    exercises; ``hi`` bounds hash-shuffle aggregator overhead, which
+    grows with partition count (the measured reason the join width
+    stays BELOW the map width)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    return int(min(hi, max(lo, round((cpus or 8) * per_cpu))))
+
+
 _OBJ_CACHE: dict[str, object] = {}
 
 

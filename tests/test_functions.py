@@ -534,14 +534,23 @@ class TestVideoFrameDedup:
         rows = ds.map_batches(VideoFrameHashStage,
                               batch_format="pyarrow", batch_size=4,
                               concurrency=2).materialize()
+        fpairs_ds = dd.hamming_pairs(rows, max_hamming=3,
+                                     id_col="frame_key",
+                                     code_col="dhash")
+        # production path: fully distributed scoring tail
+        from news_crawler_ray.functions.multimodal import (
+            score_video_pairs_ds, video_frame_counts)
+        got = score_video_pairs_ds(
+            fpairs_ds, video_frame_counts(rows)).to_pandas() \
+            .astype("int64").sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        # the single-process scoring form (kept for references) agrees
         counts = {}
         for b in rows.to_pandas()["frame_key"] // VIDEO_FRAME_STRIDE:
             counts[b] = counts.get(b, 0) + 1
-        fpairs = dd.hamming_pairs(rows, max_hamming=3,
-                                  id_col="frame_key",
-                                  code_col="dhash").to_pandas()
-        got = score_video_pairs(fpairs, counts)
-        pd.testing.assert_frame_equal(got, want)
+        got2 = score_video_pairs(fpairs_ds.to_pandas(), counts)
+        pd.testing.assert_frame_equal(got2, want)
         pairs = set(zip(want["doc_a"], want["doc_b"]))
         for g in range(3):
             assert (g * 10, g * 10 + 1) in pairs       # codec change
