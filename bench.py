@@ -175,7 +175,14 @@ def run_bench() -> dict:
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         from news_crawler_ray.functions.linkgraph import (host_pagerank,
                                                           host_edges,
+                                                          link_products,
                                                           pagerank_join_form)
+        # one shared kernel pass feeds edges AND anchors (r4 item 6);
+        # timed on its own so the per-product entries show their real
+        # (post-pass) cost
+        t0 = time.perf_counter()
+        link_products(paths.pages_dir)
+        queries["link_kernel_pass"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         edges = host_edges(paths.pages_dir).materialize()
         queries["pagerank_edges"] = round(time.perf_counter() - t0, 3)

@@ -202,12 +202,13 @@ class ExtractKernel:
     # ------------------------------------------------------------------
     # public entry
     # ------------------------------------------------------------------
-    def extract(self, url: str, html: str, lang_hint: str | None = None,
-                is_webnews: bool = False) -> PageExtract:
-        """Full page extraction (prepare_html_tree + extract_content,
-        extractor.py:49-96)."""
-        # URL normalization at entry (extractor.py:50-56): strip trailing
-        # slash and the filetype suffix.
+    def _prep_tree(self, url: str, html: str):
+        """Shared entry normalization + parse (extractor.py:50-56,
+        242-243): strip trailing slash and the filetype suffix, M7
+        whitespace collapse, parse with comments removed (M8). Factored
+        so :meth:`extract_links` reaches M13 through the IDENTICAL
+        pre-state as :meth:`extract` (same collapse, same parse, same
+        body pick) without paying the article parse."""
         if url.endswith("/"):
             url = url[:-1]
         ftype = urlnorm.get_filetype_from_url(url)
@@ -215,12 +216,28 @@ class ExtractKernel:
             url = url[: -(len(ftype) + 1)]
         domain = urlnorm.host_of(url)
         scheme = urlnorm.get_scheme(url) or "http"
-
-        # M7 whitespace collapse (extractor.py:242-243) then parse with
-        # comments removed (M8, extractor.py:46).
         html = " ".join(html.split())
         tree = parse_html(html)
         body = tree.find_first("body") or tree
+        return url, domain, scheme, tree, body
+
+    def extract_links(self, url: str, html: str) -> list[str]:
+        """M13 outbound links ONLY — the link-graph corpus pass.
+        Byte-identical to ``extract(...).outbound_links`` (same prep,
+        same relative-url fixup — the only tree mutation that precedes
+        M13 in :meth:`extract`; language/news-meta/domain-link reads
+        in between are side-effect-free) while skipping the article
+        parse, which dominates full-extract cost on news pages."""
+        url, _domain, scheme, _tree, body = self._prep_tree(url, html)
+        self._fix_relative_urls(
+            body, scheme, urlnorm.get_principal_domain_www(url))
+        return self._outbound_links(body, url)
+
+    def extract(self, url: str, html: str, lang_hint: str | None = None,
+                is_webnews: bool = False) -> PageExtract:
+        """Full page extraction (prepare_html_tree + extract_content,
+        extractor.py:49-96)."""
+        url, domain, scheme, tree, body = self._prep_tree(url, html)
 
         result = PageExtract(url=url)
         result.language = self._content_language(tree) or lang_hint

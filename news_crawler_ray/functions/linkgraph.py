@@ -32,37 +32,136 @@ from .. import urlnorm
 from ..rayutil import cached_object, read_parquet
 
 
-def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
-    """Distinct (src_host, dst_host, n_pages) cross-host edges: pages →
-    extraction kernel's outbound links (M13; worker-global kernel cache
-    exactly like pipelines/bulk.py) → host_of → per-batch dedup →
-    groupby count. Only (host, host) string pairs cross the shuffle;
-    html never leaves the map stage."""
-    from ray.data.aggregate import Count
+# link_products cache: (abspath, fingerprint) → materialized Dataset.
+# The link-graph corpus products (edges for pagerank/HITS, anchor
+# texts) all need one pass over the pages' HTML; caching the combined
+# pass means q_crawl_pagerank, q_crawl_hits and q_crawl_anchor_texts
+# in one driver/bench process share a single kernel sweep instead of
+# re-reading and re-parsing the corpus each. Keyed by a cheap content
+# fingerprint so a rewritten corpus at the same path invalidates;
+# bounded at 2 entries (materialized rows are edge/anchor-sized, html
+# never enters the cache).
+_LINK_PRODUCTS_CACHE: "dict[tuple, rd.Dataset]" = {}
+
+
+def _dir_fingerprint(path: str) -> tuple:
+    import os
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((path, st.st_size, st.st_mtime_ns),)
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            entries.append((f, st.st_size, st.st_mtime_ns))
+    return tuple(entries)
+
+
+def link_products(pages_dir: str, *,
+                  batch_size: int = 64) -> "rd.Dataset":
+    """ONE kernel pass over the corpus emitting every link-graph
+    product row (VERDICT r4 item 6): per page, the M13 outbound-link
+    walk (``ExtractKernel.extract_links`` — article parse skipped)
+    AND the anchor-text walk, combined into one narrow table:
+
+    - ``kind=0`` edge rows: (src_host, dst_host), one per distinct
+      cross-host link per page;
+    - ``kind=1`` anchor rows: (dst_host, anchor, n) pre-counted per
+      batch (the anchor_texts partial).
+
+    html is read and decoded once and never leaves the map stage;
+    the materialized output is edge/anchor-sized. At 100-TB scale
+    write this table to parquet once and feed pagerank / HITS /
+    anchors from the file (the in-process cache here is the bench /
+    driver-sweep equivalent)."""
+    import os
+
+    key = (os.path.abspath(pages_dir), _dir_fingerprint(pages_dir))
+    hit = _LINK_PRODUCTS_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     from ..pipelines.bulk import _BULK_KERNEL, _BulkExtract
+    from ..htmldom import parse_html
 
     def emit(batch: pa.Table) -> pa.Table:
         stage = _BULK_KERNEL.get(False)
         if stage is None:
             stage = _BULK_KERNEL[False] = _BulkExtract()
-        srcs: list[str] = []
+        kinds: list[int] = []
+        srcs: list[str | None] = []
         dsts: list[str] = []
+        anchors: list[str | None] = []
+        ns: list[int] = []
+        anchor_cnt: dict[tuple[str, str], int] = {}
         for u, h in zip(batch["url"].to_pylist(),
                         batch["html"].to_pylist()):
-            r = stage.kernel.extract(
-                u, (h or b"").decode("utf-8", "replace"))
+            html = (h or b"").decode("utf-8", "replace")
+            # edge product: kernel M13 walk, links-only fast path
             src = urlnorm.host_of(u)
-            for link in {urlnorm.host_of(l) for l in r.outbound_links}:
+            for link in {urlnorm.host_of(l)
+                         for l in stage.kernel.extract_links(u, html)}:
                 if link and link != src:
+                    kinds.append(0)
                     srcs.append(src)
                     dsts.append(link)
-        return pa.table({"src_host": pa.array(srcs, pa.string()),
-                         "dst_host": pa.array(dsts, pa.string())})
+                    anchors.append(None)
+                    ns.append(1)
+            # anchor product: raw-parse walk (anchor_texts semantics,
+            # unchanged — reference-pinned)
+            principal = urlnorm.get_principal_domain(
+                u if "://" in u else "http://" + u) or ""
+            tree = parse_html(html)
+            for n in tree.iter("a"):
+                href = n.get("href")
+                if not href or (principal and principal in href):
+                    continue
+                if not urlnorm.is_valid_url(href):
+                    continue
+                dst = urlnorm.host_of(urlnorm.clean_url(href))
+                if not dst:
+                    continue
+                text = " ".join("".join(n.itertext()).split())
+                if not text:
+                    continue
+                anchor_cnt[(dst, text)] = anchor_cnt.get((dst, text),
+                                                         0) + 1
+        for (dst, text), c in anchor_cnt.items():
+            kinds.append(1)
+            srcs.append(None)
+            dsts.append(dst)
+            anchors.append(text)
+            ns.append(c)
+        return pa.table({
+            "kind": pa.array(kinds, pa.int8()),
+            "src_host": pa.array(srcs, pa.string()),
+            "dst_host": pa.array(dsts, pa.string()),
+            "anchor": pa.array(anchors, pa.string()),
+            "n": pa.array(ns, pa.int64())})
 
-    return read_parquet(pages_dir, columns=["url", "html"]) \
+    out = read_parquet(pages_dir, columns=["url", "html"]) \
         .map_batches(emit, batch_format="pyarrow",
-                     batch_size=batch_size) \
+                     batch_size=batch_size).materialize()
+    while len(_LINK_PRODUCTS_CACHE) >= 2:
+        _LINK_PRODUCTS_CACHE.pop(next(iter(_LINK_PRODUCTS_CACHE)))
+    _LINK_PRODUCTS_CACHE[key] = out
+    return out
+
+
+def host_edges(pages_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
+    """Distinct (src_host, dst_host, n_pages) cross-host edges off the
+    shared :func:`link_products` pass (kernel M13 links; html never
+    leaves the map stage) → groupby count. Only (host, host) string
+    pairs cross the shuffle."""
+    from ray.data.aggregate import Count
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        return pa.table({"src_host": t["src_host"],
+                         "dst_host": t["dst_host"]})
+
+    return link_products(pages_dir, batch_size=batch_size) \
+        .map_batches(edge_rows, batch_format="pyarrow") \
         .groupby(["src_host", "dst_host"]) \
         .aggregate(Count(alias_name="n_pages"))
 
@@ -76,50 +175,24 @@ def anchor_texts(pages_dir: str, *, top_n: int = 3,
     extractor.py:284-295), but keeps each anchor's whitespace-normalized
     TEXT and counts every occurrence.
 
-    Distributed shape: html never leaves the map stage — each batch
-    emits pre-counted (dst_host, anchor, n_part) rows; a salted-bucket
-    fold sums them (one row per distinct pair crosses the shuffle) and
-    the per-host top-n runs as map_groups over the folded counts
-    (groups are distinct-anchor-sized, not page-sized). Ordering is the
-    total (n desc, anchor asc), so the cut is exact."""
-    from ..htmldom import parse_html
+    Distributed shape: html never leaves the shared
+    :func:`link_products` kernel pass — its ``kind=1`` rows are the
+    pre-counted (dst_host, anchor, n) partials; a salted-bucket fold
+    sums them (one row per distinct pair crosses the shuffle) and the
+    per-host top-n runs as map_groups over the folded counts (groups
+    are distinct-anchor-sized, not page-sized). Ordering is the total
+    (n desc, anchor asc), so the cut is exact."""
     from ..rayutil import bucketed_group_sum
 
-    def emit(batch: pa.Table) -> pd.DataFrame:
-        hosts: list[str] = []
-        texts: list[str] = []
-        for u, h in zip(batch["url"].to_pylist(),
-                        batch["html"].to_pylist()):
-            principal = urlnorm.get_principal_domain(
-                u if "://" in u else "http://" + u) or ""
-            tree = parse_html((h or b"").decode("utf-8", "replace"))
-            for n in tree.iter("a"):
-                href = n.get("href")
-                if not href or (principal and principal in href):
-                    continue
-                if not urlnorm.is_valid_url(href):
-                    continue
-                dst = urlnorm.host_of(urlnorm.clean_url(href))
-                if not dst:
-                    continue
-                text = " ".join("".join(n.itertext()).split())
-                if not text:
-                    continue
-                hosts.append(dst)
-                texts.append(text)
-        if not hosts:
-            return pd.DataFrame({
-                "dst_host": pd.Series([], dtype="object"),
-                "anchor": pd.Series([], dtype="object"),
-                "n_part": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"dst_host": hosts, "anchor": texts}) \
-            .groupby(["dst_host", "anchor"], as_index=False) \
-            .agg(n_part=("anchor", "size")).astype({"n_part": "int64"})
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 1))
+        return pa.table({"dst_host": t["dst_host"],
+                         "anchor": t["anchor"],
+                         "n_part": t["n"]})
 
     counts = bucketed_group_sum(
-        read_parquet(pages_dir, columns=["url", "html"])
-        .map_batches(emit, batch_size=batch_size,
-                     batch_format="pyarrow"),
+        link_products(pages_dir, batch_size=batch_size)
+        .map_batches(anchor_rows, batch_format="pyarrow"),
         ["dst_host", "anchor"], {"n_part": "n"})
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:

@@ -248,3 +248,37 @@ class TestDom:
         p = root.find_first("p")
         c = p.copy()
         assert c.parent is None and c.previous_siblings() == []
+
+
+class TestExtractLinksFastPath:
+    """extract_links (the link-graph corpus pass, article parse
+    skipped) must stay byte-identical to extract().outbound_links —
+    the shared-prep refactor's invariant."""
+
+    def test_matches_full_extract_over_corpus(self, kernel):
+        corpus = default_corpus("crawltest", num_hosts=2,
+                                pages_per_host=18)
+        tbl = pads.dataset(corpus.pages_dir) \
+            .to_table(columns=["url", "html"])
+        n_checked = 0
+        for u, h in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+            html = (h or b"").decode("utf-8", "replace")
+            fast = kernel.extract_links(u, html)
+            full = kernel.extract(u, html).outbound_links
+            assert fast == full, u
+            n_checked += 1
+        assert n_checked > 10
+
+    def test_matches_on_edge_inputs(self, kernel):
+        cases = [
+            ("http://a.example/x/", ""),
+            ("http://a.example/p.html",
+             '<html><body><a href="http://b.example/q">t</a>'
+             '<a href="/rel">r</a><a href="#">n</a></body></html>'),
+            ("http://a.example/p",
+             "<html><body><a href='http://b.example/é'>t</a>"
+             "</body></html>"),
+        ]
+        for u, html in cases:
+            assert kernel.extract_links(u, html) == \
+                kernel.extract(u, html).outbound_links, u
