@@ -57,10 +57,43 @@ def _clock_probe_mp(nproc: int) -> int:
     return round(_ctl_run(nproc, iters=20_000, waves=2))
 
 
+# Quiet-band floor for the 32-proc clock probe (quiet hours on this
+# host read 11-13M ops; shaped hours 4-7M, a ~2-3x wall-clock
+# deficit on every parallel stage). VERDICT r4 item 5: the bench
+# self-gates on the probe the way scaling attempts do, so a
+# driver-visible run lands in the quiet band when one arrives within
+# the wait budget — and self-documents the clock either way.
+QUIET_32P_OPS = 10_000_000
+
+
+def _await_quiet_window() -> dict:
+    """Bounded wait for an unshaped clock: probe the all-core md5
+    band; while below QUIET_32P_OPS, sleep and re-probe until
+    GRAFT_QUIET_WAIT_S (default 1500 s; 0 disables) elapses. Returns
+    the gate telemetry that is embedded in the bench JSON."""
+    budget = float(os.environ.get("GRAFT_QUIET_WAIT_S", "1500"))
+    probes = [_clock_probe_mp(32)]
+    t0 = time.perf_counter()
+    while probes[-1] < QUIET_32P_OPS and \
+            time.perf_counter() - t0 < budget:
+        time.sleep(45)
+        probes.append(_clock_probe_mp(32))
+    return {"quiet_gate_ops": probes[-1],
+            "quiet_gate_waited_s": round(time.perf_counter() - t0, 1),
+            "quiet_gate_passed": probes[-1] >= QUIET_32P_OPS,
+            "quiet_gate_probes": probes}
+
+
 def run_bench() -> dict:
     import ray
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # gate full bench runs on the clock band (scaling legs gate
+    # themselves; tests/CI set GRAFT_QUIET_WAIT_S=0 to skip)
+    gate = {}
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        gate = _await_quiet_window()
 
     # NOTE: no worker_process_setup_hook — a non-default runtime_env
     # makes the raylet re-resolve the env on every worker launch (~1 s
@@ -248,6 +281,7 @@ def run_bench() -> dict:
                         if pagerank_diff is not None else None),
         # join form pinned to the broadcast host form at bench scale
         "pagerank_parity_max_abs_diff": pagerank_diff,
+        **gate,
     }
     ray.shutdown()
     return result
