@@ -29,7 +29,7 @@ import ray.data as rd
 
 # shared shuffle-sizing helper (load-bearing for every multi-join DAG
 # here and in queries.py)
-from ..rayutil import cached_object
+from ..rayutil import cached_object, shuffle_partitions
 from ..rayutil import light_shuffle_aggregators as _light_join_aggregators
 
 _MERSENNE = (1 << 61) - 1
@@ -491,7 +491,8 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     # resolution rejects — the explicit projection re-bundles them away
     from ..rayutil import project_blocks
     colliding = project_blocks(
-        bands_ds.join(hot, join_type="inner", num_partitions=8,
+        bands_ds.join(hot, join_type="inner",
+                      num_partitions=shuffle_partitions(0.25),
                       on=("band", "band_hash")),
         ["doc_id", "band", "band_hash"])
 
@@ -510,8 +511,9 @@ def minhash_lsh_pairs(ds: "rd.Dataset", *, num_perm: int = 128,
     with_sigs = colliding.join(
         sigs.map_batches(sig_blob, batch_format="pyarrow",
                          batch_size=4096),
-        join_type="inner", num_partitions=8, on=("doc_id",)) \
-        .repartition(32)
+        join_type="inner", num_partitions=shuffle_partitions(0.25),
+        on=("doc_id",)) \
+        .repartition(shuffle_partitions(1.0))
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -885,7 +887,6 @@ def hamming_pairs(fps: "rd.Dataset", *, max_hamming: int = 3,
     # SLOWER — hash-shuffle aggregator overhead grows with partition
     # count, hence the lower join ratio.) Widths derive from cluster
     # CPUs (measured-good at 32 CPUs: join 8, verify 32).
-    from ..rayutil import shuffle_partitions
     colliding = seg_ds.join(hot, join_type="inner",
                             num_partitions=shuffle_partitions(0.25),
                             on=("segment", "value")) \
@@ -1265,8 +1266,10 @@ def set_jaccard_pairs(sh: "rd.Dataset", *, thr_num: int = 2,
             .groupby("doc_id").count() \
             .repartition(4).materialize()
 
-        shared = sh.join(hot, join_type="inner", num_partitions=8,
-                         on=("h",)).repartition(32).materialize()
+        shared = sh.join(hot, join_type="inner",
+                         num_partitions=shuffle_partitions(0.25),
+                         on=("h",)) \
+            .repartition(shuffle_partitions(1.0)).materialize()
 
         # candidate-pair emission: a NATIVE self-join on the shingle
         # hash, not a per-bucket map_groups — hot-shingle buckets number
@@ -1288,10 +1291,11 @@ def set_jaccard_pairs(sh: "rd.Dataset", *, thr_num: int = 2,
             return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
                              "bucket": pa.array(salt_bucket(t["doc_a"]))})
 
-        pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
+        pair_rows = sa.join(sb, join_type="inner",
+                            num_partitions=shuffle_partitions(0.25),
                             on=("h",)) \
             .map_batches(keep_lt, batch_format="pyarrow") \
-            .repartition(32).materialize()
+            .repartition(shuffle_partitions(1.0)).materialize()
 
         # intersection counting: a pair-keyed groupby().count() here
         # would create one group per CANDIDATE PAIR (~1.3M at sf0.1) and
@@ -1835,10 +1839,11 @@ def tfidf_cosine_pairs(ds: "rd.Dataset", *, thr_micro: int = 500_000,
                                              .to_numpy(
                                                  zero_copy_only=False)))})
 
-        pair_rows = sa.join(sb, join_type="inner", num_partitions=8,
+        pair_rows = sa.join(sb, join_type="inner",
+                            num_partitions=shuffle_partitions(0.25),
                             on=("h",)) \
             .map_batches(keep_lt, batch_format="pyarrow") \
-            .repartition(32).materialize()
+            .repartition(shuffle_partitions(1.0)).materialize()
         if pair_rows.count() == 0:
             return _empty()
 

@@ -60,3 +60,38 @@ class TestSaltingDatasetMode:
         a = base_pages[cols].sort_values("url").reset_index(drop=True)
         b = ds_pages[cols].sort_values("url").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestShufflePartitions:
+    """Cluster-derived shuffle widths: the 32-CPU measured ratios must
+    reproduce exactly, scale linearly with cluster CPUs, and clamp on
+    both ends (tiny test sessions / aggregator-overhead ceiling)."""
+
+    def _with_cpus(self, monkeypatch, n):
+        import ray
+        monkeypatch.setattr(ray, "cluster_resources",
+                            lambda: {"CPU": float(n)})
+
+    def test_measured_32cpu_ratios(self, monkeypatch):
+        from news_crawler_ray.rayutil import shuffle_partitions
+        self._with_cpus(monkeypatch, 32)
+        assert shuffle_partitions(0.25) == 8    # join width
+        assert shuffle_partitions(1.0) == 32    # verify/map width
+
+    def test_scales_and_clamps(self, monkeypatch):
+        from news_crawler_ray.rayutil import shuffle_partitions
+        self._with_cpus(monkeypatch, 1024)
+        assert shuffle_partitions(0.25) == 256
+        assert shuffle_partitions(1.0) == 512   # hi clamp
+        self._with_cpus(monkeypatch, 4)
+        assert shuffle_partitions(0.25) == 4    # lo clamp
+        assert shuffle_partitions(1.0) == 4
+
+    def test_no_cluster_falls_back(self, monkeypatch):
+        import ray
+        from news_crawler_ray.rayutil import shuffle_partitions
+
+        def boom():
+            raise RuntimeError("no session")
+        monkeypatch.setattr(ray, "cluster_resources", boom)
+        assert shuffle_partitions(1.0) == 8     # 8-CPU fallback
