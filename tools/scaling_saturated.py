@@ -191,7 +191,7 @@ def main() -> None:
         }
         print(json.dumps(rec))
         with open(os.path.join(REPO, "artifacts",
-                               "scaling_saturated_r04.jsonl"), "a") as f:
+                               "scaling_saturated_r05.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
     finally:
         try:
