@@ -71,7 +71,7 @@ def _await_quiet_window() -> dict:
     band; while below QUIET_32P_OPS, sleep and re-probe until
     GRAFT_QUIET_WAIT_S (default 1500 s; 0 disables) elapses. Returns
     the gate telemetry that is embedded in the bench JSON."""
-    budget = float(os.environ.get("GRAFT_QUIET_WAIT_S", "1500"))
+    budget = float(os.environ.get("GRAFT_QUIET_WAIT_S", "900"))
     probes = [_clock_probe_mp(32)]
     t0 = time.perf_counter()
     while probes[-1] < QUIET_32P_OPS and \
