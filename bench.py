@@ -69,7 +69,7 @@ QUIET_32P_OPS = 10_000_000
 def _await_quiet_window() -> dict:
     """Bounded wait for an unshaped clock: probe the all-core md5
     band; while below QUIET_32P_OPS, sleep and re-probe until
-    GRAFT_QUIET_WAIT_S (default 1500 s; 0 disables) elapses. Returns
+    GRAFT_QUIET_WAIT_S (default 900 s; 0 disables) elapses. Returns
     the gate telemetry that is embedded in the bench JSON."""
     budget = float(os.environ.get("GRAFT_QUIET_WAIT_S", "900"))
     probes = [_clock_probe_mp(32)]
