@@ -3445,7 +3445,12 @@ def q_media_video_dups(sf_dir: str) -> pd.DataFrame:
     fpairs = dd.hamming_pairs(rows, max_hamming=3, id_col="frame_key",
                               code_col="dhash")
     out = mm.score_video_pairs_ds(fpairs, counts).to_pandas()
-    return out.astype({c: "int64" for c in out.columns}) \
+    cols = ["doc_a", "doc_b", "matched", "total", "dice_micro"]
+    if not len(out):
+        # a zero-row to_pandas() loses the arrow schema entirely
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    return out[cols].astype("int64") \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

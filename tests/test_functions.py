@@ -2166,3 +2166,50 @@ class TestInvertedIndex:
                    .to_pandas()["doc_id"]) == {1}
         assert len(query_all_terms(idx, ["alpha", "beta"], num_buckets=1)
                    .to_pandas()) == 0
+
+
+class TestLinkProductsCache:
+    """The shared link-graph kernel pass is fingerprint-cached: same
+    corpus → one sweep; rewritten corpus at the same path → fresh
+    sweep (stale results would silently feed pagerank/anchors)."""
+
+    def test_hit_and_invalidate(self, ray_session, tmp_path):
+        import shutil
+        import pyarrow.parquet as pq
+        from news_crawler_ray.corpus import default_corpus
+        from news_crawler_ray.functions import linkgraph as lg
+
+        corpus = default_corpus("crawltest", num_hosts=2,
+                                pages_per_host=18)
+        pdir = str(tmp_path / "pages")
+        shutil.copytree(corpus.pages_dir, pdir)
+        a = lg.link_products(pdir)
+        assert lg.link_products(pdir) is a          # cache hit
+        # rewrite one fragment (content + mtime change) → fresh pass
+        frag = sorted(
+            str(p) for p in (tmp_path / "pages").rglob("*.parquet"))[0]
+        t = pq.read_table(frag)
+        pq.write_table(t.slice(0, max(1, t.num_rows - 1)), frag)
+        b = lg.link_products(pdir)
+        assert b is not a
+        # cache is bounded: a third distinct corpus evicts the oldest
+        assert len(lg._LINK_PRODUCTS_CACHE) <= 2
+
+
+class TestScoreVideoPairsDsEmpty:
+    def test_empty_inputs_yield_typed_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from news_crawler_ray.functions.multimodal import (
+            score_video_pairs_ds)
+        empty_pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+        counts = rd.from_arrow(pa.table({
+            "vid": pa.array([1, 2], pa.int64()),
+            "n": pa.array([5, 5], pa.int64())}))
+        ds = score_video_pairs_ds(empty_pairs, counts)
+        assert ds.schema().names == ["doc_a", "doc_b", "matched",
+                                     "total", "dice_micro"]
+        assert ds.count() == 0
