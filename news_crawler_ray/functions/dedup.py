@@ -1495,6 +1495,15 @@ def dup_pair_matrix(ds: "rd.Dataset", *, text_col: str = "text",
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
 
 
+def _round5_half_away(x: "np.ndarray") -> "np.ndarray":
+    """round(x, 5) with HALF-AWAY-FROM-ZERO ties — DuckDB's ROUND
+    semantics. np.round is half-to-even, which diverges from the SQL
+    twin whenever a cosine lands exactly on a .000005 boundary
+    (observed: one sf0.001 embedding pair at 0.188085 → np 0.18808 vs
+    DuckDB 0.18809, a value-hash mismatch)."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e5 + 0.5) / 1e5
+
+
 def semdedup(ds: "rd.Dataset", *, n_seeds: int = 8,
              threshold: float = 0.45, id_col: str = "vec_id",
              vec_col: str = "embedding") -> "rd.Dataset":
@@ -1540,15 +1549,21 @@ def semdedup(ds: "rd.Dataset", *, n_seeds: int = 8,
     smat = np.array(cand[vec_col].to_list(), dtype=np.float64)
     snorm = np.linalg.norm(smat, axis=1, keepdims=True)
     snorm[snorm == 0] = 1
-    seed_blob = _ray.put((seed_ids, smat / snorm))
+    seed_blob = _ray.put((seed_ids, smat, snorm))
 
     def assign(batch: pa.Table) -> pa.Table:
-        sids, sn = _ray.get(seed_blob)
+        sids, sm, sn = _ray.get(seed_blob)
         bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         bm = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         bn = np.linalg.norm(bm, axis=1, keepdims=True)
         bn[bn == 0] = 1
-        sims = np.round((bm / bn) @ sn.T, 5)
+        # dot/(|a|·|b|) association on RAW vectors — the expression
+        # list_cosine_similarity(DOUBLE[]) computes in the twin.
+        # Sharing input precision AND the double expression keeps the
+        # round(…,5) seam ulp-safe (the old float32 twin landed 6e-8
+        # away from the float64 path, straddling a .000005 boundary at
+        # sf0.001); _round5_half_away shares DuckDB's tie rule
+        sims = _round5_half_away((bm @ sm.T) / (bn * sn.T))
         best = np.argmax(sims, axis=1)   # first max = lowest sid tie
         return pa.table({
             id_col: pa.array(bids, pa.int64()),
@@ -1569,7 +1584,7 @@ def semdedup(ds: "rd.Dataset", *, n_seeds: int = 8,
         gm = np.array(g[vec_col].to_list(), dtype=np.float64)
         gn = np.linalg.norm(gm, axis=1, keepdims=True)
         gn[gn == 0] = 1
-        sims = np.round((gm / gn) @ (gm / gn).T, 5)
+        sims = _round5_half_away((gm @ gm.T) / (gn * gn.T))
         earlier_dup = np.tril(sims >= threshold, k=-1).any(axis=1)
         return pd.DataFrame({
             id_col: g[id_col].to_numpy(dtype=np.int64),

@@ -6439,8 +6439,8 @@ WITH seeds AS (
   FROM embeddings ORDER BY vec_id LIMIT 8),
 sim AS (
   SELECT e.vec_id, s.sid,
-         round(CAST(list_cosine_similarity(e.embedding, s.semb)
-                    AS DOUBLE), 5) AS cs
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(s.semb AS DOUBLE[])), 5) AS cs
   FROM embeddings e CROSS JOIN seeds s),
 a AS (
   SELECT vec_id, sid AS cluster, cs AS seed_sim
@@ -6455,8 +6455,9 @@ dup AS (
   JOIN a u ON u.cluster = v.cluster AND u.vec_id < v.vec_id
   JOIN embeddings ev ON ev.vec_id = v.vec_id
   JOIN embeddings eu ON eu.vec_id = u.vec_id
-  WHERE round(CAST(list_cosine_similarity(eu.embedding, ev.embedding)
-                   AS DOUBLE), 5) >= 0.45
+  WHERE round(list_cosine_similarity(CAST(eu.embedding AS DOUBLE[]),
+                                     CAST(ev.embedding AS DOUBLE[])), 5)
+        >= 0.45
   GROUP BY v.vec_id)
 SELECT a.vec_id, a.cluster, a.seed_sim,
        CAST(dup.vec_id IS NULL AS BIGINT) AS kept
