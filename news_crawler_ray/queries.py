@@ -586,7 +586,8 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
 
 Q_ANN_SQL = """
 SELECT e.vec_id,
-       round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 5) AS cos_sim
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+             CAST(q.embedding AS DOUBLE[])), 5) AS cos_sim
 FROM embeddings e
 CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 ORDER BY cos_sim DESC, e.vec_id LIMIT 10
@@ -606,9 +607,11 @@ def q_embedding_neardup_exact(sf_dir: str) -> pd.DataFrame:
 
 Q_EMB_EXACT_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
 ORDER BY id_a, id_b
 """
 
@@ -5191,7 +5194,8 @@ Q_EMB_COMPONENTS_SQL = """
 WITH RECURSIVE
 e AS (SELECT a.vec_id AS u, b.vec_id AS v
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45),
 sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
 reach(u, v) AS (
   SELECT u, v FROM sym
@@ -5704,8 +5708,8 @@ WITH anchors AS (
   FROM anchors a JOIN embeddings e ON e.vec_id = a.qvec
 ), sims AS (
   SELECT q.qlabel, e.vec_id,
-         round(CAST(list_cosine_similarity(e.embedding, q.qemb)
-                    AS DOUBLE), 5) AS cos_sim
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qemb AS DOUBLE[])), 5) AS cos_sim
   FROM embeddings e JOIN q ON e.label <> q.qlabel
 ), ranked AS (
   SELECT qlabel, vec_id, cos_sim,
